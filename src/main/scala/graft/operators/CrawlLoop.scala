@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Constants, Fixtures}
+
+/** The multi-batch crawl driver with exact resume — SURVEY.md §3 E2 / §2 op 43.
+  *
+  * A deterministic batch loop (plain Scala `while` over batch ids, each
+  * iteration a pure batch job + manifest-last checkpoint commit) rather than
+  * Structured Streaming: the north_rule demands exact resume + reproducible
+  * ordering and the source is a static table, so determinism wins
+  * (SURVEY.md §2 op 43). A streaming wrapper over the same
+  * `Scheduler.runBatch` lives in graft.streaming.
+  *
+  * State layout (scale notes):
+  *  - `seen` is APPEND-ONLY: per-batch deltas under `seen/b<k>`; the reader
+  *    unions committed deltas. At 10^10 urls a full rewrite per batch would
+  *    be quadratic I/O — appends keep the per-batch write O(batch).
+  *  - `frontier` is a full snapshot per batch (rows leave the frontier when
+  *    scheduled/excluded); its size is the discovery-fetch backlog, not the
+  *    corpus.
+  *  - `seen_shards` (bloom blobs) is NumShards rows — trivial to rewrite.
+  *
+  * Termination: the loop stops when the frontier is empty AND the Δ-scan
+  * high-water mark has passed the last page capture (or at cfg.maxBatches).
+  */
+object CrawlLoop {
+
+  val FrontierSchema: StructType = StructType(Seq(
+    StructField("url", StringType), StructField("host", StringType),
+    StructField("discovered_ts", TimestampType)))
+  val SeenSchema: StructType = StructType(Seq(
+    StructField("url_hash", LongType), StructField("url", StringType),
+    StructField("status", StringType)))
+  val ShardSchema: StructType = StructType(Seq(
+    StructField("shard", IntegerType), StructField("n_items", LongType),
+    StructField("filter", BinaryType)))
+
+  final case class RunResult(dir: String, batches: Long, articleCount: Long,
+      scheduledTotal: Long, fetchedTotal: Long, parsedTotal: Long)
+
+  def seedFrontier(spark: SparkSession, fixDir: String): DataFrame =
+    spark.read.parquet(s"$fixDir/seeds.parquet")
+      .select(graft.core.Canonicalize.canonicalUrl(col("url")).as("url"))
+      .filter(col("url").isNotNull)
+      .distinct()
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("discovered_ts", lit(Constants.EpochTs))
+      .select("url", "host", "discovered_ts")
+
+  /** Committed seen rows up to batch k (empty frame when k == 0). */
+  def seenUpTo(spark: SparkSession, dir: String, k: Long): DataFrame =
+    if (k == 0) Checkpoints.emptyFrame(spark, SeenSchema)
+    else Checkpoints.readAppends(spark, dir, "seen", k)
+
+  /** Run (or resume) a crawl over the fixtures of `sfDir`; returns the state
+    * dir holding articles / seen / fetch_log / host_log / snapshots. */
+  def run(spark: SparkSession, sfDir: String, cfg: CrawlConfig,
+      fresh: Boolean = false): RunResult = {
+    val fixDir = Fixtures.ensure(spark, sfDir)
+    val dir = Checkpoints.stateDir(cfg.runTag)
+    if (fresh) Checkpoints.deleteRecursively(dir)
+
+    val pages = spark.read.parquet(s"$fixDir/pages.parquet")
+    val robots = spark.read.parquet(s"$fixDir/robots.parquet")
+    val weights = spark.read.parquet(s"$fixDir/source_weights.parquet")
+    val budgets = spark.read.parquet(s"$fixDir/budgets.parquet")
+
+    val maxTsSec = pages.agg(max("warc_ts")).head().getTimestamp(0).toInstant.getEpochSecond
+
+    // ---- resume point (op 5): max committed manifest ----------------------
+    var k = Checkpoints.lastCommitted(dir).getOrElse(0L)
+    var articleCount = if (k == 0) 0L else Checkpoints.readManifest(dir, k).articleCount
+    var scheduledTotal = 0L
+    var fetchedTotal = 0L
+    var parsedTotal = 0L
+    var frontier =
+      if (k == 0) seedFrontier(spark, fixDir)
+      else Checkpoints.readSnap(spark, dir, k, "frontier")
+    var seenShards =
+      if (k == 0) Checkpoints.emptyFrame(spark, ShardSchema)
+      else Checkpoints.readSnap(spark, dir, k, "seen_shards")
+
+    var done = false
+    while (!done && k < cfg.maxBatches) {
+      k += 1
+      val seenExact = seenUpTo(spark, dir, k - 1)
+      val r = Scheduler.runBatch(spark, pages, frontier, seenExact, seenShards,
+        robots, weights, budgets, k, articleCount, cfg)
+
+      val newShards = BloomSeen.mergeShards(seenShards,
+        BloomSeen.buildShards(r.seenDelta.select("url_hash")))
+
+      val nArticles = r.articles.count()
+      Checkpoints.commit(spark, dir, k,
+        r.frontier, r.seenDelta, newShards,
+        r.articles, r.fetchLog, r.hostLog,
+        Checkpoints.Manifest(k, articleCount + nArticles,
+          r.scheduledCount, r.fetchedCount, r.parsedCount))
+      articleCount += nArticles
+      scheduledTotal += r.scheduledCount
+      fetchedTotal += r.fetchedCount
+      parsedTotal += r.parsedCount
+      r.cached.foreach(_.unpersist())
+
+      // Re-read committed state (truncates lineage across batches).
+      frontier = Checkpoints.readSnap(spark, dir, k, "frontier")
+      seenShards = Checkpoints.readSnap(spark, dir, k, "seen_shards")
+
+      val hwmDone = Constants.EPOCH.getEpochSecond + k * cfg.deltaPerBatchSec > maxTsSec
+      done = hwmDone && frontier.isEmpty
+    }
+    RunResult(dir, k, articleCount, scheduledTotal, fetchedTotal, parsedTotal)
+  }
+
+  /** All committed articles of a run. */
+  def articles(spark: SparkSession, dir: String): DataFrame = {
+    val upTo = Checkpoints.lastCommitted(dir).getOrElse(0L)
+    Checkpoints.readAppends(spark, dir, "articles", upTo)
+  }
+}

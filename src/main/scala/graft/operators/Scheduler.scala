@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Canonicalize, Constants, Parsers, Priority}
+
+/** Crawl-loop tuning knobs. All values deterministic; nothing reads clocks. */
+final case class CrawlConfig(
+    /** Width of the Δ-scan high-water-mark window per batch (op 1). */
+    deltaPerBatchSec: Long = 3600L,
+    /** Safety cap on batches per run. */
+    maxBatches: Int = 200,
+    /** Multiplier on per-host politeness budgets (bench uses >1 so the
+      * measured quantity is pipeline throughput, not loop overhead). */
+    budgetScale: Int = 1,
+    /** Number of host buckets == shuffle width of the scheduling stage.
+      * Outputs are invariant to it (rank key is (host_bucket, host)). */
+    numBuckets: Int = 32,
+    /** Two-tier bloom dedup (true) vs exact-only anti-join (false); final
+      * sets are identical — the flag exists for the parity test. */
+    useBloom: Boolean = true,
+    /** Post-budget salted repartition of the fetch/parse stage (op 51). */
+    saltParse: Boolean = true,
+    /** State/checkpoint namespace under Constants.workDir/state/. */
+    runTag: String = "default")
+
+/** One fetch-and-parse micro-batch's outputs (E1). */
+final case class BatchResult(
+    /** Parsed article rows appended this batch. */
+    articles: DataFrame,
+    /** Frontier snapshot after the batch ('queued' rows only). */
+    frontier: DataFrame,
+    /** Rows newly added to the seen set (fetched | excluded | missing). */
+    seenDelta: DataFrame,
+    /** Per-partition lineage/throughput rows (op 21). */
+    fetchLog: DataFrame,
+    /** Per-host politeness accounting rows (op 18). */
+    hostLog: DataFrame,
+    scheduledCount: Long,
+    fetchedCount: Long,
+    parsedCount: Long,
+    /** Frames cached inside the batch; caller unpersists after materializing. */
+    cached: Seq[DataFrame])
+
+/** The E1 micro-batch — SURVEY.md §3.
+  *
+  * candidates = pages Δ-scan ∪ frontier('queued')
+  *   → canonicalize / host / xxhash64                       (ops 7-9)
+  *   → two-tier bloom+exact anti-join vs seen               (op 12)    [map-side + residue shuffle]
+  *   → broadcast robots tag → split excluded                (ops 13,49)
+  *   → broadcast weights → priority                         (ops 13,38)
+  *   → repartition(P, host_bucket)                          (op 51)    [SHUFFLE 1]
+  *   → window rank over (host_bucket, host) ≤ budget        (ops 24,25) [no extra shuffle — key subset rule]
+  *   → fetch-join pages on canonical url                    (ops 3,14) [broadcast of budget-capped set]
+  *   → salted repartition → parse / byte-identity           (ops 51,47,35)
+  *   → link extraction (explode)                            (op 48)
+  *   → articles + seen delta + metrics                      (ops 4,19,21)
+  *
+  * Scale notes (the 100 TB story):
+  *  - The scheduling path never touches `html` — column pruning keeps the
+  *    Δ-scan at (url, warc_ts), verified by PlanShapeSpec.
+  *  - The window key is (host_bucket, host), NOT host: HashPartitioning on
+  *    host_bucket already satisfies the window's required distribution
+  *    (subset rule), so ranking reuses SHUFFLE 1 (probe-verified on 4.1.2,
+  *    SURVEY.md §4).
+  *  - The scheduled set is ≤ Σ budgets per batch — bounded by design, hence
+  *    broadcastable into the fetch join, and a single-partition window for
+  *    the global fetch_order is safe at any corpus size.
+  *  - Per-host budgets are enforced pre-salt (per-host-global), salting is
+  *    applied only to the post-budget fetch/parse stage where per-host
+  *    grouping no longer matters (SURVEY.md §4 skew note).
+  */
+object Scheduler {
+
+  private val extractUdf = udf((host: String, html: Array[Byte]) => Parsers.extract(host, html))
+  private val linksUdf = udf((html: Array[Byte]) => Parsers.extractLinks(html))
+
+  /** Candidate urls newly visible in the hwm window (lo, hi], canonicalized.
+    * Reads only (url, warc_ts) — predicate pushed to the parquet scan. */
+  def deltaScan(pages: DataFrame, loSec: Long, hiSec: Long): DataFrame = {
+    val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(loSec))
+    val hi = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(hiSec))
+    pages
+      .select(col("url"), col("warc_ts"))
+      .filter(col("warc_ts") >= lit(lo) && col("warc_ts") < lit(hi))
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(Canonicalize.canonicalUrl(col("url")).as("url"), col("warc_ts").as("discovered_ts"))
+      .filter(col("url").isNotNull)
+      .groupBy("url")
+      .agg(max("discovered_ts").as("discovered_ts"))
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+  }
+
+  /** Scheduling-stage outputs (pre-fetch). */
+  final case class ScheduleOut(scheduled: DataFrame, deferred: DataFrame, excluded: DataFrame)
+
+  /** Robots + priority + politeness ranking over deduped candidates
+    * (url, host, discovered_ts, url_hash) — ops 13/49/38/51/24/25.
+    * Shared by runBatch and the standalone query entries. */
+  def schedule(
+      cands: DataFrame,
+      robots: DataFrame,
+      weights: DataFrame,
+      budgets: DataFrame,
+      cfg: CrawlConfig): ScheduleOut = {
+    val tagged = Robots.tag(cands, robots)
+    val excluded = tagged
+      .filter(col("robots_excluded"))
+      .select(col("url_hash"), col("url"), lit("excluded").as("status"))
+    val allowed = tagged.filter(!col("robots_excluded")).drop("robots_excluded")
+
+    val prioritized = allowed
+      .join(broadcast(weights), Seq("host"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(1.0)))
+      .withColumn("priority", Priority.score(col("weight"), col("discovered_ts")))
+      .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(cfg.numBuckets)))
+      .repartition(cfg.numBuckets, col("host_bucket"))
+
+    // Window key (host_bucket, host): HashPartitioning(host_bucket) satisfies
+    // the required ClusteredDistribution by the subset rule — ranking reuses
+    // the repartition exchange (probe-verified on 4.1.2, SURVEY.md §4).
+    val rankWindow = Window
+      .partitionBy(col("host_bucket"), col("host"))
+      .orderBy(desc("priority"), desc("discovered_ts"), asc("url"))
+    val ranked = prioritized
+      .withColumn("host_rank", row_number().over(rankWindow))
+      .join(broadcast(budgets), Seq("host"), "left")
+      .withColumn("budget", coalesce(col("budget"), lit(2)) * cfg.budgetScale)
+
+    ScheduleOut(
+      ranked.filter(col("host_rank") <= col("budget"))
+        .select("url", "url_hash", "host", "discovered_ts", "priority", "host_bucket", "host_rank"),
+      ranked.filter(col("host_rank") > col("budget")).select("url", "host", "discovered_ts"),
+      excluded)
+  }
+
+  /** Run one micro-batch. `frontier`: (url, host, discovered_ts) queued rows;
+    * `seenExact`: (url_hash, url, status); `seenShards`: bloom blobs;
+    * dims: robots/weights/budgets fixtures. Returns the batch outputs
+    * (unpersisted lazily-evaluated frames EXCEPT the internally cached
+    * scheduled set — caller materializes via checkpoint writes). */
+  def runBatch(
+      spark: SparkSession,
+      pages: DataFrame,
+      frontier: DataFrame,
+      seenExact: DataFrame,
+      seenShards: DataFrame,
+      robots: DataFrame,
+      weights: DataFrame,
+      budgets: DataFrame,
+      batchId: Long,
+      articleCountSoFar: Long,
+      cfg: CrawlConfig): BatchResult = {
+
+    val loSec = Constants.EPOCH.getEpochSecond + (batchId - 1) * cfg.deltaPerBatchSec
+    val hiSec = loSec + cfg.deltaPerBatchSec
+
+    // ---- candidates = Δ-scan ∪ frontier, deduped by canonical url --------
+    val cands = deltaScan(pages, loSec, hiSec)
+      .unionByName(frontier.select("url", "discovered_ts", "host"))
+      .groupBy("url", "host")
+      .agg(max("discovered_ts").as("discovered_ts"))
+      .withColumn("url_hash", Canonicalize.urlHash(col("url")))
+
+    // ---- two-tier seen-set anti-join (op 12) ------------------------------
+    val newRows =
+      BloomSeen.antiJoinSeen(spark, cands, seenExact, if (cfg.useBloom) Some(seenShards) else None)
+
+    // ---- robots + priority + politeness ranking (ops 13/49/38/51/24/25) ---
+    val sched = schedule(newRows, robots, weights, budgets, cfg)
+    val excluded = sched.excluded
+    val scheduled = sched.scheduled
+      .select("url", "url_hash", "host", "discovered_ts", "priority", "host_bucket")
+      .cache()
+    val scheduledCount = scheduled.count()
+    val deferred = sched.deferred
+
+    // ---- fetch (ops 3/14): scheduled ⋈ pages on canonical url -------------
+    // The budget cap bounds |scheduled| ⇒ broadcast it; runtime bloom-filter
+    // pruning (session conf) keeps the pages scan from materializing html
+    // for non-matching rows at scale.
+    val pagesCanon = pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .filter(col("warc_ts") < lit(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(hiSec))))
+      .select(
+        Canonicalize.canonicalUrl(col("url")).as("url"),
+        col("url").as("raw_url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .filter(col("url").isNotNull)
+    val joined = pagesCanon.join(
+      broadcast(scheduled.select(
+        col("url"), col("url_hash"), col("priority"), col("host"), col("host_bucket"))),
+      Seq("url"), "inner")
+    // Latest capture wins per canonical url (alias rows differ only in ts).
+    val captureWindow = Window.partitionBy(col("url")).orderBy(desc("warc_ts"), desc("raw_url"))
+    val fetched0 = joined
+      .withColumn("__rn", row_number().over(captureWindow))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "raw_url")
+
+    // ---- salted parse stage (ops 51/47/35) ---------------------------------
+    val balanced =
+      if (cfg.saltParse) fetched0.repartition(cfg.numBuckets, pmod(xxhash64(col("url")), lit(cfg.numBuckets)))
+      else fetched0
+    val parsed = balanced
+      .withColumn("bytes", octet_length(col("html")))
+      .withColumn("extracted", extractUdf(col("host"), col("html")))
+      .withColumn("parse_ok", col("extracted") === col("text"))
+      .withColumn("is_listing", col("extracted") === lit(""))
+      .cache()
+
+    // ---- link extraction (op 48): listing pages grow the frontier ---------
+    val links = parsed
+      .filter(col("is_listing"))
+      .select(explode(linksUdf(col("html"))).as("raw_link"), col("warc_ts"))
+      .filter(Canonicalize.isHttpScheme(col("raw_link")))
+      .select(
+        Canonicalize.canonicalUrl(col("raw_link")).as("url"),
+        col("warc_ts").as("discovered_ts"))
+      .filter(col("url").isNotNull)
+      .groupBy("url")
+      .agg(max("discovered_ts").as("discovered_ts"))
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+
+    // ---- articles (op 4) with global fetch_order (op 29) -------------------
+    // |articles delta| ≤ Σ budgets: the single-partition ordering window is
+    // bounded by design, not by data size.
+    val orderWindow = Window.orderBy(desc("priority"), asc("url"))
+    val articles = parsed
+      .filter(!col("is_listing"))
+      .select(col("url"), col("warc_ts"), col("extracted").as("text"), col("lang"), col("priority"))
+      .withColumn("fetch_order", lit(articleCountSoFar) + row_number().over(orderWindow))
+      .withColumn("url_hash", Canonicalize.urlHash(col("url")))
+      .withColumn("batch_id", lit(batchId))
+      .select("url", "url_hash", "warc_ts", "text", "lang", "batch_id", "fetch_order")
+
+    // ---- seen delta: fetched ∪ excluded ∪ fetch-misses ---------------------
+    val fetchedKeys = parsed.select(col("url"), col("url_hash"))
+    val missing = scheduled
+      .join(parsed.select("url"), Seq("url"), "left_anti")
+      .select(col("url_hash"), col("url"), lit("missing").as("status"))
+    val seenDelta = fetchedKeys
+      .select(col("url_hash"), col("url"), lit("fetched").as("status"))
+      .unionByName(excluded)
+      .unionByName(missing)
+
+    // ---- next frontier: deferred ∪ new links, deduped ----------------------
+    val newFrontier = deferred
+      .unionByName(links.select("url", "host", "discovered_ts"))
+      .groupBy("url", "host")
+      .agg(max("discovered_ts").as("discovered_ts"))
+
+    // ---- lineage + metrics (ops 18/21) --------------------------------------
+    val fetchLog = parsed
+      .groupBy(spark_partition_id().as("partition_id"), col("host_bucket"))
+      .agg(
+        count(lit(1)).as("urls_fetched"),
+        sum(when(col("parse_ok"), 1L).otherwise(0L)).as("urls_parsed"),
+        sum(col("bytes")).cast("long").as("bytes"))
+      .withColumn("batch_id", lit(batchId))
+    val hostLog = scheduled
+      .groupBy("host")
+      .agg(count(lit(1)).as("urls_scheduled"))
+      .join(
+        parsed.groupBy("host").agg(
+          count(lit(1)).as("urls_fetched"),
+          sum(when(col("parse_ok"), 1L).otherwise(0L)).as("urls_parsed"),
+          sum(col("bytes")).cast("long").as("bytes")),
+        Seq("host"), "full_outer")
+      .na.fill(0L, Seq("urls_scheduled", "urls_fetched", "urls_parsed", "bytes"))
+      .withColumn("batch_id", lit(batchId))
+
+    val fetchedCount = parsed.count()
+    val parsedCount = parsed.filter(col("parse_ok")).count()
+    BatchResult(
+      articles, newFrontier, seenDelta, fetchLog, hostLog,
+      scheduledCount, fetchedCount, parsedCount, Seq(scheduled, parsed))
+  }
+}

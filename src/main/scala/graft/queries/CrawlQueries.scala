@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Canonicalize, Constants, Fixtures, Parsers}
+import graft.operators.{CrawlConfig, CrawlLoop, Robots, Scheduler}
+
+/** Crawl-engine query entries for SparkEntry — SURVEY.md §2 ops 1–51.
+  *
+  * Each entry reads only the driver's testdata in `sfDir` plus fixtures
+  * deterministically derived from it (FIXTURES.md). The DuckDB oracle SQL
+  * rebuilds the `pages` fixture relationally from `documents` (string
+  * building is oracle-expressible; xxhash64-derived values are not — those
+  * are embedded as frozen literals from FixtureConstants, or the query output
+  * is kept hash-free; SURVEY.md §7 gotcha 5).
+  *
+  * NOTE: the oracle SQL assumes the no-skew fixture mapping and is valid at
+  * sf0.001/sf0.01 (the driver's correctness sf); sf0.1 adds the skew remap
+  * (FIXTURES.md B6) and is bench-only.
+  */
+object CrawlQueries {
+
+  /** Shared DuckDB CTE rebuilding the pages fixture from `documents`. */
+  private val PagesCte: String =
+    """WITH pages AS (
+      |  SELECT 'https://' || source || '.example.com/articles/' || doc_id AS url,
+      |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) AS warc_ts,
+      |         text, lang, source, doc_id
+      |    FROM documents
+      |  UNION ALL
+      |  SELECT 'https://' || source || '.example.com/articles/' || doc_id || '?utm_source=feed&utm_campaign=x#frag',
+      |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) + to_seconds(30),
+      |         text, lang, source, doc_id
+      |    FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT DISTINCT 'https://' || source || '.example.com/',
+      |         TIMESTAMP '2024-01-01 00:00:00', '', 'und', source, NULL
+      |    FROM documents
+      |),
+      |canon AS (
+      |  SELECT pages.url AS raw_url,
+      |         rtrim(split_part(split_part(pages.url, '#', 1), '?', 1), '/') AS url,
+      |         split_part(split_part(pages.url, '://', 2), '/', 1) AS host,
+      |         warc_ts, text, lang
+      |    FROM pages
+      |),
+      |hostdim AS (
+      |  SELECT * FROM (VALUES %HOSTS%) AS t(host, weight, budget, crawl_delay, family)
+      |)""".stripMargin.replace("%HOSTS%", graft.core.FixtureConstants.sqlValues)
+
+  private def pages(spark: SparkSession, sfDir: String): DataFrame =
+    Fixtures.pages(spark, sfDir)
+
+  private def fix(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Fixtures.table(spark, sfDir, name)
+
+  /** Candidates over the whole corpus (wide Δ window), deduped+hashed. */
+  private def allCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    Scheduler
+      .deltaScan(pages(spark, sfDir), 0L, Constants.NowEpochSec)
+      .withColumn("url_hash", Canonicalize.urlHash(col("url")))
+
+  private def scheduleOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg = CrawlConfig()
+    Scheduler
+      .schedule(
+        allCandidates(spark, sfDir),
+        fix(spark, sfDir, "robots"),
+        fix(spark, sfDir, "source_weights"),
+        fix(spark, sfDir, "budgets"),
+        cfg)
+      .scheduled
+  }
+
+  /** Latest capture per canonical url (ops 14/16 "latest capture wins"). */
+  private def latestCaptures(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("url")).orderBy(desc("warc_ts"), desc("raw_url"))
+    pages(spark, sfDir)
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(
+        Canonicalize.canonicalUrl(col("url")).as("url"),
+        col("url").as("raw_url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .filter(col("url").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "raw_url")
+  }
+
+  private val extractUdf = udf((host: String, html: Array[Byte]) => Parsers.extract(host, html))
+  private val linksUdf = udf((html: Array[Byte]) => Parsers.extractLinks(html))
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 1: Δ-scan with pushed-down predicate, html never read.
+    "q01_pages_scan" -> ((s, dir) =>
+      pages(s, dir)
+        .filter(col("warc_ts") < lit(java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(7200))))
+        .select("url", "warc_ts", "lang")),
+
+    // ops 7/8: canonicalization + host extraction (alias rows collapse).
+    "q02_canonicalize" -> ((s, dir) =>
+      pages(s, dir)
+        .select(
+          Canonicalize.canonicalUrl(col("url")).as("url"),
+          Canonicalize.hostOf(col("url")).as("host"))
+        .filter(col("url").isNotNull)
+        .distinct()),
+
+    // ops 12/15/33: seen-set anti-join (exact tier) — hash-free output.
+    "q03_dedup_antijoin" -> ((s, dir) => {
+      val c = pages(s, dir)
+        .select(Canonicalize.canonicalUrl(col("url")).as("url"))
+        .filter(col("url").isNotNull && col("url").contains("/articles/"))
+        .distinct()
+      val seen = c.filter(
+        regexp_extract(col("url"), "/articles/(\\d+)$", 1).cast("long") % 2 === 0)
+      c.join(seen, Seq("url"), "left_anti")
+    }),
+
+    // ops 6/13/49: robots evaluation via higher-order exists, broadcast dim.
+    "q04_robots_filter" -> ((s, dir) => {
+      val c = pages(s, dir)
+        .select(
+          Canonicalize.canonicalUrl(col("url")).as("url"),
+          Canonicalize.hostOf(col("url")).as("host"))
+        .filter(col("url").isNotNull)
+        .distinct()
+      Robots.tag(c, fix(s, dir, "robots"))
+        .select(col("url"), col("host"), (!col("robots_excluded")).as("allowed"))
+    }),
+
+    // ops 24/25/38/51: priority ranking + politeness budget cap.
+    "q05_priority_rank" -> ((s, dir) =>
+      scheduleOnce(s, dir).select("url", "host", "host_rank")),
+
+    // ops 3/14: fetch equi-join, latest capture wins.
+    "q06_fetch_join" -> ((s, dir) =>
+      scheduleOnce(s, dir)
+        .select("url")
+        .join(latestCaptures(s, dir), Seq("url"), "inner")
+        .select(col("url"), length(col("text")).as("text_len"), col("lang"))),
+
+    // ops 35/47: whole-corpus parse — output IS the extracted text, so the
+    // driver's hash compare verifies byte-identity per url (north_rule).
+    "q07_parse_extract" -> ((s, dir) =>
+      latestCaptures(s, dir)
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("text_extracted", extractUdf(col("host"), col("html")))
+        .filter(col("text_extracted") =!= "")
+        .select(col("url"), col("text_extracted").as("text"))),
+
+    // op 18: per-host accounting.
+    "q08_host_agg" -> ((s, dir) =>
+      pages(s, dir)
+        .groupBy(Canonicalize.hostOf(col("url")).as("host"))
+        .agg(
+          count(lit(1)).as("n_pages"),
+          min(col("warc_ts")).as("first_ts"),
+          max(col("warc_ts")).as("last_ts"),
+          sum(length(col("text"))).as("chars"))),
+
+    // op 48: link extraction (UDF + explode = Generator path).
+    "q09_link_extract" -> ((s, dir) =>
+      pages(s, dir)
+        .filter(col("url").endsWith("/"))
+        .select(
+          Canonicalize.hostOf(col("url")).as("host"),
+          explode(linksUdf(col("html"))).as("link"))),
+
+    // ops 43/5/29: the full multi-batch crawl with checkpointed state; output
+    // is the canonically-ordered article log. Oracle: the sequential crawler
+    // (ScalaTest golden parity) — iterative state is not DuckDB-expressible.
+    "q11_crawl_full" -> ((s, dir) =>
+      CrawlLoop.articles(s, fullCrawl(s, dir))
+        .select("url", "warc_ts", "lang", "batch_id", "fetch_order")),
+
+    // ops 18/21: politeness/lineage accounting of the full crawl.
+    "q12_host_log" -> ((s, dir) => {
+      val stateDir = fullCrawl(s, dir)
+      val upTo = graft.operators.Checkpoints.lastCommitted(stateDir).getOrElse(0L)
+      graft.operators.Checkpoints.readAppends(s, stateDir, "host_log", upTo)
+        .groupBy("host")
+        .agg(
+          sum("urls_scheduled").as("urls_scheduled"),
+          sum("urls_fetched").as("urls_fetched"),
+          sum("urls_parsed").as("urls_parsed"))
+    })
+  )
+
+  private def sfName(dir: String): String =
+    java.nio.file.Paths.get(dir).getFileName.toString
+
+  /** One full crawl per (sf) per JVM — q11/q12 share the run. */
+  private val crawlRuns = scala.collection.concurrent.TrieMap.empty[String, String]
+  def fullCrawl(s: SparkSession, dir: String): String =
+    crawlRuns.getOrElseUpdate(dir, {
+      val cfg = CrawlConfig(deltaPerBatchSec = 6L * 3600, runTag = s"full_${sfName(dir)}")
+      CrawlLoop.run(s, dir, cfg, fresh = true).dir
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q01_pages_scan" ->
+      s"""$PagesCte
+         |SELECT url, warc_ts, lang FROM pages
+         | WHERE warc_ts < TIMESTAMP '2024-01-01 02:00:00'""".stripMargin,
+
+    "q02_canonicalize" ->
+      s"""$PagesCte
+         |SELECT DISTINCT url, host FROM canon""".stripMargin,
+
+    "q03_dedup_antijoin" ->
+      s"""$PagesCte,
+         |c AS (SELECT DISTINCT url FROM canon WHERE url LIKE '%/articles/%')
+         |SELECT url FROM c
+         | WHERE CAST(regexp_extract(url, '/articles/(\\d+)$$', 1) AS BIGINT) % 2 <> 0""".stripMargin,
+
+    "q04_robots_filter" ->
+      s"""$PagesCte,
+         |c AS (SELECT DISTINCT url, host FROM canon),
+         |p AS (SELECT url, host, regexp_replace(url, '^https://[^/]*', '') AS path FROM c)
+         |SELECT url, host,
+         |       NOT (path LIKE '/private/%'
+         |            OR (host = 'src13.example.com' AND path LIKE '/articles/%')) AS allowed
+         |  FROM p""".stripMargin,
+
+    "q05_priority_rank" ->
+      s"""$PagesCte,
+         |cand AS (
+         |  SELECT url, host, max(warc_ts) AS discovered_ts
+         |    FROM canon GROUP BY url, host
+         |),
+         |allowed AS (
+         |  SELECT c.*, h.weight, h.budget,
+         |         h.weight * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
+         |    FROM cand c JOIN hostdim h USING (host)
+         |   WHERE NOT (regexp_replace(url, '^https://[^/]*', '') LIKE '/private/%'
+         |              OR (host = 'src13.example.com'
+         |                  AND regexp_replace(url, '^https://[^/]*', '') LIKE '/articles/%'))
+         |),
+         |ranked AS (
+         |  SELECT url, host, budget,
+         |         ROW_NUMBER() OVER (PARTITION BY host
+         |                            ORDER BY priority DESC, discovered_ts DESC, url ASC) AS host_rank
+         |    FROM allowed
+         |)
+         |SELECT url, host, host_rank FROM ranked WHERE host_rank <= budget""".stripMargin,
+
+    "q06_fetch_join" ->
+      s"""$PagesCte,
+         |cand AS (
+         |  SELECT url, host, max(warc_ts) AS discovered_ts FROM canon GROUP BY url, host
+         |),
+         |allowed AS (
+         |  SELECT c.*, h.weight, h.budget,
+         |         h.weight * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
+         |    FROM cand c JOIN hostdim h USING (host)
+         |   WHERE NOT (regexp_replace(url, '^https://[^/]*', '') LIKE '/private/%'
+         |              OR (host = 'src13.example.com'
+         |                  AND regexp_replace(url, '^https://[^/]*', '') LIKE '/articles/%'))
+         |),
+         |sched AS (
+         |  SELECT url FROM (
+         |    SELECT url, budget,
+         |           ROW_NUMBER() OVER (PARTITION BY host
+         |                              ORDER BY priority DESC, discovered_ts DESC, url ASC) AS host_rank
+         |      FROM allowed) AS r WHERE host_rank <= budget
+         |),
+         |latest AS (
+         |  SELECT url, text, lang,
+         |         ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, raw_url DESC) AS rn
+         |    FROM canon
+         |)
+         |SELECT s.url, length(l.text) AS text_len, l.lang
+         |  FROM sched s JOIN latest l ON s.url = l.url AND l.rn = 1""".stripMargin,
+
+    "q07_parse_extract" ->
+      s"""$PagesCte,
+         |latest AS (
+         |  SELECT url, text,
+         |         ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, raw_url DESC) AS rn
+         |    FROM canon
+         |)
+         |SELECT url, text FROM latest WHERE rn = 1 AND text <> ''""".stripMargin,
+
+    "q08_host_agg" ->
+      s"""$PagesCte
+         |SELECT host, count(*) AS n_pages, min(warc_ts) AS first_ts,
+         |       max(warc_ts) AS last_ts, CAST(sum(length(text)) AS BIGINT) AS chars
+         |  FROM canon GROUP BY host""".stripMargin,
+
+    "q09_link_extract" ->
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |    FROM documents
+         |)
+         |SELECT source || '.example.com' AS host,
+         |       'https://' || source || '.example.com/articles/' || doc_id AS link
+         |  FROM ranked WHERE rn <= ${Constants.ListingLinks}""".stripMargin
+  )
+}

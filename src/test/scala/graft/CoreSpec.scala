@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** M0 invariants: frozen constants, canonicalization parity/idempotence,
+  * parser byte-identity, fixture generation. */
+class CoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("frozen FixtureConstants match Spark xxhash64 derivation") {
+    val df = FixtureConstants.hosts.map(h => (h.source, h.host)).toDF("source", "host")
+    val derived = df.select(
+      $"source",
+      pmod(xxhash64($"source"), lit(3)).as("family"),
+      (lit(1.0) + pmod(xxhash64($"host"), lit(10))).as("weight"),
+      (lit(2) + pmod(xxhash64($"host"), lit(4))).as("budget"),
+      (lit(1.0) + pmod(xxhash64($"host"), lit(3))).as("crawl_delay"),
+      xxhash64($"host").as("host_hash")
+    ).collect().map(r => r.getString(0) ->
+      (r.getLong(1).toInt, r.getDouble(2), r.getLong(3).toInt, r.getDouble(4), r.getLong(5))).toMap
+    for (h <- FixtureConstants.hosts) {
+      val (fam, w, b, cd, hh) = derived(h.source)
+      assert((fam, w, b, cd, hh) === ((h.family, h.weight, h.budget, h.crawlDelay, h.hostHash)),
+        s"drift for ${h.source}")
+    }
+  }
+
+  test("canonicalize: Column and Scala flavors agree on every fixture url") {
+    val fixDir = Fixtures.ensure(spark, TestSpark.Sf0001)
+    val urls = spark.read.parquet(s"$fixDir/pages.parquet")
+      .select($"url").as[String].collect()
+    assert(urls.nonEmpty)
+    val colCanon = urls.toSeq.toDF("url")
+      .select($"url", Canonicalize.canonicalUrl($"url").as("canon"))
+      .as[(String, String)].collect().toMap
+    for (u <- urls) {
+      assert(Canonicalize.canonicalScala(u) === Option(colCanon(u)), s"mismatch for $u")
+    }
+  }
+
+  test("canonicalize: alias rows collapse onto their clean url") {
+    val clean = "https://src3.example.com/articles/15"
+    val alias = clean + Constants.AliasSuffix
+    assert(Canonicalize.canonicalScala(alias) === Some(clean))
+    val viaCol = Seq(alias).toDF("url")
+      .select(Canonicalize.canonicalUrl($"url")).as[String].head()
+    assert(viaCol === clean)
+  }
+
+  test("canonicalize: idempotent (P1), slash-collapsing, scheme filter") {
+    assert(Canonicalize.canonicalScala("https://A.example.com//x///y/") ===
+      Some("https://a.example.com/x/y"))
+    assert(Canonicalize.canonicalScala("ftp://a.example.com/x") === None)
+    assert(Canonicalize.canonicalScala("not a url") === None)
+    // Property P1 over a seeded sample of adversarial paths.
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ019/._-~%?#& "
+    for (_ <- 1 to 500) {
+      val path = Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val u = "https://H.Example.com/" + path
+      Canonicalize.canonicalScala(u).foreach { c =>
+        assert(Canonicalize.canonicalScala(c) === Some(c), s"not idempotent for $u -> $c")
+      }
+    }
+  }
+
+  test("parsers: render→extract roundtrip is byte-identical for all families") {
+    val body = "the fast key order sort / with punct, and words"
+    for (h <- FixtureConstants.hosts) {
+      val html = Parsers.renderArticle(h.family, "Doc 7", h.source, body)
+      assert(Parsers.extract(h.host, html) === body, s"family ${h.family}")
+    }
+  }
+
+  test("parsers: listing pages extract no text but yield links") {
+    val urls = (0 until 10).map(i => s"https://src2.example.com/articles/$i")
+    val html = Parsers.renderListing("src2.example.com", urls)
+    assert(Parsers.extract("src2.example.com", html) === "")
+    assert(Parsers.extractLinks(html) === urls)
+    // article pages yield no links
+    val art = Parsers.renderArticle(0, "Doc 1", "src0", "body text")
+    assert(Parsers.extractLinks(art) === Nil)
+  }
+
+  test("fixtures: byte-identity invariant over the whole sf0.001 pages table") {
+    val fixDir = Fixtures.ensure(spark, TestSpark.Sf0001)
+    val pages = spark.read.parquet(s"$fixDir/pages.parquet")
+    val bad = pages
+      .select($"url", $"html", $"text")
+      .as[(String, Array[Byte], String)]
+      .map { case (url, html, text) =>
+        val host = Canonicalize.hostScala(url).getOrElse("")
+        (url, Parsers.extract(host, html) == text)
+      }
+      .filter(!_._2)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("fixtures: expected shape at sf0.001") {
+    val fixDir = Fixtures.ensure(spark, TestSpark.Sf0001)
+    val pages = spark.read.parquet(s"$fixDir/pages.parquet")
+    // 500 docs + 100 aliases (doc_id%5==0) + 20 listing roots
+    assert(pages.count() === 620L)
+    assert(spark.read.parquet(s"$fixDir/seeds.parquet").count() === 40L)
+    assert(spark.read.parquet(s"$fixDir/robots.parquet").count() === 20L)
+    val media = spark.read.parquet(s"$fixDir/media.parquet")
+    assert(media.count() === 500L)
+    assert(media.select($"kind").distinct().count() === 3L)
+  }
+}
