@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Fixtures
+import graft.operators.{Checkpoints, CrawlConfig, CrawlLoop}
+import graft.oracle.SequentialCrawler
+import graft.oracle.SequentialCrawler.PageCap
+
+/** The north_rule's central correctness claim (SURVEY.md §5 layers 2/3):
+  * the distributed pipeline reproduces the sequential oracle's crawl
+  * ordering (fetch_order sequence) and final URL-seen set exactly, and the
+  * run is resumable from checkpoint with byte-identical results. */
+class CrawlParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cfgBase = CrawlConfig(deltaPerBatchSec = 6L * 3600)
+
+  private def loadCaps(sfDir: String): (Seq[PageCap], Seq[String]) = {
+    val fixDir = Fixtures.ensure(spark, sfDir)
+    val caps = spark.read.parquet(s"$fixDir/pages.parquet")
+      .select($"url", unix_timestamp($"warc_ts").as("ts"), $"html", $"text", $"lang")
+      .as[(String, Long, Array[Byte], String, String)]
+      .collect()
+      .map { case (u, ts, h, t, l) => PageCap(u, ts, h, t, l) }
+      .toSeq
+    val seeds = spark.read.parquet(s"$fixDir/seeds.parquet").as[String].collect().toSeq
+    (caps, seeds)
+  }
+
+  test("pipeline crawl order and seen set match the sequential oracle (sf0.001)") {
+    val (caps, seeds) = loadCaps(TestSpark.Sf0001)
+    val oracle = SequentialCrawler.crawl(caps, seeds, cfgBase)
+    assert(oracle.articles.nonEmpty)
+
+    val cfg = cfgBase.copy(runTag = "parity")
+    val run = CrawlLoop.run(spark, TestSpark.Sf0001, cfg, fresh = true)
+    val got = CrawlLoop.articles(spark, run.dir)
+      .select($"fetch_order", $"url", $"batch_id", unix_timestamp($"warc_ts").as("ts"), $"text")
+      .as[(Long, String, Long, Long, String)]
+      .collect()
+      .sortBy(_._1)
+
+    // Exact ordering parity: the fetch_order sequence enumerates the same
+    // urls in the same order, from the same batches.
+    assert(got.length === oracle.articles.length)
+    for ((g, o) <- got.zip(oracle.articles)) {
+      assert(g._1 === o.fetchOrder)
+      assert(g._2 === o.url, s"order diverges at fetch_order=${o.fetchOrder}")
+      assert(g._3 === o.batchId, s"batch diverges for ${o.url}")
+      assert(g._4 === o.warcTsSec)
+      assert(g._5 === o.text, s"text not byte-identical for ${o.url}")
+    }
+
+    // Seen-set parity (url -> status).
+    val gotSeen = CrawlLoop.seenUpTo(spark, run.dir, run.batches)
+      .select($"url", $"status").as[(String, String)].collect().toMap
+    assert(gotSeen === oracle.seen)
+
+    // Politeness invariant P3: no robots-excluded url was ever fetched, and
+    // per (host, batch) fetch counts never exceed the budget.
+    val perHostBatch = CrawlLoop.articles(spark, run.dir)
+      .withColumn("host", parse_url($"url", lit("HOST")))
+      .groupBy($"host", $"batch_id").count()
+      .as[(String, Long, Long)].collect()
+    for ((host, _, n) <- perHostBatch) {
+      val budget = graft.core.FixtureConstants.byHost(host).budget
+      assert(n <= budget, s"budget violated for $host: $n > $budget")
+    }
+    assert(!gotSeen.exists { case (u, st) => st == "fetched" && u.contains("src13.example.com/articles/") })
+  }
+
+  test("two-tier bloom dedup and exact-only dedup produce identical crawls") {
+    val exact = CrawlLoop.run(spark, TestSpark.Sf0001,
+      cfgBase.copy(runTag = "parity_exact", useBloom = false), fresh = true)
+    val bloom = CrawlLoop.run(spark, TestSpark.Sf0001,
+      cfgBase.copy(runTag = "parity"), fresh = false) // reuse committed run
+    val a = CrawlLoop.articles(spark, exact.dir).select("fetch_order", "url")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = CrawlLoop.articles(spark, bloom.dir).select("fetch_order", "url")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("resume equivalence (P5): interrupted + resumed == uninterrupted") {
+    val full = CrawlLoop.run(spark, TestSpark.Sf0001,
+      cfgBase.copy(runTag = "resume_full"), fresh = true)
+
+    // Interrupt after 3 batches, then resume to completion.
+    val partCfg = cfgBase.copy(runTag = "resume_part")
+    CrawlLoop.run(spark, TestSpark.Sf0001, partCfg.copy(maxBatches = 3), fresh = true)
+    val resumed = CrawlLoop.run(spark, TestSpark.Sf0001, partCfg, fresh = false)
+
+    assert(resumed.batches === full.batches)
+    val a = CrawlLoop.articles(spark, full.dir)
+      .select("fetch_order", "url", "batch_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val b = CrawlLoop.articles(spark, resumed.dir)
+      .select("fetch_order", "url", "batch_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("kill-point: uncommitted snapshot is invisible and the rerun is identical") {
+    val cfg = cfgBase.copy(runTag = "resume_kill")
+    CrawlLoop.run(spark, TestSpark.Sf0001, cfg.copy(maxBatches = 4), fresh = true)
+    val dir = Checkpoints.stateDir(cfg.runTag)
+    // Simulate a crash between the batch-4 data writes and its manifest
+    // commit: delete ONLY the manifest. Batch 4's data remains on disk but
+    // must be invisible; the rerun overwrites it byte-identically.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "checkpoints", "4.json"))
+    assert(Checkpoints.lastCommitted(dir) === Some(3L))
+    val resumed = CrawlLoop.run(spark, TestSpark.Sf0001, cfg, fresh = false)
+
+    val full = CrawlLoop.run(spark, TestSpark.Sf0001,
+      cfgBase.copy(runTag = "resume_full"), fresh = false) // committed earlier
+    val a = CrawlLoop.articles(spark, full.dir)
+      .select("fetch_order", "url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = CrawlLoop.articles(spark, resumed.dir)
+      .select("fetch_order", "url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("bucket-count invariance: numBuckets does not change outputs") {
+    val r2 = CrawlLoop.run(spark, TestSpark.Sf0001,
+      cfgBase.copy(runTag = "buckets2", numBuckets = 2, maxBatches = 3), fresh = true)
+    val r32 = CrawlLoop.run(spark, TestSpark.Sf0001,
+      cfgBase.copy(runTag = "buckets32", numBuckets = 32, maxBatches = 3), fresh = true)
+    val a = CrawlLoop.articles(spark, r2.dir)
+      .select("fetch_order", "url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = CrawlLoop.articles(spark, r32.dir)
+      .select("fetch_order", "url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+}
