@@ -64,12 +64,19 @@ object Checkpoints {
       hostLogDelta: DataFrame,
       m: Manifest): Unit = {
     val snap = snapDir(dir, k)
-    write(frontier, s"$snap/frontier")
-    write(seenShards, s"$snap/seen_shards")
-    write(seenDelta, s"$dir/seen/b$k")
-    write(articlesDelta, s"$dir/articles/b$k")
-    write(fetchLogDelta, s"$dir/fetch_log/b$k")
-    write(hostLogDelta, s"$dir/host_log/b$k")
+    // The six pre-manifest writes are independent (visibility is gated
+    // solely by the manifest) — submit them as concurrent Spark jobs.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      () => write(frontier, s"$snap/frontier"),
+      () => write(seenShards, s"$snap/seen_shards"),
+      () => write(seenDelta, s"$dir/seen/b$k"),
+      () => write(articlesDelta, s"$dir/articles/b$k"),
+      () => write(fetchLogDelta, s"$dir/fetch_log/b$k"),
+      () => write(hostLogDelta, s"$dir/host_log/b$k"))
+    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
     val cp = Paths.get(dir, "checkpoints")
     Files.createDirectories(cp)
     val json =
@@ -83,8 +90,11 @@ object Checkpoints {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // State snapshots/deltas are small (budget-bounded per batch) — one file
+  // each keeps the many-small-files tax off the per-batch union reads. At
+  // cluster scale you would keep these partitioned instead.
   private def write(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
   def readSnap(spark: SparkSession, dir: String, k: Long, name: String): DataFrame =
     spark.read.parquet(s"${snapDir(dir, k)}/$name")

@@ -64,7 +64,8 @@ object CrawlLoop {
     val dir = Checkpoints.stateDir(cfg.runTag)
     if (fresh) Checkpoints.deleteRecursively(dir)
 
-    val pages = spark.read.parquet(s"$fixDir/pages.parquet")
+    val pages0 = spark.read.parquet(s"$fixDir/pages.parquet")
+    val pages = if (cfg.cacheInputs) pages0.cache() else pages0
     val robots = spark.read.parquet(s"$fixDir/robots.parquet")
     val weights = spark.read.parquet(s"$fixDir/source_weights.parquet")
     val budgets = spark.read.parquet(s"$fixDir/budgets.parquet")
@@ -94,7 +95,7 @@ object CrawlLoop {
       val newShards = BloomSeen.mergeShards(seenShards,
         BloomSeen.buildShards(r.seenDelta.select("url_hash")))
 
-      val nArticles = r.articles.count()
+      val nArticles = r.articleCount
       Checkpoints.commit(spark, dir, k,
         r.frontier, r.seenDelta, newShards,
         r.articles, r.fetchLog, r.hostLog,
@@ -113,6 +114,7 @@ object CrawlLoop {
       val hwmDone = Constants.EPOCH.getEpochSecond + k * cfg.deltaPerBatchSec > maxTsSec
       done = hwmDone && frontier.isEmpty
     }
+    if (cfg.cacheInputs) pages.unpersist()
     RunResult(dir, k, articleCount, scheduledTotal, fetchedTotal, parsedTotal)
   }
 

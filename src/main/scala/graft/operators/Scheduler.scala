@@ -23,6 +23,11 @@ final case class CrawlConfig(
     useBloom: Boolean = true,
     /** Post-budget salted repartition of the fetch/parse stage (op 51). */
     saltParse: Boolean = true,
+    /** Cache the pages table across batches. Right at bench scale (the whole
+      * corpus re-enters every batch's Δ-scan + fetch join); at 100 TB you
+      * would instead rely on the pushed-down Δ-window predicate + runtime
+      * filters and NOT cache. */
+    cacheInputs: Boolean = true,
     /** State/checkpoint namespace under Constants.workDir/state/. */
     runTag: String = "default")
 
@@ -41,6 +46,8 @@ final case class BatchResult(
     scheduledCount: Long,
     fetchedCount: Long,
     parsedCount: Long,
+    /** Article rows in `articles` (fetched non-listing pages). */
+    articleCount: Long,
     /** Frames cached inside the batch; caller unpersists after materializing. */
     cached: Seq[DataFrame])
 
@@ -93,8 +100,10 @@ object Scheduler {
       .withColumn("host", parse_url(col("url"), lit("HOST")))
   }
 
-  /** Scheduling-stage outputs (pre-fetch). */
-  final case class ScheduleOut(scheduled: DataFrame, deferred: DataFrame, excluded: DataFrame)
+  /** Scheduling-stage outputs (pre-fetch). `cached` holds the shared cached
+    * parents of the three outputs — unpersist when done. */
+  final case class ScheduleOut(scheduled: DataFrame, deferred: DataFrame,
+      excluded: DataFrame, cached: Seq[DataFrame])
 
   /** Robots + priority + politeness ranking over deduped candidates
     * (url, host, discovered_ts, url_hash) — ops 13/49/38/51/24/25.
@@ -105,7 +114,9 @@ object Scheduler {
       weights: DataFrame,
       budgets: DataFrame,
       cfg: CrawlConfig): ScheduleOut = {
-    val tagged = Robots.tag(cands, robots)
+    // Cache the tagged candidate set: both the excluded split and the
+    // ranking path read it.
+    val tagged = Robots.tag(cands, robots).cache()
     val excluded = tagged
       .filter(col("robots_excluded"))
       .select(col("url_hash"), col("url"), lit("excluded").as("status"))
@@ -124,16 +135,21 @@ object Scheduler {
     val rankWindow = Window
       .partitionBy(col("host_bucket"), col("host"))
       .orderBy(desc("priority"), desc("discovered_ts"), asc("url"))
+    // Cache the ranked stage: scheduled, deferred, and the downstream state
+    // writes all read it — without the cache each consumer would re-run the
+    // whole candidate+dedup+rank pipeline (one full pass per output).
     val ranked = prioritized
       .withColumn("host_rank", row_number().over(rankWindow))
       .join(broadcast(budgets), Seq("host"), "left")
       .withColumn("budget", coalesce(col("budget"), lit(2)) * cfg.budgetScale)
+      .cache()
 
     ScheduleOut(
       ranked.filter(col("host_rank") <= col("budget"))
         .select("url", "url_hash", "host", "discovered_ts", "priority", "host_bucket", "host_rank"),
       ranked.filter(col("host_rank") > col("budget")).select("url", "host", "discovered_ts"),
-      excluded)
+      excluded,
+      Seq(tagged, ranked))
   }
 
   /** Run one micro-batch. `frontier`: (url, host, discovered_ts) queued rows;
@@ -173,7 +189,6 @@ object Scheduler {
     val excluded = sched.excluded
     val scheduled = sched.scheduled
       .select("url", "url_hash", "host", "discovered_ts", "priority", "host_bucket")
-      .cache()
     val scheduledCount = scheduled.count()
     val deferred = sched.deferred
 
@@ -271,10 +286,18 @@ object Scheduler {
       .na.fill(0L, Seq("urls_scheduled", "urls_fetched", "urls_parsed", "bytes"))
       .withColumn("batch_id", lit(batchId))
 
-    val fetchedCount = parsed.count()
-    val parsedCount = parsed.filter(col("parse_ok")).count()
+    // One metrics job for all three counters (reads the parsed cache).
+    val countsRow = parsed
+      .agg(
+        count(lit(1)),
+        sum(when(col("parse_ok"), 1L).otherwise(0L)),
+        sum(when(col("is_listing"), 0L).otherwise(1L)))
+      .head()
+    val fetchedCount = countsRow.getLong(0)
+    val parsedCount = if (countsRow.isNullAt(1)) 0L else countsRow.getLong(1)
+    val articleCount = if (countsRow.isNullAt(2)) 0L else countsRow.getLong(2)
     BatchResult(
       articles, newFrontier, seenDelta, fetchLog, hostLog,
-      scheduledCount, fetchedCount, parsedCount, Seq(scheduled, parsed))
+      scheduledCount, fetchedCount, parsedCount, articleCount, sched.cached :+ parsed)
   }
 }
