@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the similarity / fingerprinting hot paths.
+  *
+  * These sit inside pairwise joins (O(n²) evaluations), where a Scala UDF's
+  * per-row serialization tax dominates — so they are implemented as codegen'd
+  * `Expression`s (task-brief preference order: builtin composition > native
+  * Expression > UDF). Each generates a straight-line static call over unsafe
+  * ArrayData/UTF8String — no boxing, stays inside whole-stage codegen.
+  */
+object expressions {
+
+  /** Cosine similarity of two float vectors (0.0 when either norm is 0). */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      NativeOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (x, y) => s"graft.functions.NativeOps.cosine($x, $y)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineSimilarity =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "cosine_sim"
+  }
+
+  /** Dot product of two float vectors. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      NativeOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (x, y) => s"graft.functions.NativeOps.dot($x, $y)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "dot_product"
+  }
+
+  /** Hamming distance between two 64-bit signatures (SimHash join key). */
+  case class HammingDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (x, y) => s"java.lang.Long.bitCount($x ^ $y)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): HammingDistance =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "hamming"
+  }
+
+  /** 64-bit polynomial rolling hash of a string's UTF-8 bytes (document
+    * fingerprinting — content-defined, shift-stable). */
+  case class RollingHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.rollingHash(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.rollingHash($x)")
+    override protected def withNewChildInternal(newChild: Expression): RollingHash =
+      copy(child = newChild)
+    override def prettyName: String = "rolling_hash"
+  }
+
+  /** 64-bit SimHash over whitespace tokens of a string. */
+  case class SimHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.simHash(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.simHash($x)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash =
+      copy(child = newChild)
+    override def prettyName: String = "simhash"
+  }
+
+  // ---- Column-facing API --------------------------------------------------
+
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def hamming(a: Column, b: Column): Column =
+    Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
+  def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
+  def simhash(c: Column): Column = Bridge.column(SimHash(Bridge.expression(c)))
+
+  /** Register all native functions for SQL use in this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
+    Bridge.registerFunction(spark, "dot_product", es => DotProduct(es(0), es(1)))
+    Bridge.registerFunction(spark, "hamming", es => HammingDistance(es(0), es(1)))
+    Bridge.registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
+    Bridge.registerFunction(spark, "simhash", es => SimHash(es.head))
+  }
+}
+
+/** Static kernels invoked from generated code — must stay JVM-static and
+  * allocation-free on the hot path. */
+object NativeOps {
+
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var acc = 0.0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    while (i < n) {
+      val a = x.getFloat(i).toDouble
+      val b = y.getFloat(i).toDouble
+      dot += a * b; nx += a * a; ny += b * b; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L // large prime
+    var i = 0
+    while (i < bytes.length) { h = 31L * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** SimHash-64: per whitespace token, hash the token (FNV-1a 64) and
+    * accumulate ±1 per bit; sign of each accumulator is the signature bit. */
+  def simHash(s: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val bytes = s.getBytes
+    var i = 0
+    var tokenHash = FnvOffset
+    var inToken = false
+    while (i <= bytes.length) {
+      val isSep = i == bytes.length || bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t'
+      if (isSep) {
+        if (inToken) {
+          var b = 0
+          while (b < 64) {
+            if (((tokenHash >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+          tokenHash = FnvOffset
+          inToken = false
+        }
+      } else {
+        tokenHash = (tokenHash ^ (bytes(i) & 0xffL)) * FnvPrime
+        inToken = true
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+}

@@ -23,7 +23,7 @@ import graft.operators.{CrawlConfig, CrawlLoop, Robots, Scheduler}
 object CrawlQueries {
 
   /** Shared DuckDB CTE rebuilding the pages fixture from `documents`. */
-  private val PagesCte: String =
+  private[queries] val PagesCte: String =
     """WITH pages AS (
       |  SELECT 'https://' || source || '.example.com/articles/' || doc_id AS url,
       |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) AS warc_ts,

@@ -1,10 +1,164 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Training-data pipeline operators (dedup / similarity / text analysis /
-  * multimodal) — populated milestone by milestone. */
+import graft.core.Fixtures
+import graft.functions.expressions.rolling_hash
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (task brief): dedup family, similarity
+  * search, text analysis, multimodal plumbing. Oracle SQL runs over the
+  * driver's `documents`/`embeddings` tables; hash-valued outputs
+  * (minhash/simhash/LSH/fingerprints) are rows-only and covered by
+  * ScalaTest instead (recall vs brute force, banding exactness). */
 object PipelineQueries {
-  val entries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup by full text over pages (alias rows form the dup groups).
+    "q30_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByText(Fixtures.pages(s, dir))),
+
+    // MinHash+LSH near-dup pairs over token sets (hash-valued: rows-only).
+    "q31_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), threshold = 0.95)),
+
+    // SimHash near-dup pairs, exact ≤3-bit banding (rows-only).
+    "q32_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxDist = 3)),
+
+    // exact word-3-gram Jaccard near-dups, lang-blocked.
+    "q33_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
+
+    // embedding-cosine near-dup pairs (native codegen'd cosine kernel).
+    "q34_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.35)),
+
+    // brute-force cosine top-k (ANN correctness baseline).
+    "q35_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnBruteForce(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+    }),
+
+    // LSH-bucketed approximate top-k (scale path; recall tested vs q35).
+    "q36_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnLsh(s, e.filter(col("vec_id") % 50 === 0), e, k = 5)
+    }),
+
+    // language-ID heuristic.
+    "q37_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+
+    // quality scoring.
+    "q38_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+
+    // token counting (whitespace + BPE-ish regex).
+    "q39_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+
+    // document fingerprinting via the native RollingHash expression.
+    "q40_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))),
+
+    // multimodal metadata passthrough (oracle-checked plumbing).
+    "q41_media_meta" -> ((s, dir) =>
+      Fixtures.table(s, dir, "media")
+        .select(col("doc_id"), col("kind"), col("format"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          col("width"), col("height"))),
+
+    // multimodal decode/feature-extract/resize/frame-sample (stubbed codec,
+    // real partition-batched typed plumbing; rows-only).
+    "q42_media_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s, Fixtures.table(s, dir, "media")).toDF())
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      s"""${CrawlQueries.PagesCte}
+         |SELECT min(url) AS keeper_url, count(*) AS n_copies
+         |  FROM pages GROUP BY text""".stripMargin,
+
+    "q33_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         round(len(list_intersect(a.s, b.s)) * 1.0
+        |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) AS p
+        | WHERE jaccard >= 0.5""".stripMargin,
+
+    "q34_embed_neardup" ->
+      """SELECT a, b, round(c, 4) AS cos FROM (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS c
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) AS p
+        | WHERE c >= 0.35""".stripMargin,
+
+    "q35_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+        |             FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(q.e, c.e) AS cos
+        |        FROM q JOIN c ON query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |        FROM s)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 5""".stripMargin,
+
+    "q37_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(tk, x -> x IN ('der','die','und','nicht'))) AS s_de,
+        |  len(list_filter(tk, x -> x IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(tk, x -> x IN ('el','los','que','y'))) AS s_es,
+        |  len(list_filter(tk, x -> x IN ('le','les','et','dans'))) AS s_fr,
+        |  len(list_filter(tk, x -> x IN ('的','是','了','在'))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |            WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |            WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |            WHEN s_fr >= s_zh THEN 'fr'
+        |            ELSE 'zh' END AS lang_pred,
+        |       s_de, s_en, s_es, s_fr, s_zh
+        |  FROM s""".stripMargin,
+
+    "q38_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS tk FROM documents)
+        |SELECT doc_id, length(text) AS n_chars, len(tk) AS n_tokens,
+        |       round((length(text) - (len(tk) - 1)) * 1.0 / len(tk), 4) AS avg_token_len,
+        |       round(len(list_filter(tk, x -> x IN ('the','a','of','and','with'))) * 1.0
+        |             / len(tk), 4) AS stopword_ratio,
+        |       round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+        |             / length(text), 4) AS punct_ratio
+        |  FROM t""".stripMargin,
+
+    "q39_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split(text,' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
+        |       len(list_distinct(string_split(text,' '))) AS uniq_tokens
+        |  FROM documents""".stripMargin,
+
+    "q41_media_meta" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+        |       strlen(text) AS byte_len,
+        |       CAST(32 + doc_id % 97 AS INT) AS width,
+        |       CAST(32 + doc_id % 53 AS INT) AS height
+        |  FROM documents""".stripMargin
+  )
 }
