@@ -25,8 +25,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").map(_.split("\\s+").toSeq).getOrElse(Seq.empty) ++
+  jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // G1's long young pauses serialize 32-thread shuffle/parse stages
+  // (measured 2.5x slower than ParallelGC on the scaling job — BENCH.md).
+  "-XX:+UseParallelGC",
 )

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Constants, Fixtures}
+import graft.operators.{CrawlConfig, CrawlLoop, Checkpoints}
+
+/** N-vs-4N scaling evidence for the north_rule's two-cluster-size criterion.
+  *
+  * No real cluster exists in this sandbox, so (per the driver instruction)
+  * the same job runs at two parallelism levels on identical input and the
+  * efficiency is throughput(4N) / (4 × throughput(N)).
+  *
+  * The measured job is ONE giant fetch-and-parse micro-batch over an
+  * XL frontier: the sf pages fixture replicated R times with distinct
+  * canonical urls (path suffix /v<i>) and shifted capture timestamps —
+  * politeness/host/skew structure preserved. The replication makes the
+  * parallel work large relative to the per-batch scheduling overhead that
+  * dominates at sf0.1 (Amdahl); at real cluster scale a batch carries hours
+  * of work and that overhead vanishes.
+  *
+  * Caveat recorded in BASELINE.md: threads on ONE host share a memory bus,
+  * so thread-scaling UNDERestimates executor-scaling on a real cluster where
+  * each added executor brings its own bandwidth; the uncontended low-thread
+  * ratio (2→8) is reported alongside 8→32.
+  */
+object ScalingBench {
+
+  /** Write the replicated XL pages fixture once (untimed input setup). */
+  def ensureXl(spark: SparkSession, sfDir: String, r: Int): String = {
+    val fixDir = Fixtures.ensure(spark, sfDir)
+    val xlDir = s"${Constants.workDir}/fixtures/xl_r$r"
+    val marker = java.nio.file.Paths.get(xlDir, "_ALL_DONE")
+    if (!java.nio.file.Files.exists(marker)) {
+      val pages = spark.read.parquet(s"$fixDir/pages.parquet")
+      pages
+        .withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .select(
+          concat(col("url"), lit("/v"), col("rep")).as("url"),
+          timestamp_seconds(unix_timestamp(col("warc_ts")) + col("rep")).as("warc_ts"),
+          col("html"), col("text"), col("lang"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$xlDir/pages.parquet")
+      // dims unchanged
+      for (t <- Seq("seeds", "robots", "source_weights", "budgets"))
+        spark.read.parquet(s"$fixDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$xlDir/$t.parquet")
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    xlDir
+  }
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One XL mega-batch at `cpus` threads → (urls processed, wall sec). */
+  def runOnce(cpus: Int, xlDir: String): (Long, Double) = {
+    val spark = newSession(cpus)
+    try {
+      // html never cached; everything flows scan → shuffle → parse once.
+      val cfg = CrawlConfig(
+        deltaPerBatchSec = 365L * 24 * 3600, budgetScale = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "2000").toInt,
+        maxBatches = 1, cacheInputs = false, localTopKSalt = 16, compactState = false, saltParse = false,
+        runTag = s"scaling_$cpus")
+      // Warmup pass (JIT + page cache), then the measured pass on fresh state.
+      CrawlLoop.runWithFixtures(spark, xlDir, cfg, fresh = true)
+      val t0 = System.nanoTime()
+      val run = CrawlLoop.runWithFixtures(spark, xlDir, cfg, fresh = true)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (run.scheduledTotal + run.fetchedTotal + run.parsedTotal, sec)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  /** Standalone runner: SPARK_GRAFT_SCALE_R (default 64), prints one JSON. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "64").toInt
+    val prep = newSession(8)
+    val xlDir = ensureXl(prep, sfDir, r)
+    prep.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val results = levels.map { c => val (n, s) = runOnce(c, xlDir); (c, n, s, n / s) }
+    val parts = results.map { case (c, n, s, tp) =>
+      s""""local$c":{"urls":$n,"wall_sec":$s,"throughput":$tp}"""
+    }
+    def tp(c: Int): Option[Double] = results.find(_._1 == c).map(_._4)
+    val eff28 = for (a <- tp(2); b <- tp(8)) yield b / (4 * a)
+    val eff832 = for (a <- tp(8); b <- tp(32)) yield b / (4 * a)
+    println(
+      s"""{"metric":"scaling","r":$r,${parts.mkString(",")}""" +
+        eff28.map(e => s""","efficiency_2_to_8":$e""").getOrElse("") +
+        eff832.map(e => s""","efficiency_8_to_32":$e""").getOrElse("") + "}")
+  }
+}

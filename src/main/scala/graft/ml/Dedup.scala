@@ -72,23 +72,29 @@ object Dedup {
       array_min(transform(col("ts"), t => xxhash64(t, lit(i)))).as(s"h$i"))
     val withSig = reps.select(col("rep") +: col("ts") +: sigs: _*)
 
-    // Band keys: hash of each band's signature slice.
+    // Band keys: hash of each band's signature slice. The banding join
+    // carries ONLY (rep, band, key) — the token arrays stay out of the
+    // shuffle and are attached after pair-dedup via broadcast joins against
+    // the (small) representative table.
     val bandCols = (0 until bands).map { bnd =>
       val slice = (0 until rows).map(r => col(s"h${bnd * rows + r}"))
       struct(lit(bnd).as("band"), xxhash64(slice :+ lit(bnd): _*).as("key"))
     }
     val exploded = withSig
-      .select(col("rep"), col("ts"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("rep"), col("ts"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("rep"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("rep"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val left = exploded.select(col("band"), col("key"),
-      col("rep").as("a"), col("ts").as("ts_a"))
-    val right = exploded.select(col("band"), col("key"),
-      col("rep").as("b"), col("ts").as("ts_b"))
-    left.join(right, Seq("band", "key"))
+    val pairs = exploded.select(col("band"), col("key"), col("rep").as("a"))
+      .join(exploded.select(col("band"), col("key"), col("rep").as("b")),
+        Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "ts_a", "ts_b")
+      .select("a", "b")
       .distinct()
+
+    val toksOf = reps.select(col("rep"), col("ts"))
+    pairs
+      .join(broadcast(toksOf.select(col("rep").as("a"), col("ts").as("ts_a"))), Seq("a"))
+      .join(broadcast(toksOf.select(col("rep").as("b"), col("ts").as("ts_b"))), Seq("b"))
       .withColumn("jaccard", round(jaccard(col("ts_a"), col("ts_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
@@ -115,14 +121,35 @@ object Dedup {
   }
 
   /** Exact word-3-gram Jaccard near-dup pairs, blocked by lang:
-    * (a, b, jaccard ≥ threshold). */
+    * (a, b, jaccard ≥ threshold).
+    *
+    * Set-similarity join via an INVERTED INDEX on shingles (the LCJoin /
+    * PPJoin family of plans — cf. PAPERS.md "Set Containment Join via List
+    * Crosscutting"): explode (shingle → doc) postings, self-join within
+    * (lang, shingle), count co-occurrences per pair = |A∩B|, then
+    * |A∪B| = |A|+|B|−|A∩B|. Identical result to the naive all-pairs array
+    * join, but the shuffle carries 8-byte ids instead of whole shingle
+    * arrays, pairs with zero overlap never materialize, and the heavy
+    * aggregation is a plain partial/final hash count. (Bench: 98 s → see
+    * BENCH.md after rewrite.)
+    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
-    val l = sh.select(col("lang"), col("doc_id").as("a"), col("sh").as("sh_a"))
-    val r = sh.select(col("lang"), col("doc_id").as("b"), col("sh").as("sh_b"))
-    l.join(r, Seq("lang"))
+    val sh = docs
+      .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val postings = sh
+      .select(col("doc_id"), col("lang"), col("sz"),
+        explode(col("sh")).as("shingle"))
+      // hash the shingle: equi-join on a long key, not a string
+      .select(col("doc_id"), col("lang"), col("sz"), xxhash64(col("shingle")).as("sk"))
+    val l = postings.select(col("lang"), col("sk"), col("doc_id").as("a"), col("sz").as("sz_a"))
+    val r = postings.select(col("lang"), col("sk"), col("doc_id").as("b"), col("sz").as("sz_b"))
+    l.join(r, Seq("lang", "sk"))
       .filter(col("a") < col("b"))
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .groupBy("a", "b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }

@@ -60,12 +60,27 @@ object BloomSeen {
       Encoders.scalaLong)(hashCol)
 
   /** Build `seen_shards(shard, n_items, filter)` from a DataFrame with a
-    * `url_hash` column. One partial+final hash-agg shuffle on `shard`. */
-  def buildShards(withHash: DataFrame): DataFrame =
+    * `url_hash` column.
+    *
+    * Implementation note: the obvious `groupBy(shard).agg(bloomAgg)` makes
+    * the PARTIAL aggregation allocate one ~120 KB BloomFilter buffer per
+    * (shard × input partition) — thousands of kryo'd megabyte-scale buffers
+    * per micro-batch. Instead the partial agg collects the (8-byte) hashes
+    * and exactly ONE filter per shard is built in the final projection.
+    * Per-shard delta lists stay small (batch-bounded); the Aggregator
+    * remains available as `bloomAgg` for streaming-style fold use. */
+  def buildShards(withHash: DataFrame): DataFrame = {
+    val buildBlob = udf { hashes: Seq[Long] =>
+      val f = BloomFilter.create(Constants.BloomExpectedPerShard, Constants.BloomFpp)
+      hashes.foreach(f.putLong)
+      serialize(f)
+    }
     withHash
       .select(pmod(col("url_hash"), lit(Constants.NumShards)).as("shard"), col("url_hash"))
       .groupBy("shard")
-      .agg(count(lit(1)).as("n_items"), bloomAgg(col("url_hash")).as("filter"))
+      .agg(count(lit(1)).as("n_items"), collect_list(col("url_hash")).as("hashes"))
+      .select(col("shard"), col("n_items"), buildBlob(col("hashes")).as("filter"))
+  }
 
   /** Merge two shard tables (previous snapshot OR delta) via bitwise-OR of
     * same-shard filters. #shards rows — trivially cheap at any data scale. */

@@ -62,7 +62,8 @@ object Checkpoints {
       articlesDelta: DataFrame,
       fetchLogDelta: DataFrame,
       hostLogDelta: DataFrame,
-      m: Manifest): Unit = {
+      m: Manifest,
+      compact: Boolean = true): Unit = {
     val snap = snapDir(dir, k)
     // The six pre-manifest writes are independent (visibility is gated
     // solely by the manifest) — submit them as concurrent Spark jobs.
@@ -70,12 +71,12 @@ object Checkpoints {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val writes = Seq(
-      () => write(frontier, s"$snap/frontier"),
-      () => write(seenShards, s"$snap/seen_shards"),
-      () => write(seenDelta, s"$dir/seen/b$k"),
-      () => write(articlesDelta, s"$dir/articles/b$k"),
-      () => write(fetchLogDelta, s"$dir/fetch_log/b$k"),
-      () => write(hostLogDelta, s"$dir/host_log/b$k"))
+      () => write(frontier, s"$snap/frontier", compact),
+      () => write(seenShards, s"$snap/seen_shards", compact = true),
+      () => write(seenDelta, s"$dir/seen/b$k", compact),
+      () => write(articlesDelta, s"$dir/articles/b$k", compact),
+      () => write(fetchLogDelta, s"$dir/fetch_log/b$k", compact),
+      () => write(hostLogDelta, s"$dir/host_log/b$k", compact = true))
     Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
     val cp = Paths.get(dir, "checkpoints")
     Files.createDirectories(cp)
@@ -90,11 +91,12 @@ object Checkpoints {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  // State snapshots/deltas are small (budget-bounded per batch) — one file
-  // each keeps the many-small-files tax off the per-batch union reads. At
-  // cluster scale you would keep these partitioned instead.
-  private def write(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  // With compact=true (the politeness-bounded micro-batch norm) each state
+  // delta collapses to one file, keeping the many-small-files tax off the
+  // per-batch union reads; compact=false keeps the write parallel for
+  // stress/scale batches.
+  private def write(df: DataFrame, path: String, compact: Boolean = true): Unit =
+    (if (compact) df.coalesce(1) else df).write.mode(SaveMode.Overwrite).parquet(path)
 
   def readSnap(spark: SparkSession, dir: String, k: Long, name: String): DataFrame =
     spark.read.parquet(s"${snapDir(dir, k)}/$name")

@@ -59,8 +59,13 @@ object CrawlLoop {
   /** Run (or resume) a crawl over the fixtures of `sfDir`; returns the state
     * dir holding articles / seen / fetch_log / host_log / snapshots. */
   def run(spark: SparkSession, sfDir: String, cfg: CrawlConfig,
+      fresh: Boolean = false): RunResult =
+    runWithFixtures(spark, Fixtures.ensure(spark, sfDir), cfg, fresh)
+
+  /** Same, over an explicit fixture directory (pages/seeds/robots/
+    * source_weights/budgets parquet). */
+  def runWithFixtures(spark: SparkSession, fixDir: String, cfg: CrawlConfig,
       fresh: Boolean = false): RunResult = {
-    val fixDir = Fixtures.ensure(spark, sfDir)
     val dir = Checkpoints.stateDir(cfg.runTag)
     if (fresh) Checkpoints.deleteRecursively(dir)
 
@@ -100,7 +105,8 @@ object CrawlLoop {
         r.frontier, r.seenDelta, newShards,
         r.articles, r.fetchLog, r.hostLog,
         Checkpoints.Manifest(k, articleCount + nArticles,
-          r.scheduledCount, r.fetchedCount, r.parsedCount))
+          r.scheduledCount, r.fetchedCount, r.parsedCount),
+        compact = cfg.compactState)
       articleCount += nArticles
       scheduledTotal += r.scheduledCount
       fetchedTotal += r.fetchedCount

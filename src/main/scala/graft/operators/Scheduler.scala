@@ -28,6 +28,18 @@ final case class CrawlConfig(
       * would instead rely on the pushed-down Δ-window predicate + runtime
       * filters and NOT cache. */
     cacheInputs: Boolean = true,
+    /** Salted local-top-k pre-ranking (op 51 skew handling for the RANK
+      * stage): with S > 1, candidates are spread over (host_bucket, salt)
+      * partitions, ranked locally, and only the per-(host, salt) top-budget
+      * survivors enter the global per-host rank window — a mega-host's
+      * millions of candidates never sort in one task. 0/1 = off (fine when
+      * per-batch candidate counts are small). Outputs are identical either
+      * way (exact top-k refinement). */
+    localTopKSalt: Int = 0,
+    /** Compact per-batch state deltas to one file each (right for small
+      * politeness-bounded batches; disable for stress/scale batches so the
+      * checkpoint writes stay parallel). */
+    compactState: Boolean = true,
     /** State/checkpoint namespace under Constants.workDir/state/. */
     runTag: String = "default")
 
@@ -122,27 +134,10 @@ object Scheduler {
       .select(col("url_hash"), col("url"), lit("excluded").as("status"))
     val allowed = tagged.filter(!col("robots_excluded")).drop("robots_excluded")
 
-    val prioritized = allowed
-      .join(broadcast(weights), Seq("host"), "left")
-      .withColumn("weight", coalesce(col("weight"), lit(1.0)))
-      .withColumn("priority", Priority.score(col("weight"), col("discovered_ts")))
-      .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(cfg.numBuckets)))
-      .repartition(cfg.numBuckets, col("host_bucket"))
-
-    // Window key (host_bucket, host): HashPartitioning(host_bucket) satisfies
-    // the required ClusteredDistribution by the subset rule — ranking reuses
-    // the repartition exchange (probe-verified on 4.1.2, SURVEY.md §4).
-    val rankWindow = Window
-      .partitionBy(col("host_bucket"), col("host"))
-      .orderBy(desc("priority"), desc("discovered_ts"), asc("url"))
     // Cache the ranked stage: scheduled, deferred, and the downstream state
     // writes all read it — without the cache each consumer would re-run the
     // whole candidate+dedup+rank pipeline (one full pass per output).
-    val ranked = prioritized
-      .withColumn("host_rank", row_number().over(rankWindow))
-      .join(broadcast(budgets), Seq("host"), "left")
-      .withColumn("budget", coalesce(col("budget"), lit(2)) * cfg.budgetScale)
-      .cache()
+    val ranked = rankCandidates(allowed, weights, budgets, cfg).cache()
 
     ScheduleOut(
       ranked.filter(col("host_rank") <= col("budget"))
@@ -150,6 +145,52 @@ object Scheduler {
       ranked.filter(col("host_rank") > col("budget")).select("url", "host", "discovered_ts"),
       excluded,
       Seq(tagged, ranked))
+  }
+
+  /** The priority/politeness ranking pipeline (uncached — plan-shape tests
+    * inspect its exchanges directly). */
+  private[graft] def rankCandidates(
+      allowed: DataFrame,
+      weights: DataFrame,
+      budgets: DataFrame,
+      cfg: CrawlConfig): DataFrame = {
+    val prioritized = allowed
+      .join(broadcast(weights), Seq("host"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(1.0)))
+      .join(broadcast(budgets), Seq("host"), "left")
+      .withColumn("budget", coalesce(col("budget"), lit(2)) * cfg.budgetScale)
+      .withColumn("priority", Priority.score(col("weight"), col("discovered_ts")))
+      .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(cfg.numBuckets)))
+
+    val rankOrder = Seq(desc("priority"), desc("discovered_ts"), asc("url"))
+
+    // Salted local-top-k pre-ranking (see CrawlConfig.localTopKSalt): exact
+    // refinement — a row in the global per-host top-B is necessarily in its
+    // salt slice's top-B, so filtering each (host, salt) slice to rank ≤ B
+    // drops nothing from the final result, while a mega-host's candidates
+    // sort spread over (host_bucket, salt) partitions instead of one task.
+    val preFiltered =
+      if (cfg.localTopKSalt > 1) {
+        val localWindow = Window
+          .partitionBy(col("host_bucket"), col("__salt"), col("host"))
+          .orderBy(rankOrder: _*)
+        prioritized
+          .withColumn("__salt", pmod(xxhash64(col("url")), lit(cfg.localTopKSalt)))
+          .repartition(cfg.numBuckets, col("host_bucket"), col("__salt"))
+          .withColumn("__lrank", row_number().over(localWindow))
+          .filter(col("__lrank") <= col("budget"))
+          .drop("__salt", "__lrank")
+      } else prioritized
+
+    // Window key (host_bucket, host): HashPartitioning(host_bucket) satisfies
+    // the required ClusteredDistribution by the subset rule — ranking reuses
+    // the repartition exchange (probe-verified on 4.1.2, SURVEY.md §4).
+    val rankWindow = Window
+      .partitionBy(col("host_bucket"), col("host"))
+      .orderBy(rankOrder: _*)
+    preFiltered
+      .repartition(cfg.numBuckets, col("host_bucket"))
+      .withColumn("host_rank", row_number().over(rankWindow))
   }
 
   /** Run one micro-batch. `frontier`: (url, host, discovered_ts) queued rows;
@@ -193,28 +234,40 @@ object Scheduler {
     val deferred = sched.deferred
 
     // ---- fetch (ops 3/14): scheduled ⋈ pages on canonical url -------------
-    // The budget cap bounds |scheduled| ⇒ broadcast it; runtime bloom-filter
-    // pruning (session conf) keeps the pages scan from materializing html
-    // for non-matching rows at scale.
-    val pagesCanon = pages
+    // The fat `html` column NEVER shuffles: capture-dedup ("latest capture
+    // wins") runs on a NARROW (url, raw_url, warc_ts) projection of the
+    // scan, and the winning raw keys — bounded by the budget cap — are
+    // broadcast back so html flows scan → map-side join → parse inside one
+    // stage. At 100 TB this is the difference between shuffling the corpus
+    // and shuffling a candidate-key list.
+    val hiTs = lit(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(hiSec)))
+    val pagesVisible = pages
       .filter(Canonicalize.isHttpScheme(col("url")))
-      .filter(col("warc_ts") < lit(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(hiSec))))
+      .filter(col("warc_ts") < hiTs)
+    val narrow = pagesVisible
       .select(
         Canonicalize.canonicalUrl(col("url")).as("url"),
-        col("url").as("raw_url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+        col("url").as("raw_url"), col("warc_ts"))
       .filter(col("url").isNotNull)
-    val joined = pagesCanon.join(
-      broadcast(scheduled.select(
+      .join(broadcast(scheduled.select(
         col("url"), col("url_hash"), col("priority"), col("host"), col("host_bucket"))),
-      Seq("url"), "inner")
+        Seq("url"), "inner")
     // Latest capture wins per canonical url (alias rows differ only in ts).
     val captureWindow = Window.partitionBy(col("url")).orderBy(desc("warc_ts"), desc("raw_url"))
-    val fetched0 = joined
+    val winners = narrow
       .withColumn("__rn", row_number().over(captureWindow))
       .filter(col("__rn") === 1)
-      .drop("__rn", "raw_url")
+      .select("raw_url", "url", "url_hash", "priority", "host", "host_bucket")
 
-    // ---- salted parse stage (ops 51/47/35) ---------------------------------
+    val fetched0 = pagesVisible
+      .select(col("url").as("raw_url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .join(broadcast(winners), Seq("raw_url"), "inner")
+      .drop("raw_url")
+
+    // ---- parse stage (ops 47/35), optionally salted (op 51) ----------------
+    // With the broadcast fetch the scan partitions are already block-
+    // balanced; the salted repartition remains available for sources whose
+    // block layout is skewed.
     val balanced =
       if (cfg.saltParse) fetched0.repartition(cfg.numBuckets, pmod(xxhash64(col("url")), lit(cfg.numBuckets)))
       else fetched0
@@ -239,13 +292,21 @@ object Scheduler {
       .withColumn("host", parse_url(col("url"), lit("HOST")))
 
     // ---- articles (op 4) with global fetch_order (op 29) -------------------
-    // |articles delta| ≤ Σ budgets: the single-partition ordering window is
-    // bounded by design, not by data size.
-    val orderWindow = Window.orderBy(desc("priority"), asc("url"))
-    val articles = parsed
+    // Small batches (the politeness-bounded norm) use a single-partition
+    // row_number window; big batches (stress/scaling) switch to the two-phase
+    // distributed global rank (range-sort + zipWithIndex). Same total order
+    // either way — (priority desc, url asc) is unique via the url tie-break.
+    val articleBase = parsed
       .filter(!col("is_listing"))
       .select(col("url"), col("warc_ts"), col("extracted").as("text"), col("lang"), col("priority"))
-      .withColumn("fetch_order", lit(articleCountSoFar) + row_number().over(orderWindow))
+    val orderCols = Seq(desc("priority"), asc("url"))
+    val withOrd =
+      if (scheduledCount <= 50000)
+        articleBase.withColumn("__ord", row_number().over(Window.orderBy(orderCols: _*)).cast("long"))
+      else
+        GlobalOrder.withRank(articleBase, orderCols, cfg.numBuckets, "__ord")
+    val articles = withOrd
+      .withColumn("fetch_order", lit(articleCountSoFar) + col("__ord"))
       .withColumn("url_hash", Canonicalize.urlHash(col("url")))
       .withColumn("batch_id", lit(batchId))
       .select("url", "url_hash", "warc_ts", "text", "lang", "batch_id", "fetch_order")

@@ -191,13 +191,26 @@ object CrawlQueries {
   private def sfName(dir: String): String =
     java.nio.file.Paths.get(dir).getFileName.toString
 
+  /** Scale-aware full-crawl config: the correctness sfs crawl at the small
+    * politeness budget (many micro-batches — resume/ordering semantics get
+    * exercised); sf0.1 is bench-only and uses a wider Δ-window and a budget
+    * multiplier so the measured quantity is pipeline throughput rather than
+    * driver-loop overhead. */
+  def fullCrawlConfig(dir: String): CrawlConfig =
+    if (sfName(dir) == "sf0.1")
+      CrawlConfig(deltaPerBatchSec = 24L * 3600, budgetScale = 150,
+        runTag = s"full_${sfName(dir)}")
+    else
+      CrawlConfig(deltaPerBatchSec = 6L * 3600, runTag = s"full_${sfName(dir)}")
+
   /** One full crawl per (sf) per JVM — q11/q12 share the run. */
   private val crawlRuns = scala.collection.concurrent.TrieMap.empty[String, String]
   def fullCrawl(s: SparkSession, dir: String): String =
-    crawlRuns.getOrElseUpdate(dir, {
-      val cfg = CrawlConfig(deltaPerBatchSec = 6L * 3600, runTag = s"full_${sfName(dir)}")
-      CrawlLoop.run(s, dir, cfg, fresh = true).dir
-    })
+    crawlRuns.getOrElseUpdate(dir,
+      CrawlLoop.run(s, dir, fullCrawlConfig(dir), fresh = true).dir)
+
+  /** Let Bench register its own completed crawl so q11/q12 reuse it. */
+  def primeCrawl(dir: String, stateDir: String): Unit = crawlRuns.put(dir, stateDir)
 
   val oracles: Map[String, String] = Map(
     "q01_pages_scan" ->

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.core.Canonicalize
+
+/** Structured Streaming surface — SURVEY.md §2 ops 43-46.
+  *
+  * The crawl loop itself is a deterministic batch driver (CrawlLoop — exact
+  * resume + reproducible ordering beat streaming for a static source). This
+  * module is the streaming flavor for a LIVE pages feed: the same
+  * canonicalize/host algebra over `readStream`, event-time windowed
+  * throughput with a watermark-backed late-data policy, session windows, and
+  * custom per-host crawl state via mapGroupsWithState.
+  *
+  * Tested against the fixture pages directory with a memory sink +
+  * processAllAvailable (StreamingSpec).
+  */
+object StreamingIngest {
+
+  val PageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** File-stream source over a pages directory (one file per micro-batch by
+    * default — deterministic drain in tests via processAllAvailable). */
+  def pagesStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(PageSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Event-time tumbling per-host throughput with a late-data watermark
+    * (ops 44/45): pages later than 2h behind the max seen warc_ts are
+    * dropped by the engine — the explicit streaming late-data policy. */
+  def hourlyHostThroughput(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("host", Canonicalize.hostOf(col("url")))
+      .withWatermark("warc_ts", "2 hours")
+      .groupBy(window(col("warc_ts"), "1 hour").as("win"), col("host"))
+      .agg(
+        count(lit(1)).as("n_pages"),
+        sum(octet_length(col("html"))).as("bytes"))
+      .select(col("win.start").as("window_start"), col("host"), col("n_pages"), col("bytes"))
+
+  /** Session windows per host (30-minute capture-gap sessions). */
+  def captureSessions(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("host", Canonicalize.hostOf(col("url")))
+      .withWatermark("warc_ts", "2 hours")
+      .groupBy(session_window(col("warc_ts"), "30 minutes").as("sess"), col("host"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(col("sess.start").as("session_start"), col("sess.end").as("session_end"),
+        col("host"), col("n_pages"))
+
+  final case class HostEvent(host: String, warcTsSec: Long)
+  final case class HostState(seen: Long, lastTsSec: Long)
+  final case class HostUpdate(host: String, seen: Long, lastTsSec: Long)
+
+  /** Custom cross-batch state (op 46 streaming flavor): per-host running
+    * capture count + latest capture ts via mapGroupsWithState. */
+  def hostStateStream(spark: SparkSession, pages: DataFrame): Dataset[HostUpdate] = {
+    import spark.implicits._
+    pages
+      .withColumn("host", Canonicalize.hostOf(col("url")))
+      .select(col("host"), unix_timestamp(col("warc_ts")).as("warcTsSec"))
+      .as[HostEvent]
+      .groupByKey(_.host)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (host: String, events: Iterator[HostEvent], state: GroupState[HostState]) =>
+          val prev = state.getOption.getOrElse(HostState(0L, Long.MinValue))
+          var seen = prev.seen
+          var last = prev.lastTsSec
+          events.foreach { e => seen += 1; if (e.warcTsSec > last) last = e.warcTsSec }
+          val next = HostState(seen, last)
+          state.update(next)
+          HostUpdate(host, next.seen, next.lastTsSec)
+      }
+  }
+
+  /** Drain a streaming frame through a named memory sink; returns the sink
+    * table name. Update mode suits the stateful/windowed queries here. */
+  def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Update()): String = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    name
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Canonicalize, Constants, Fixtures}
+import graft.operators.{CrawlConfig, Scheduler}
+
+/** Physical-plan shape pins (SURVEY.md §4): these are the load-bearing
+  * optimizer facts the 100 TB design relies on. If a Spark upgrade or a
+  * refactor silently adds a shuffle or widens a scan, these fail.
+  *
+  * AQE is disabled inside this suite so executedPlan shapes are static. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withStaticPlans[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+
+  test("delta-scan: html pruned from the scan, warc_ts predicate pushed down") {
+    withStaticPlans {
+      val pages = Fixtures.pages(spark, TestSpark.Sf0001)
+      val d = Scheduler.deltaScan(pages, 0L, Constants.NowEpochSec)
+      val scan = scans(d).head
+      val readCols = scan.requiredSchema.fieldNames.toSet
+      assert(readCols === Set("url", "warc_ts"), s"scan reads $readCols")
+      assert(scan.metadata("PushedFilters").contains("warc_ts"),
+        s"no pushed warc_ts filter: ${scan.metadata("PushedFilters")}")
+    }
+  }
+
+  test("rank window reuses the host_bucket repartition exchange (1 shuffle)") {
+    withStaticPlans {
+      val cands = (1 to 100)
+        .map(i => (s"https://h${i % 5}.example.com/a/$i", s"h${i % 5}.example.com"))
+        .toDF("url", "host")
+        .withColumn("discovered_ts", lit(Constants.EpochTs))
+        .withColumn("url_hash", xxhash64($"url"))
+      val robots = Seq(("h0.example.com", Seq("/private/"))).toDF("host", "disallow")
+      val weights = Seq(("h0.example.com", 2.0)).toDF("host", "weight")
+      val budgets = Seq(("h0.example.com", 3)).toDF("host", "budget")
+      val ranked = Scheduler.rankCandidates(cands, weights, budgets, CrawlConfig())
+      val n = shuffles(ranked).size
+      assert(n === 1, s"expected exactly 1 shuffle (repartition reused by window), got $n")
+    }
+  }
+
+  test("salted local-top-k path adds exactly one extra exchange") {
+    withStaticPlans {
+      val cands = (1 to 100)
+        .map(i => (s"https://h${i % 5}.example.com/a/$i", s"h${i % 5}.example.com"))
+        .toDF("url", "host")
+        .withColumn("discovered_ts", lit(Constants.EpochTs))
+        .withColumn("url_hash", xxhash64($"url"))
+      val robots = Seq(("h0.example.com", Seq("/private/"))).toDF("host", "disallow")
+      val weights = Seq(("h0.example.com", 2.0)).toDF("host", "weight")
+      val budgets = Seq(("h0.example.com", 3)).toDF("host", "budget")
+      val ranked = Scheduler.rankCandidates(cands, weights, budgets,
+        CrawlConfig(localTopKSalt = 4))
+      val n = shuffles(ranked).size
+      assert(n === 2, s"expected 2 shuffles (salted local + global), got $n")
+    }
+  }
+
+  test("fetch/parse: the fat html column never enters a shuffle") {
+    withStaticPlans {
+      val fixDir = Fixtures.ensure(spark, TestSpark.Sf0001)
+      val pages = spark.read.parquet(s"$fixDir/pages.parquet")
+      val robots = spark.read.parquet(s"$fixDir/robots.parquet")
+      val weights = spark.read.parquet(s"$fixDir/source_weights.parquet")
+      val budgets = spark.read.parquet(s"$fixDir/budgets.parquet")
+      val cfg = CrawlConfig(deltaPerBatchSec = 365L * 24 * 3600,
+        saltParse = false, runTag = "planshape")
+      val frontier = graft.operators.CrawlLoop.seedFrontier(spark, fixDir)
+      val emptySeen = graft.operators.Checkpoints.emptyFrame(spark, graft.operators.CrawlLoop.SeenSchema)
+      val emptyShards = graft.operators.Checkpoints.emptyFrame(spark, graft.operators.CrawlLoop.ShardSchema)
+      val r = Scheduler.runBatch(spark, pages, frontier, emptySeen, emptyShards,
+        robots, weights, budgets, 1L, 0L, cfg.copy(useBloom = false))
+      val htmlShuffles = shuffles(r.articles).filter(
+        _.child.output.exists(_.name == "html"))
+      val plan = r.articles.queryExecution.executedPlan.toString
+      r.cached.foreach(_.unpersist())
+      assert(htmlShuffles.isEmpty,
+        s"html flows through ${htmlShuffles.size} shuffle(s)")
+      assert(plan.contains("BroadcastHashJoin"), "fetch join is not broadcast")
+    }
+  }
+
+  test("exact-dedup anti-join plans as a real join, robots dim broadcasts") {
+    withStaticPlans {
+      val cands = (1L to 50L).map(i => (i, s"u$i")).toDF("url_hash", "url")
+      val seen = (1L to 25L).map(i => (i, s"u$i", "fetched")).toDF("url_hash", "url", "status")
+      val out = graft.operators.BloomSeen.antiJoinSeen(spark, cands, seen, None)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"anti-join missing: $plan")
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Fixtures
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming flavor (ops 43-46): windowed throughput, session
+  * windows, and custom mapGroupsWithState crawl state — driven by the
+  * fixture pages directory through a memory sink, and cross-checked against
+  * the equivalent batch aggregation. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val pagesDir = s"${Fixtures.ensure(spark, TestSpark.Sf0001)}/pages.parquet"
+
+  test("streaming hourly host throughput equals the batch aggregation") {
+    val stream = StreamingIngest.pagesStream(spark, pagesDir)
+    StreamingIngest.drainToMemory(spark,
+      StreamingIngest.hourlyHostThroughput(stream), "hourly",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val got = spark.table("hourly")
+      // update mode can emit a key several times; the last update wins
+      .groupBy("window_start", "host")
+      .agg(max("n_pages").as("n_pages"), max("bytes").as("bytes"))
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+
+    val exp = spark.read.parquet(pagesDir)
+      .withColumn("host", graft.core.Canonicalize.hostOf($"url"))
+      .groupBy(window($"warc_ts", "1 hour").as("win"), $"host")
+      .agg(count(lit(1)).as("n_pages"), sum(octet_length($"html")).as("bytes"))
+      .select($"win.start", $"host", $"n_pages", $"bytes")
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    assert(got === exp)
+  }
+
+  test("session windows produce per-host sessions") {
+    // Append-mode session windows only emit once the watermark passes a
+    // session's end — split the input into several files so the watermark
+    // advances across micro-batches (time-ordered files).
+    val multiDir = s"${graft.core.Constants.workDir}/stream_multi"
+    spark.read.parquet(pagesDir)
+      .repartitionByRange(8, $"warc_ts")
+      .write.mode("overwrite").parquet(multiDir)
+    val stream = StreamingIngest.pagesStream(spark, multiDir)
+    StreamingIngest.drainToMemory(spark,
+      StreamingIngest.captureSessions(stream), "sessions",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val rows = spark.table("sessions").count()
+    assert(rows > 0)
+  }
+
+  test("mapGroupsWithState accumulates per-host crawl state across batches") {
+    val stream = StreamingIngest.pagesStream(spark, pagesDir)
+    StreamingIngest.drainToMemory(spark,
+      StreamingIngest.hostStateStream(spark, stream).toDF(), "hoststate",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val finalSeen = spark.table("hoststate")
+      .groupBy("host").agg(max("seen").as("seen"))
+      .as[(String, Long)].collect().toMap
+    val exp = spark.read.parquet(pagesDir)
+      .withColumn("host", graft.core.Canonicalize.hostOf($"url"))
+      .groupBy("host").count()
+      .as[(String, Long)].collect().toMap
+    assert(finalSeen === exp)
+  }
+}
