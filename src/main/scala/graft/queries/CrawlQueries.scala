@@ -168,6 +168,41 @@ object CrawlQueries {
           Canonicalize.hostOf(col("url")).as("host"),
           explode(linksUdf(col("html"))).as("link"))),
 
+    // op 20: frontier cardinality accounting — exact distinct (oracle-able;
+    // approx_count_distinct is asserted within 5% in RelationalExtraSpec).
+    "q10_frontier_stats" -> ((s, dir) =>
+      pages(s, dir)
+        .select(Canonicalize.canonicalUrl(col("url")).as("url"), col("lang"))
+        .filter(col("url").isNotNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_pages"), countDistinct(col("url")).as("n_urls"))),
+
+    // ops 26/28/36: frame-spec running totals + ntile over per-host daily
+    // capture counts.
+    "q13_running_totals" -> ((s, dir) => {
+      val daily = pages(s, dir)
+        .groupBy(
+          Canonicalize.hostOf(col("url")).as("host"),
+          date_trunc("day", col("warc_ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("host")).orderBy(col("day"))
+      daily
+        .withColumn("running_n",
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("quartile", ntile(4).over(w))
+    }),
+
+    // op 27: analytic lag — inter-capture gap per host (politeness audit).
+    "q14_capture_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("host")).orderBy(col("warc_ts"), col("url"))
+      pages(s, dir)
+        .select(col("url"), Canonicalize.hostOf(col("url")).as("host"), col("warc_ts"))
+        .withColumn("gap_sec",
+          unix_timestamp(col("warc_ts")) - unix_timestamp(lag(col("warc_ts"), 1).over(w)))
+        .filter(col("gap_sec").isNotNull)
+        .select("host", "url", "gap_sec")
+    }),
+
     // ops 43/5/29: the full multi-batch crawl with checkpointed state; output
     // is the canonically-ordered article log. Oracle: the sequential crawler
     // (ScalaTest golden parity) — iterative state is not DuckDB-expressible.
@@ -301,6 +336,34 @@ object CrawlQueries {
          |SELECT host, count(*) AS n_pages, min(warc_ts) AS first_ts,
          |       max(warc_ts) AS last_ts, CAST(sum(length(text)) AS BIGINT) AS chars
          |  FROM canon GROUP BY host""".stripMargin,
+
+    "q10_frontier_stats" ->
+      s"""$PagesCte
+         |SELECT lang, count(*) AS n_pages, count(DISTINCT url) AS n_urls
+         |  FROM canon GROUP BY lang""".stripMargin,
+
+    "q13_running_totals" ->
+      s"""$PagesCte,
+         |daily AS (
+         |  SELECT host, date_trunc('day', warc_ts) AS day, count(*) AS n
+         |    FROM canon GROUP BY host, date_trunc('day', warc_ts)
+         |)
+         |SELECT host, day, n,
+         |       CAST(sum(n) OVER (PARTITION BY host ORDER BY day
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n,
+         |       CAST(ntile(4) OVER (PARTITION BY host ORDER BY day) AS INT) AS quartile
+         |  FROM daily""".stripMargin,
+
+    "q14_capture_gaps" ->
+      s"""$PagesCte,
+         |g AS (
+         |  SELECT host, raw_url AS url,
+         |         epoch(warc_ts) - epoch(lag(warc_ts, 1) OVER (PARTITION BY host
+         |                                ORDER BY warc_ts, raw_url)) AS gap_sec
+         |    FROM canon
+         |)
+         |SELECT host, url, CAST(gap_sec AS BIGINT) AS gap_sec FROM g
+         | WHERE gap_sec IS NOT NULL""".stripMargin,
 
     "q09_link_extract" ->
       s"""WITH ranked AS (

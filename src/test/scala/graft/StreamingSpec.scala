@@ -44,10 +44,12 @@ class StreamingSpec extends AnyFunSuite {
     spark.read.parquet(pagesDir)
       .repartitionByRange(8, $"warc_ts")
       .write.mode("overwrite").parquet(multiDir)
+    // Complete mode emits the full session table every batch — deterministic
+    // regardless of whether a final watermark-flush trigger fires.
     val stream = StreamingIngest.pagesStream(spark, multiDir)
     StreamingIngest.drainToMemory(spark,
       StreamingIngest.captureSessions(stream), "sessions",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      org.apache.spark.sql.streaming.OutputMode.Complete())
     val rows = spark.table("sessions").count()
     assert(rows > 0)
   }
