@@ -60,7 +60,7 @@ object Bench {
     // ladder and methodology). Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
     val scalingJson =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
-      else {
+      else try {
         val xlDir = ScalingBench.ensureXl(spark, sfDir, 256)
         spark.stop()
         SparkSession.clearActiveSession()
@@ -68,8 +68,14 @@ object Bench {
         val (n2, s2) = ScalingBench.runOnce(2, xlDir)
         val (n8, s8) = ScalingBench.runOnce(8, xlDir)
         val eff = (n8 / s8) / (4 * (n2 / s2))
-        s""","scaling":{"r":256,"local2":{"urls":$n2,"wall_sec":$s2},""" +
+        s""","scaling":{"r":256,"note":"in-JVM smoke pair - authoritative ladder in BENCH.md section 3c",""" +
+          s""""local2":{"urls":$n2,"wall_sec":$s2},""" +
           s""""local8":{"urls":$n8,"wall_sec":$s8},"efficiency_2_to_8":$eff}"""
+      } catch {
+        // Never lose the whole bench line to a scaling-run failure.
+        case e: Throwable =>
+          System.err.println(s"[bench] scaling pair failed: $e")
+          ""
       }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

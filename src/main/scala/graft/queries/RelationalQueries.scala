@@ -83,7 +83,26 @@ object RelationalQueries {
       t(s, dir, "part")
         .orderBy(desc("p_retailprice"), asc("p_partkey"))
         .limit(10)
-        .select("p_partkey", "p_name", "p_retailprice"))
+        .select("p_partkey", "p_name", "p_retailprice")),
+
+    // op 44 batch flavor: session windows (30-min gap) per user over events;
+    // oracle = classic gaps-and-islands SQL.
+    "q28_sessionize" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .select(
+          col("sess.start").as("session_start"),
+          col("user_id"), col("n_events"), col("total_value"))),
+
+    // op 16: as-of/"latest state wins" via max_by — last event per user.
+    "q29_latest_event" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max("ts").as("last_ts"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+          round(max_by(col("value"), struct(col("ts"), col("event_id"))), 2).as("last_value")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +155,35 @@ object RelationalQueries {
 
     "q27_topk" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
-        | ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin
+        | ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin,
+
+    "q28_sessionize" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, value,
+        |         -- Spark session_window: an event exactly gap-after the last
+        |         -- one starts a NEW session ([start, last+gap) half-open)
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   >= INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS new_sess
+        |    FROM events
+        |),
+        |islands AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    FROM ordered
+        |)
+        |SELECT min(ts) AS session_start, user_id,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  FROM islands GROUP BY user_id, sess_id""".stripMargin,
+
+    "q29_latest_event" ->
+      """SELECT user_id, ts AS last_ts, event_type AS last_type,
+        |       round(value, 2) AS last_value
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |          FROM events) AS r
+        | WHERE rn = 1""".stripMargin
   )
 }
