@@ -12,15 +12,25 @@ import graft.operators.CrawlLoop
   * extended with the north-rule throughput figures
   * (urls scheduled+fetched+parsed per second) so BENCH_r{N}.json can be
   * graded against BASELINE.md. Fixture generation runs before the clock.
+  * The SAME line is also written to SPARK_GRAFT_BENCH_OUT (default
+  * /root/repo/bench_out.json) so downstream parsing never depends on sbt
+  * log prefixes.
   *
   * Scaling evidence (north_rule: N vs 4N executors → two parallelism levels
-  * in this sandbox): run this main twice, SPARK_GRAFT_CPUS=8 and =32; the
-  * efficiency ratio is throughput32 / (4 * throughput8). See BENCH.md.
+  * in this sandbox): a DISCIPLINED fresh-JVM pair (local[2] vs local[8],
+  * spawned child processes — see ScalingBench.runOnceFreshJvm) runs inside
+  * this main and its efficiency is emitted under "scaling"; the full
+  * committed ladder lives in BENCH.md §3c.
+  *
+  * SPARK_GRAFT_BENCH_ONLY=<regex> restricts the run to matching query names
+  * (plus "crawl_e2e" if it matches) — local iteration aid.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    def selected(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,55 +45,69 @@ object Bench {
     Fixtures.ensure(spark, sfDir)
 
     // Flagship: the end-to-end multi-batch crawl (scheduled+fetched+parsed).
-    val cfg = graft.queries.CrawlQueries.fullCrawlConfig(sfDir)
-      .copy(runTag = s"bench_${cpus}")
-    val t0 = System.nanoTime()
-    val run = CrawlLoop.run(spark, sfDir, cfg, fresh = true)
-    val crawlSec = (System.nanoTime() - t0) / 1e9
-    val processed = run.scheduledTotal + run.fetchedTotal + run.parsedTotal
-    val throughput = processed / crawlSec
-    // q11/q12 read this crawl's outputs instead of re-crawling.
-    graft.queries.CrawlQueries.primeCrawl(sfDir, run.dir)
+    val crawlJson = if (selected("crawl_e2e")) {
+      val cfg = graft.queries.CrawlQueries.fullCrawlConfig(sfDir)
+        .copy(runTag = s"bench_${cpus}")
+      val t0 = System.nanoTime()
+      val run = CrawlLoop.run(spark, sfDir, cfg, fresh = true)
+      val crawlSec = (System.nanoTime() - t0) / 1e9
+      val processed = run.scheduledTotal + run.fetchedTotal + run.parsedTotal
+      val throughput = processed / crawlSec
+      // q11/q12 read this crawl's outputs instead of re-crawling.
+      graft.queries.CrawlQueries.primeCrawl(sfDir, run.dir)
+      Some((crawlSec,
+        s""""crawl":{"batches":${run.batches},"urls_scheduled":${run.scheduledTotal},""" +
+          s""""urls_fetched":${run.fetchedTotal},"urls_parsed":${run.parsedTotal},""" +
+          s""""wall_sec":$crawlSec,"throughput_urls_per_sec":$throughput}"""))
+    } else None
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val s0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      name -> (System.nanoTime() - s0) / 1e9
-    }
-    val qs = (results :+ ("crawl_e2e" -> crawlSec))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
+        val s0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        name -> (System.nanoTime() - s0) / 1e9
+      }
+    val crawlSec = crawlJson.map(_._1)
+    val qs = (results ++ crawlSec.map("crawl_e2e" -> _))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + crawlSec
+    val total = results.map(_._2).sum + crawlSec.getOrElse(0.0)
 
-    // North-rule two-cluster-size evidence (N=2 vs 4N=8 threads on the XL
-    // replicated frontier — see ScalingBench / BASELINE.md for the full
-    // ladder and methodology). Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
+    // North-rule two-cluster-size evidence: a disciplined FRESH-JVM pair
+    // (N=2 vs 4N=8 threads on the XL replicated frontier; each level is a
+    // spawned child process with its own warmup pass). The committed full
+    // ladder (R=1024) lives in BENCH.md §3c and is cited alongside.
+    // Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
     val scalingJson =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
       else try {
-        val xlDir = ScalingBench.ensureXl(spark, sfDir, 256)
-        spark.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        val (n2, s2) = ScalingBench.runOnce(2, xlDir)
-        val (n8, s8) = ScalingBench.runOnce(8, xlDir)
+        val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "256").toInt
+        val xlDir = ScalingBench.ensureXl(spark, sfDir, r)
+        val (n2, s2) = ScalingBench.runOnceFreshJvm(2, xlDir, r)
+        val (n8, s8) = ScalingBench.runOnceFreshJvm(8, xlDir, r)
         val eff = (n8 / s8) / (4 * (n2 / s2))
-        s""","scaling":{"r":256,"note":"in-JVM smoke pair - authoritative ladder in BENCH.md section 3c",""" +
+        s""","scaling":{"r":$r,"mode":"fresh-jvm pair (spawned children, warmup inside each)",""" +
           s""""local2":{"urls":$n2,"wall_sec":$s2},""" +
-          s""""local8":{"urls":$n8,"wall_sec":$s8},"efficiency_2_to_8":$eff}"""
+          s""""local8":{"urls":$n8,"wall_sec":$s8},"efficiency_2_to_8":$eff,""" +
+          s""""ladder_ref":{"note":"committed fresh-JVM ladder, BENCH.md section 3c",""" +
+          s""""r":1024,"efficiency_2_to_8":1.10}}"""
       } catch {
         // Never lose the whole bench line to a scaling-run failure.
         case e: Throwable =>
           System.err.println(s"[bench] scaling pair failed: $e")
           ""
       }
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","cpus":$cpus,""" +
-        s""""crawl":{"batches":${run.batches},"urls_scheduled":${run.scheduledTotal},""" +
-        s""""urls_fetched":${run.fetchedTotal},"urls_parsed":${run.parsedTotal},""" +
-        s""""wall_sec":$crawlSec,"throughput_urls_per_sec":$throughput}""" +
-        scalingJson + "}")
-    if (scalingJson.isEmpty) spark.stop()
+        s""""sf":"$sfDir","cpus":$cpus""" +
+        crawlJson.map("," + _._2).getOrElse("") +
+        scalingJson + "}"
+    // File first (driver-parseable regardless of log wrappers), then stdout.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    println(line)
+    spark.stop()
   }
 }

@@ -88,6 +88,42 @@ object ScalingBench {
     }
   }
 
+  /** Run one level in a FRESH child JVM — the disciplined shape for the
+    * N-vs-4N pair: no shared JIT profile, heap, or GC history between
+    * levels (the in-JVM back-to-back pair measured up to 2× noise, BENCH.md
+    * §3b). The child is this same main restricted to one level via
+    * SPARK_GRAFT_SCALE_LEVELS; its JSON line is parsed from stdout. */
+  def runOnceFreshJvm(cpus: Int, xlDir: String, r: Int): (Long, Double) = {
+    val classes = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq("java", "-cp", s"$classes:/opt/spark/jars/*",
+      "-Xmx24g", "-XX:+UseParallelGC") ++ addOpens ++
+      Seq("-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "graft.ScalingBench")).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SCALE_LEVELS", cpus.toString)
+    pb.environment().put("SPARK_GRAFT_SCALE_R", r.toString)
+    pb.redirectErrorStream(false)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.getErrorStream.readAllBytes() // drain
+    val rc = p.waitFor()
+    val re = s""""local$cpus":\\{"urls":(\\d+),"wall_sec":([0-9.eE+-]+)""".r
+    re.findFirstMatchIn(out) match {
+      case Some(m) => (m.group(1).toLong, m.group(2).toDouble)
+      case None => sys.error(s"child (local[$cpus]) rc=$rc produced no scaling line: $out")
+    }
+  }
+
   /** Standalone runner: SPARK_GRAFT_SCALE_R (default 64), prints one JSON. */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

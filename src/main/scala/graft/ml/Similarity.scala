@@ -1,7 +1,8 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.{cosine_sim, dot_product}
@@ -22,19 +23,54 @@ import graft.functions.expressions.{cosine_sim, dot_product}
   */
 object Similarity {
 
+  /** Bounded top-k typed aggregate over (neighbor_id, cos): the buffer is a
+    * ≤k list ordered by (cos desc, neighbor_id asc) — the same total order a
+    * rank window would use, so the output is identical, but the PLAN is a
+    * partial/final aggregation: every partition reduces its scored rows to k
+    * candidates map-side and only those merge across the cluster. This
+    * replaces a window over the full scored set (which funnels ALL |Q|·|N|
+    * scores through per-query sorts) — the shape that survives 100 TB. */
+  private class TopKAggregator(k: Int)
+      extends Aggregator[(Long, Double), List[(Long, Double)], Seq[(Long, Double)]] {
+    private def better(x: (Long, Double), y: (Long, Double)): Boolean =
+      x._2 > y._2 || (x._2 == y._2 && x._1 < y._1)
+    private def trim(xs: List[(Long, Double)]): List[(Long, Double)] =
+      xs.sortWith(better).take(k)
+    override def zero: List[(Long, Double)] = Nil
+    override def reduce(b: List[(Long, Double)], a: (Long, Double)): List[(Long, Double)] =
+      trim(a :: b)
+    override def merge(b1: List[(Long, Double)], b2: List[(Long, Double)]): List[(Long, Double)] =
+      trim(b1 ++ b2)
+    override def finish(b: List[(Long, Double)]): Seq[(Long, Double)] = trim(b)
+    override def bufferEncoder: Encoder[List[(Long, Double)]] =
+      Encoders.kryo[List[(Long, Double)]]
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  /** (query_id, neighbor_id, cos) → exact per-query top-k with rank, via the
+    * partial/final top-k aggregate (no global window). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k),
+      ExpressionEncoder[(Long, Double)]())
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cos")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p._1").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), round(col("p._2"), 4).as("cos"))
+  }
+
   /** Exact top-k neighbors for each query vector.
     * queries/candidates: (vec_id, embedding). Output (query_id, neighbor_id,
-    * rank, cos). */
+    * rank, cos). Broadcast Q, one pass over N, per-partition top-k merged —
+    * the canonical brute-force shape for moderate |Q| at any corpus size. */
   def knnBruteForce(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+    rankTopK(scored.select("query_id", "neighbor_id", "cos"), k)
   }
 
   /** Deterministic ±1 hyperplanes: `tables` tables × `planesPerTable` planes
@@ -79,20 +115,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "q_emb", "c_emb")
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine_sim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+    rankTopK(cands.select("query_id", "neighbor_id", "cos"), k)
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup dedup). */
-  def cosineNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
-    val a = vecs.select(col("vec_id").as("a"), col("embedding").as("e_a"))
-    val b = vecs.select(col("vec_id").as("b"), col("embedding").as("e_b"))
-    a.join(b, col("a") < col("b"))
+  /** All pairs with cosine ≥ threshold (embedding near-dup dedup), via
+    * TRIANGLE-TILED block self-join.
+    *
+    * An exact all-pairs operator is inherently Θ(n²) kernel evaluations —
+    * the question at scale is the PLAN, not the asymptotics (the
+    * sub-quadratic answer is the approximate LSH path, knnLsh/q36; LSH
+    * blocking cannot be used HERE because at a low threshold like 0.35 no
+    * banding scheme guarantees the exact output contract the oracle checks).
+    * The naive `a.join(b, a < b)` plans a BroadcastNestedLoopJoin — one
+    * broadcast of the whole table and O(n²) rows through a single operator.
+    * Instead: assign each vector a block g ∈ [0, B); replicate the left side
+    * to keys {(g, j) : j ≥ g} and the right to {(i, g) : i ≤ g}. The join on
+    * (ga, gb) is then a plain shuffled EQUI-join where each of the
+    * B(B+1)/2 key groups computes one tile of the upper triangle — every
+    * unordered pair evaluated exactly once, replication bounded by B (not
+    * n), every tile an independent task, kernel inside codegen. This is how
+    * the 1000-executor cluster runs an exact pairwise pass.
+    */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    val withG = vecs.select(col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("g"))
+    val left = withG.select(
+      col("vec_id").as("ia"), col("embedding").as("e_a"), col("g").as("ga"),
+      explode(sequence(col("g"), lit(blocks - 1))).as("gb"))
+    val right = withG.select(
+      col("vec_id").as("ib"), col("embedding").as("e_b"),
+      explode(sequence(lit(0), col("g"))).as("ga"), col("g").as("gb"))
+    left.join(right, Seq("ga", "gb"))
+      // same-block tiles (ga==gb) contain both orderings — keep one; the
+      // strict upper tiles (ga<gb) contain each unordered pair exactly once.
+      .filter(col("ga") < col("gb") || col("ia") < col("ib"))
       .withColumn("cos", cosine_sim(col("e_a"), col("e_b")))
       .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .select(
+        least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"),
+        round(col("cos"), 4).as("cos"))
   }
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.core.Constants
@@ -23,11 +24,21 @@ import graft.core.Constants
   * is byte-identical to the exact-only anti-join (parity test in
   * BloomSeenSpec).
   *
-  * Blob-handling note: membership testing deliberately uses a BROADCAST map
-  * (shard → filter bytes) + a scalar predicate rather than a join against
-  * `seen_shards` — a join would attach the multi-MB blob to every candidate
-  * row. Filters are deserialized once per executor (lazy val inside the
-  * closure), not per row.
+  * Blob-handling note — two probe shapes, both avoiding the fatal one (a
+  * plain join that attaches the multi-MB blob to every candidate row):
+  *
+  *  - SHARD-BUCKETED (default, the 10^10-scale shape): candidates are
+  *    shuffled by `shard` and COGROUPed with `seen_shards`, so each task
+  *    deserializes exactly its own shard's blob ONCE and probes its
+  *    candidate group against it. No driver round-trip, no monolithic
+  *    broadcast: at the north_rule's 10^10 urls the filter set is ~12 GB
+  *    total but a single shard stays worker-sized — the shard count is the
+  *    knob. Cost: one narrow shuffle of the candidate keys.
+  *  - BROADCAST (opt-in fast path for small seen-states): collect the blobs
+  *    to a broadcast map + a scalar predicate — zero shuffle, filters
+  *    deserialized once per executor. Correct but driver-bounded; kept
+  *    behind CrawlConfig.bloomBroadcastProbe for deployments whose total
+  *    filter bytes are broadcastable.
   */
 object BloomSeen {
 
@@ -62,25 +73,21 @@ object BloomSeen {
   /** Build `seen_shards(shard, n_items, filter)` from a DataFrame with a
     * `url_hash` column.
     *
-    * Implementation note: the obvious `groupBy(shard).agg(bloomAgg)` makes
-    * the PARTIAL aggregation allocate one ~120 KB BloomFilter buffer per
+    * Implementation note: a bare `groupBy(shard).agg(bloomAgg)` makes the
+    * PARTIAL aggregation allocate one ~120 KB BloomFilter buffer per
     * (shard × input partition) — thousands of kryo'd megabyte-scale buffers
-    * per micro-batch. Instead the partial agg collects the (8-byte) hashes
-    * and exactly ONE filter per shard is built in the final projection.
-    * Per-shard delta lists stay small (batch-bounded); the Aggregator
-    * remains available as `bloomAgg` for streaming-style fold use. */
-  def buildShards(withHash: DataFrame): DataFrame = {
-    val buildBlob = udf { hashes: Seq[Long] =>
-      val f = BloomFilter.create(Constants.BloomExpectedPerShard, Constants.BloomFpp)
-      hashes.foreach(f.putLong)
-      serialize(f)
-    }
+    * per micro-batch. The explicit `repartition(shard)` first means the
+    * aggregation's required distribution is already satisfied (no second
+    * exchange — same subset rule as the rank window, SURVEY.md §4) and each
+    * task folds only its own shards, so live buffers ≈ NumShards total.
+    * Unlike a collect_list-of-hashes variant this stays streaming: a
+    * mega-batch delta never materializes per-shard hash arrays. */
+  def buildShards(withHash: DataFrame): DataFrame =
     withHash
       .select(pmod(col("url_hash"), lit(Constants.NumShards)).as("shard"), col("url_hash"))
+      .repartition(col("shard"))
       .groupBy("shard")
-      .agg(count(lit(1)).as("n_items"), collect_list(col("url_hash")).as("hashes"))
-      .select(col("shard"), col("n_items"), buildBlob(col("hashes")).as("filter"))
-  }
+      .agg(count(lit(1)).as("n_items"), bloomAgg(col("url_hash")).as("filter"))
 
   /** Merge two shard tables (previous snapshot OR delta) via bitwise-OR of
     * same-shard filters. #shards rows — trivially cheap at any data scale. */
@@ -132,21 +139,59 @@ object BloomSeen {
     }
   }
 
+  /** Shard-bucketed bloom probe (the 10^10-scale shape): shuffle candidates
+    * by `shard`, COGROUP with the one-row-per-shard blob table, deserialize
+    * each blob exactly once per task, and append a `__maybe_seen` flag to
+    * every candidate row. No driver collect, no monolithic broadcast — the
+    * only per-batch driver state is the plan itself. A shard with no blob
+    * (fresh run / empty shard) flags all its candidates definitely-new. */
+  def tagMaybeSeenBucketed(candidates: DataFrame, seenShards: DataFrame): DataFrame = {
+    val schema = candidates.schema
+    val hashIdx = schema.fieldIndex("url_hash")
+    val outSchema = schema.add("__maybe_seen", BooleanType, nullable = false)
+    val keyedCands = candidates
+      .groupByKey((r: Row) =>
+        java.lang.Math.floorMod(r.getLong(hashIdx), Constants.NumShards.toLong).toInt)(
+        Encoders.scalaInt)
+    val keyedBlobs = seenShards
+      .select(col("shard").cast("int"), col("filter"))
+      .as[(Int, Array[Byte])](Encoders.tuple(Encoders.scalaInt, Encoders.BINARY))
+      .groupByKey(_._1)(Encoders.scalaInt)
+    keyedCands
+      .cogroup(keyedBlobs) { (_, rows, blobs) =>
+        // ≤1 blob per shard post-merge; OR any stragglers defensively.
+        val filter = blobs.map(b => deserialize(b._2)).reduceOption { (a, b) =>
+          a.mergeInPlace(b); a
+        }
+        rows.map { r =>
+          val maybe = filter.exists(_.mightContainLong(r.getLong(hashIdx)))
+          Row.fromSeq(r.toSeq :+ maybe)
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Two-tier dedup (op 12): candidates (with `url_hash`) minus the seen set.
     *
-    * Tier 1 (bloom, map-side): rows where the bloom says "definitely new"
-    * pass immediately. Tier 2 (exact): the "possibly seen" residue — ~fpp of
-    * the new rows plus all true duplicates — is anti-joined against
-    * `seen_exact(url_hash, ...)`. Result is exactly `candidates ∖ seen`.
+    * Tier 1 (bloom): rows where the bloom says "definitely new" pass
+    * immediately — via the shard-bucketed cogroup probe by default, or the
+    * broadcast fast path when `broadcastProbe` (small seen-states only).
+    * Tier 2 (exact): the "possibly seen" residue — ~fpp of the new rows plus
+    * all true duplicates — is anti-joined against `seen_exact(url_hash, …)`.
+    * Result is exactly `candidates ∖ seen` for either probe shape (bloom has
+    * no false negatives; parity pinned in BloomSeenSpec).
     */
   def antiJoinSeen(
       spark: SparkSession,
       candidates: DataFrame,
       seenExact: DataFrame,
-      seenShards: Option[DataFrame]): DataFrame = {
+      seenShards: Option[DataFrame],
+      broadcastProbe: Boolean = false): DataFrame = {
     seenShards match {
       case Some(shards) if !shards.isEmpty =>
-        val flagged = candidates.withColumn("__maybe_seen", mightBeSeen(spark, shards))
+        val flagged =
+          if (broadcastProbe) candidates.withColumn("__maybe_seen", mightBeSeen(spark, shards))
+          else tagMaybeSeenBucketed(candidates, shards)
         val definitelyNew = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
         val residue = flagged
           .filter(col("__maybe_seen"))

@@ -24,8 +24,12 @@ import graft.core.Constants
   */
 object Checkpoints {
 
+  /** Per-batch manifest. The `*Total` fields are CUMULATIVE across batches
+    * 1..k so a resumed run restores its running totals from the last
+    * committed manifest alone (no re-summing of per-batch manifests). */
   final case class Manifest(batchId: Long, articleCount: Long, scheduled: Long,
-      fetched: Long, parsed: Long)
+      fetched: Long, parsed: Long,
+      scheduledTotal: Long = 0L, fetchedTotal: Long = 0L, parsedTotal: Long = 0L)
 
   def stateDir(runTag: String): String = s"${Constants.workDir}/state/$runTag"
 
@@ -35,10 +39,12 @@ object Checkpoints {
   def lastCommitted(dir: String): Option[Long] = {
     val cp = Paths.get(dir, "checkpoints")
     if (!Files.isDirectory(cp)) return None
-    val ids = Files.list(cp).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
-      .toSeq
+    val ids = scala.util.Using.resource(Files.list(cp)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
+        .toSeq
+    }
     if (ids.isEmpty) None else Some(ids.max)
   }
 
@@ -47,7 +53,8 @@ object Checkpoints {
     def field(name: String): Long =
       s"""\"$name\"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
     Manifest(field("batch_id"), field("article_count"), field("scheduled"),
-      field("fetched"), field("parsed"))
+      field("fetched"), field("parsed"),
+      field("scheduled_total"), field("fetched_total"), field("parsed_total"))
   }
 
   /** Write state snapshots + append deltas for batch k, then commit the
@@ -82,7 +89,9 @@ object Checkpoints {
     Files.createDirectories(cp)
     val json =
       s"""{"batch_id":${m.batchId},"article_count":${m.articleCount},""" +
-        s""""scheduled":${m.scheduled},"fetched":${m.fetched},"parsed":${m.parsed}}"""
+        s""""scheduled":${m.scheduled},"fetched":${m.fetched},"parsed":${m.parsed},""" +
+        s""""scheduled_total":${m.scheduledTotal},"fetched_total":${m.fetchedTotal},""" +
+        s""""parsed_total":${m.parsedTotal}}"""
     // Manifest LAST — the atomic visibility point.
     val tmp = cp.resolve(s"$k.json.tmp")
     Files.writeString(tmp, json)
@@ -115,7 +124,9 @@ object Checkpoints {
   def deleteRecursively(path: String): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(p)) { stream =>
+        stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     }
   }
 }

@@ -44,6 +44,9 @@ object CrawlLoop {
 
   def seedFrontier(spark: SparkSession, fixDir: String): DataFrame =
     spark.read.parquet(s"$fixDir/seeds.parquet")
+      // scheme prefilter keeps the Column flavor in lockstep with
+      // Canonicalize.canonicalScala (which returns None for non-http(s)).
+      .filter(graft.core.Canonicalize.isHttpScheme(col("url")))
       .select(graft.core.Canonicalize.canonicalUrl(col("url")).as("url"))
       .filter(col("url").isNotNull)
       .distinct()
@@ -78,11 +81,15 @@ object CrawlLoop {
     val maxTsSec = pages.agg(max("warc_ts")).head().getTimestamp(0).toInstant.getEpochSecond
 
     // ---- resume point (op 5): max committed manifest ----------------------
+    // Running totals are restored from the manifest's cumulative fields so a
+    // resumed run's RunResult (and bench throughput) counts pre-resume
+    // batches too.
     var k = Checkpoints.lastCommitted(dir).getOrElse(0L)
-    var articleCount = if (k == 0) 0L else Checkpoints.readManifest(dir, k).articleCount
-    var scheduledTotal = 0L
-    var fetchedTotal = 0L
-    var parsedTotal = 0L
+    val m0 = if (k == 0) Checkpoints.Manifest(0, 0, 0, 0, 0) else Checkpoints.readManifest(dir, k)
+    var articleCount = m0.articleCount
+    var scheduledTotal = m0.scheduledTotal
+    var fetchedTotal = m0.fetchedTotal
+    var parsedTotal = m0.parsedTotal
     var frontier =
       if (k == 0) seedFrontier(spark, fixDir)
       else Checkpoints.readSnap(spark, dir, k, "frontier")
@@ -105,7 +112,9 @@ object CrawlLoop {
         r.frontier, r.seenDelta, newShards,
         r.articles, r.fetchLog, r.hostLog,
         Checkpoints.Manifest(k, articleCount + nArticles,
-          r.scheduledCount, r.fetchedCount, r.parsedCount),
+          r.scheduledCount, r.fetchedCount, r.parsedCount,
+          scheduledTotal + r.scheduledCount, fetchedTotal + r.fetchedCount,
+          parsedTotal + r.parsedCount),
         compact = cfg.compactState)
       articleCount += nArticles
       scheduledTotal += r.scheduledCount

@@ -21,6 +21,11 @@ final case class CrawlConfig(
     /** Two-tier bloom dedup (true) vs exact-only anti-join (false); final
       * sets are identical — the flag exists for the parity test. */
     useBloom: Boolean = true,
+    /** Bloom tier-1 probe shape: false (default) = shard-bucketed cogroup —
+      * the 10^10-scale shape, no driver collect / monolithic broadcast;
+      * true = broadcast-map fast path for small seen-states. Final sets are
+      * identical either way (BloomSeenSpec parity). */
+    bloomBroadcastProbe: Boolean = false,
     /** Post-budget salted repartition of the fetch/parse stage (op 51). */
     saltParse: Boolean = true,
     /** Cache the pages table across batches. Right at bench scale (the whole
@@ -223,7 +228,8 @@ object Scheduler {
 
     // ---- two-tier seen-set anti-join (op 12) ------------------------------
     val newRows =
-      BloomSeen.antiJoinSeen(spark, cands, seenExact, if (cfg.useBloom) Some(seenShards) else None)
+      BloomSeen.antiJoinSeen(spark, cands, seenExact,
+        if (cfg.useBloom) Some(seenShards) else None, cfg.bloomBroadcastProbe)
 
     // ---- robots + priority + politeness ranking (ops 13/49/38/51/24/25) ---
     val sched = schedule(newRows, robots, weights, budgets, cfg)
@@ -253,15 +259,19 @@ object Scheduler {
         col("url"), col("url_hash"), col("priority"), col("host"), col("host_bucket"))),
         Seq("url"), "inner")
     // Latest capture wins per canonical url (alias rows differ only in ts).
+    // winners carries (raw_url, warc_ts) and the rejoin below keys on BOTH:
+    // a raw url recaptured at several warc_ts (the normal re-crawl case) must
+    // contribute exactly its winning capture, not every capture of the
+    // winning raw url.
     val captureWindow = Window.partitionBy(col("url")).orderBy(desc("warc_ts"), desc("raw_url"))
     val winners = narrow
       .withColumn("__rn", row_number().over(captureWindow))
       .filter(col("__rn") === 1)
-      .select("raw_url", "url", "url_hash", "priority", "host", "host_bucket")
+      .select("raw_url", "warc_ts", "url", "url_hash", "priority", "host", "host_bucket")
 
     val fetched0 = pagesVisible
       .select(col("url").as("raw_url"), col("warc_ts"), col("html"), col("text"), col("lang"))
-      .join(broadcast(winners), Seq("raw_url"), "inner")
+      .join(broadcast(winners), Seq("raw_url", "warc_ts"), "inner")
       .drop("raw_url")
 
     // ---- parse stage (ops 47/35), optionally salted (op 51) ----------------

@@ -48,7 +48,7 @@ class BloomSeenSpec extends AnyFunSuite {
     }
   }
 
-  test("two-tier anti-join == exact-only anti-join (set parity)") {
+  test("two-tier anti-join == exact-only anti-join (both probe shapes)") {
     val seen = (1L to 3000L).map(i => (i * 31L, s"u$i")).toDF("url_hash", "url")
       .withColumn("status", lit("fetched"))
     val shards = BloomSeen.buildShards(seen.select("url_hash"))
@@ -56,11 +56,30 @@ class BloomSeenSpec extends AnyFunSuite {
     val cands = ((1L to 1500L).map(i => i * 31L) ++ (1L to 1500L).map(i => i * 31L + 7L))
       .toDF("url_hash")
       .withColumn("url", concat(lit("c"), col("url_hash")))
-    val twoTier = BloomSeen.antiJoinSeen(spark, cands, seen, Some(shards))
+    val bucketed = BloomSeen.antiJoinSeen(spark, cands, seen, Some(shards))
+      .select("url_hash").as[Long].collect().sorted
+    val broadcasted = BloomSeen.antiJoinSeen(spark, cands, seen, Some(shards),
+      broadcastProbe = true)
       .select("url_hash").as[Long].collect().sorted
     val exact = BloomSeen.antiJoinSeen(spark, cands, seen, None)
       .select("url_hash").as[Long].collect().sorted
-    assert(twoTier.toSeq === exact.toSeq)
-    assert(twoTier.length === 1500)
+    assert(bucketed.toSeq === exact.toSeq)
+    assert(broadcasted.toSeq === exact.toSeq)
+    assert(bucketed.length === 1500)
+  }
+
+  test("bucketed probe keeps every candidate column and flags correctly") {
+    val seen = (1L to 200L).map(i => (i * 13L, s"u$i")).toDF("url_hash", "url")
+    val shards = BloomSeen.buildShards(seen.select("url_hash"))
+    val cands = ((1L to 100L).map(i => i * 13L) ++ (1L to 100L).map(i => i * 13L + 5L))
+      .toDF("url_hash")
+      .withColumn("url", concat(lit("c"), col("url_hash")))
+      .withColumn("extra", col("url_hash") * 2)
+    val flagged = BloomSeen.tagMaybeSeenBucketed(cands, shards)
+    assert(flagged.columns.toSeq === Seq("url_hash", "url", "extra", "__maybe_seen"))
+    val rows = flagged.select("url_hash", "__maybe_seen").as[(Long, Boolean)].collect().toMap
+    assert(rows.size === 200)
+    // no false negatives: every truly-seen hash must be flagged
+    for (i <- 1L to 100L) assert(rows(i * 13L), s"false negative for ${i * 13L}")
   }
 }

@@ -100,6 +100,83 @@ class MlSpec extends AnyFunSuite {
     assert(dupes === 0L)
   }
 
+  /** Deterministic clustered vectors: `nClusters` integer-lattice centers,
+    * members = center + tiny per-dimension perturbation. Within-cluster
+    * cosine ≈ 1, cross-cluster ≈ random — the regime LSH banding must win
+    * in, so a broken banding actually fails this floor (unlike the noisy
+    * uniform-random fixture above, kept as the subset/no-dupes check). */
+  private def clusteredVecs(n: Int, nClusters: Int, dim: Int) = {
+    (1L to n.toLong).map { i =>
+      val c = (i % nClusters).toInt
+      val emb = Seq.tabulate(dim) { d =>
+        val center = (((c * 131 + d * 17) % 19) - 9).toFloat
+        val jitter = (((i * 37 + d * 7) % 5) - 2).toFloat * 0.02f
+        center + jitter
+      }
+      (i, emb)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("knn LSH: high recall on a clustered corpus (regression floor 0.8)") {
+    val e = clusteredVecs(300, 12, 64)
+    val q = e.filter($"vec_id" % 25 === 0)
+    val brute = Similarity.knnBruteForce(q, e, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.knnLsh(spark, q, e, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(brute.union(approx))) // sanity
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"clustered ANN recall $recall — banding regressed")
+  }
+
+  test("tiled cosine near-dup pairs == brute-force truth (exact completeness)") {
+    val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val got = Similarity.cosineNearDupPairs(e, 0.35, blocks = 8)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect().toSet
+    val l = e.select($"vec_id".as("a"), $"embedding".as("e_a"))
+    val r = e.select($"vec_id".as("b"), $"embedding".as("e_b"))
+    val truth = l.join(r, $"a" < $"b") // deliberate nested-loop: the test oracle
+      .withColumn("cos", cosine_sim($"e_a", $"e_b"))
+      .filter($"cos" >= 0.35)
+      .select($"a", $"b", round($"cos", 4).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === truth)
+  }
+
+  test("prefix+length-filtered ngram jaccard == unfiltered inverted-index truth") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val got = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // truth: naive all-pairs over shingle arrays (no pruning at all)
+    val sh = docs.select($"doc_id", $"lang", Dedup.shingles3($"text").as("sh"))
+    val l = sh.select($"lang".as("lang_a"), $"doc_id".as("a"), $"sh".as("sh_a"))
+    val r = sh.select($"lang".as("lang_b"), $"doc_id".as("b"), $"sh".as("sh_b"))
+    val truth = l.join(r, $"lang_a" === $"lang_b" && $"a" < $"b")
+      .withColumn("jaccard", round(Dedup.jaccard($"sh_a", $"sh_b"), 4))
+      .filter($"jaccard" >= 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got === truth)
+  }
+
+  test("top-k aggregate knn == window-ranked reference (order + ties)") {
+    val e = clusteredVecs(200, 8, 16)
+    val q = e.filter($"vec_id" % 20 === 0)
+    val got = Similarity.knnBruteForce(q, e, 5)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val qq = q.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    val ref = c.join(broadcast(qq), $"query_id" =!= $"neighbor_id")
+      .withColumn("cos", cosine_sim($"q_emb", $"c_emb"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id", $"rank", round($"cos", 4).as("cos"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got === ref)
+  }
+
   test("multimodal decode plumbing: schema, determinism, per-kind behavior") {
     val media = graft.core.Fixtures.table(spark, TestSpark.Sf0001, "media")
     val feats = Multimodal.decodeFeatures(spark, media)

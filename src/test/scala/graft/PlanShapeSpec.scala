@@ -108,4 +108,63 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.contains("LeftAnti"), s"anti-join missing: $plan")
     }
   }
+
+  test("bucketed bloom probe: cogroup, blob never joins per-candidate") {
+    withStaticPlans {
+      val seen = (1L to 100L).map(i => (i * 13L, s"u$i")).toDF("url_hash", "url")
+      val shards = graft.operators.BloomSeen.buildShards(seen.select("url_hash"))
+      val cands = (1L to 50L).map(i => (i * 13L, s"c$i")).toDF("url_hash", "url")
+      val flagged = graft.operators.BloomSeen.tagMaybeSeenBucketed(cands, shards)
+      val plan = flagged.queryExecution.executedPlan
+      assert(plan.toString.contains("CoGroup"),
+        s"bucketed probe did not plan a CoGroup:\n$plan")
+      // the blob column must never appear in a join output (it only feeds
+      // the cogroup's right iterator)
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(!joins.exists(_.output.exists(_.name == "filter")),
+        "bloom blob column attached to a per-candidate join")
+    }
+  }
+
+  test("buildShards: explicit repartition satisfies the agg distribution (1 shuffle)") {
+    withStaticPlans {
+      val shards = graft.operators.BloomSeen.buildShards(
+        (1L to 1000L).toDF("url_hash"))
+      val n = shuffles(shards).size
+      assert(n === 1, s"expected 1 shuffle (repartition reused by agg), got $n")
+    }
+  }
+
+  test("q34 tiled cosine pairs: equi-join plan, no nested-loop / cartesian") {
+    withStaticPlans {
+      val vecs = (1L to 60L)
+        .map(i => (i, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+        .toDF("vec_id", "embedding")
+      val pairs = graft.ml.Similarity.cosineNearDupPairs(vecs, 0.35, blocks = 4)
+      val plan = pairs.queryExecution.executedPlan
+      val bad = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(bad.isEmpty, s"all-pairs operator planned a non-equi join:\n$plan")
+    }
+  }
+
+  test("q35 brute-force knn: no global window; partial/final top-k agg") {
+    withStaticPlans {
+      val vecs = (1L to 60L)
+        .map(i => (i, Seq.tabulate(8)(d => ((i * 17 + d * 5) % 11 - 5).toFloat)))
+        .toDF("vec_id", "embedding")
+      val knn = graft.ml.Similarity.knnBruteForce(
+        vecs.filter($"vec_id" % 10 === 0), vecs, 5)
+      val plan = knn.queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"top-k still funnels through a window:\n$plan")
+      assert(plan.toString.contains("Aggregate"), "no aggregate in top-k plan")
+    }
+  }
 }
