@@ -48,7 +48,7 @@ object Constants {
   val AliasSuffix: String = "?utm_source=feed&utm_campaign=x#frag"
 
   /** Fixture layout version — bump to invalidate cached generated fixtures. */
-  val FixtureVersion: Int = 1
+  val FixtureVersion: Int = 2
 
   /** Root for generated fixtures / crawl state. Overridable for tests. */
   def workDir: String = sys.env.getOrElse("GRAFT_WORK_DIR", "/tmp/graft")

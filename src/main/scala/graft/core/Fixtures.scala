@@ -81,18 +81,34 @@ object Fixtures {
         else concat($"source", lit(".example.com")))
       .as[(Long, String, String, String, String)] // doc_id, text, lang, source, host
 
-    // Article rows + alias rows (B1), html rendered by the shared Parsers
-    // templates so extract(host, html) == text byte-exactly by construction.
+    // Article rows + alias rows (B1) + RECAPTURE rows (B8), html rendered by
+    // the shared Parsers templates so extract(host, html) == text
+    // byte-exactly by construction. Every article page embeds its
+    // published-date <meta> in the host family's wire format (op 36).
+    // Recaptures (doc_id % 7 == 3): the SAME raw url captured again 2 h
+    // later with a revised body — the re-crawl case "latest capture wins"
+    // exists for; the published date is content-level and does not change.
     val articleRows = withHost.flatMap { case (docId, text, lang, source, host) =>
       val family = FixtureConstants.familyOf(host)
       val url = s"https://$host/articles/$docId"
-      val ts = Timestamp.from(Constants.EPOCH.plusSeconds(docId * 60))
-      val html = Parsers.renderArticle(family, s"Doc $docId", source, text)
+      val published = Constants.EPOCH.plusSeconds(docId * 60)
+      val ts = Timestamp.from(published)
+      val html = Parsers.renderArticle(family, s"Doc $docId", source, text, published)
       val base = Page(url, ts, html, text, lang)
-      if (docId % 5 == 0) {
-        val aliasTs = Timestamp.from(Constants.EPOCH.plusSeconds(docId * 60 + 30))
-        Seq(base, Page(url + Constants.AliasSuffix, aliasTs, html, text, lang))
-      } else Seq(base)
+      val alias =
+        if (docId % 5 == 0) {
+          val aliasTs = Timestamp.from(Constants.EPOCH.plusSeconds(docId * 60 + 30))
+          Seq(Page(url + Constants.AliasSuffix, aliasTs, html, text, lang))
+        } else Nil
+      val recapture =
+        if (docId % 7 == 3) {
+          val text2 = text + " updated"
+          val ts2 = Timestamp.from(Constants.EPOCH.plusSeconds(docId * 60 + 7200))
+          Seq(Page(url, ts2,
+            Parsers.renderArticle(family, s"Doc $docId", source, text2, published),
+            text2, lang))
+        } else Nil
+      base +: (alias ++ recapture)
     }
 
     // Listing (site-root) rows (B2): one per host, linking to that host's

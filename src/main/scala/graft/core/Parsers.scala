@@ -1,6 +1,9 @@
 package graft.core
 
 import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.util.Locale
 
 /** Per-site parser registry — SURVEY.md §2 ops 35/47/48.
   *
@@ -12,9 +15,26 @@ import java.nio.charset.StandardCharsets
   * (extract), so `extract(host, render(...)) == text` holds byte-exactly by
   * construction, and the distributed pipeline must reproduce it.
   *
-  * Three host families (FIXTURES.md B1): 0 reuters-style, 1 prnewswire-style,
-  * 2 bloomberg-style — each with distinct wrapper markup so each needs its
-  * own parse rule. Family of a host is frozen in [[FixtureConstants]].
+  * SIX host families with genuinely divergent structure (FIXTURES.md B1;
+  * family of a host is frozen in [[FixtureConstants]]):
+  *   0 reuters-style     — body inside a marked <div>
+  *   1 prnewswire-style  — body inside a marked <p>
+  *   2 bloomberg-style   — body inside <section><span>
+  *   3 json-ld           — body is the JSON-ESCAPED "articleBody" of an
+  *                         application/ld+json script; extraction must
+  *                         unescape (\" \\ \uXXXX) to restore bytes
+  *   4 segmented         — body split into char-tri-chunks across
+  *                         <span data-seg="i"> nodes; extraction rejoins
+  *   5 entity-encoded    — '&' → &amp; then ' ' → &#32;; extraction decodes
+  *
+  * Every article page also carries a published-date <meta> whose FORMAT is
+  * family-specific (ISO-ish, RFC-1123-ish with weekday, US slashes, epoch
+  * seconds, dotted) — the heterogeneous per-source date parsing the
+  * reference does (SURVEY.md §2 op 36), exercised by q15_published_dates.
+  *
+  * Listing (site-root) pages come in THREE feed formats, host family % 3:
+  * HTML <ul>, RSS/Atom-shaped XML, and a JSON feed; [[extractLinks]]
+  * dispatches by content sniffing (op 48).
   *
   * Everything is pure Scala (no Spark imports): the pipeline wraps these in
   * a UDF placed AFTER budget-filtering so only scheduled rows pay the parse
@@ -22,61 +42,220 @@ import java.nio.charset.StandardCharsets
   */
 object Parsers {
 
-  /** (prefix-before-body, suffix-after-body) per family; title is spliced
-    * into the prefix. Bodies in the fixture corpus never contain '<'. */
-  private def articleWrappers(family: Int, title: String, source: String): (String, String) =
-    family match {
-      case 0 =>
-        (s"""<html><head><title>$title</title></head><body><div class="ArticleBody">""",
-          s"""</div><footer>© $source</footer></body></html>""")
-      case 1 =>
-        (s"""<html><head><title>$title</title></head><body><article><p class="pr-body">""",
-          s"""</p></article><div id="footer">Contact</div></body></html>""")
-      case _ =>
-        (s"""<html><head><title>$title</title><meta name="bb"/></head><body><section data-component="body"><span>""",
-          s"""</span></section></body></html>""")
+  // ------------------------------------------------------------------
+  // Published-date formats (family-indexed; None = epoch seconds).
+  // ------------------------------------------------------------------
+
+  /** Spark datetime-pattern per family (used by q15's to_timestamp dispatch;
+    * family 3 = epoch seconds; family 5's weekday prefix is stripped before
+    * parsing because Spark disallows 'E' in parse patterns). */
+  val DateFormats: Array[Option[String]] = Array(
+    Some("yyyy-MM-dd HH:mm:ss"),
+    Some("dd MMM yyyy HH:mm:ss"),
+    Some("MM/dd/yyyy HH:mm:ss"),
+    None, // epoch seconds
+    Some("yyyy.MM.dd HH:mm:ss"),
+    Some("EEE, dd MMM yyyy HH:mm:ss"))
+
+  private val dateFormatters: Array[Option[DateTimeFormatter]] =
+    DateFormats.map(_.map(p =>
+      DateTimeFormatter.ofPattern(p, Locale.US).withZone(java.time.ZoneOffset.UTC)))
+
+  /** Render the published instant in the family's wire format. */
+  def formatPublished(family: Int, published: Instant): String =
+    dateFormatters(family) match {
+      case Some(f) => f.format(published)
+      case None => published.getEpochSecond.toString
     }
 
-  /** (start-marker, end-marker) the extractor searches for, per family. */
+  // ------------------------------------------------------------------
+  // JSON escaping (family 3).
+  // ------------------------------------------------------------------
+
+  private[core] def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Unescape a JSON string starting at `from` (just past the opening
+    * quote); returns the decoded text, or "" if no closing quote. */
+  private def jsonUnescapeTo(s: String, from: Int): String = {
+    val b = new StringBuilder
+    var i = from
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => return b.toString
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case '"' => b.append('"'); i += 2
+            case '\\' => b.append('\\'); i += 2
+            case 'n' => b.append('\n'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'u' if i + 5 < s.length =>
+              b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case other => b.append(other); i += 2
+          }
+        case c => b.append(c); i += 1
+      }
+    }
+    ""
+  }
+
+  // ------------------------------------------------------------------
+  // Entity encoding (family 5).
+  // ------------------------------------------------------------------
+
+  private[core] def entityEncode(s: String): String =
+    s.replace("&", "&amp;").replace(" ", "&#32;")
+
+  private[core] def entityDecode(s: String): String =
+    s.replace("&#32;", " ").replace("&amp;", "&")
+
+  // ------------------------------------------------------------------
+  // Segmented body (family 4): char-based tri-chunking, byte-exact rejoin.
+  // ------------------------------------------------------------------
+
+  private[core] def segments(body: String): Seq[String] = {
+    if (body.isEmpty) Seq("")
+    else {
+      val n = body.length
+      val cut1 = n / 3
+      val cut2 = 2 * n / 3
+      Seq(body.substring(0, cut1), body.substring(cut1, cut2), body.substring(cut2))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Article rendering / extraction.
+  // ------------------------------------------------------------------
+
+  private def head(title: String, published: String): String =
+    s"""<head><title>$title</title>""" +
+      s"""<meta property="article:published" content="$published"/></head>"""
+
+  /** Render an article page for (family, title, source, body, published) →
+    * UTF-8 bytes. Bodies in the fixture corpus never contain '<'. */
+  def renderArticle(family: Int, title: String, source: String, body: String,
+      published: Instant = Constants.EPOCH): Array[Byte] = {
+    val h = head(title, formatPublished(family, published))
+    val page = family match {
+      case 0 =>
+        s"""<html>$h<body><div class="ArticleBody">$body</div>""" +
+          s"""<footer>© $source</footer></body></html>"""
+      case 1 =>
+        s"""<html>$h<body><article><p class="pr-body">$body</p></article>""" +
+          s"""<div id="footer">Contact</div></body></html>"""
+      case 2 =>
+        s"""<html>$h<body><section data-component="body"><span>$body</span>""" +
+          s"""</section></body></html>"""
+      case 3 =>
+        s"""<html>$h<body><script type="application/ld+json">""" +
+          s"""{"@context":"https://schema.org","@type":"NewsArticle",""" +
+          s""""headline":"${jsonEscape(title)}","publisher":"${jsonEscape(source)}",""" +
+          s""""articleBody":"${jsonEscape(body)}"}</script>""" +
+          s"""<noscript>enable js</noscript></body></html>"""
+      case 4 =>
+        val segs = segments(body).zipWithIndex
+          .map { case (seg, i) => s"""<span data-seg="$i">$seg</span>""" }.mkString
+        s"""<html>$h<body><div id="story-body">$segs</div>""" +
+          s"""<aside>related: $source</aside></body></html>"""
+      case _ =>
+        s"""<html>$h<body><div class="entity-body">${entityEncode(body)}</div>""" +
+          s"""</body></html>"""
+    }
+    page.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Listing feed format of a host (op 1's RSS/JSON/HTML endpoint variety). */
+  def listingFormatOf(host: String): Int = FixtureConstants.familyOf(host) % 3
+
+  /** Render a listing (site-root) page linking to `urls` → UTF-8 bytes.
+    * Format 0 = HTML <ul>, 1 = RSS-shaped XML, 2 = JSON feed. */
+  def renderListing(host: String, urls: Seq[String]): Array[Byte] = {
+    val page = listingFormatOf(host) match {
+      case 0 =>
+        val items = urls.map(u => s"""<li><a href="$u">$u</a></li>""").mkString
+        s"""<html><head><title>$host</title></head><body><ul class="headlines">""" +
+          items + "</ul></body></html>"
+      case 1 =>
+        val items = urls.map(u => s"""<item><title>$u</title><link>$u</link></item>""").mkString
+        s"""<?xml version="1.0" encoding="UTF-8"?><rss version="2.0"><channel>""" +
+          s"""<title>$host</title>$items</channel></rss>"""
+      case _ =>
+        val items = urls.map(u => s"""{"id":"$u","url":"$u"}""").mkString(",")
+        s"""{"version":"https://jsonfeed.org/version/1.1","title":"$host","items":[$items]}"""
+    }
+    page.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** (start-marker, end-marker) searched by the simple-wrapper families. */
   private val markers: Array[(String, String)] = Array(
     ("""<div class="ArticleBody">""", """</div>"""),
     ("""<p class="pr-body">""", """</p>"""),
     ("""<section data-component="body"><span>""", """</span>"""))
 
-  /** Render an article page for (family, title, source, body) → UTF-8 bytes. */
-  def renderArticle(family: Int, title: String, source: String, body: String): Array[Byte] = {
-    val (pre, post) = articleWrappers(family, title, source)
-    (pre + body + post).getBytes(StandardCharsets.UTF_8)
+  private def between(s: String, start: String, end: String): Option[String] = {
+    val i = s.indexOf(start)
+    if (i < 0) None
+    else {
+      val from = i + start.length
+      val j = s.indexOf(end, from)
+      if (j < 0) None else Some(s.substring(from, j))
+    }
   }
 
-  /** Render a listing (site-root) page linking to `urls` → UTF-8 bytes. */
-  def renderListing(host: String, urls: Seq[String]): Array[Byte] = {
-    val items = urls.map(u => s"""<li><a href="$u">$u</a></li>""").mkString
-    (s"""<html><head><title>$host</title></head><body><ul class="headlines">""" +
-      items + "</ul></body></html>").getBytes(StandardCharsets.UTF_8)
-  }
+  private val SegRe = """<span data-seg="\d+">""".r
 
   /** Extract article text from page bytes for a host; "" when the page has
     * no article body (e.g. listing pages). THE byte-identity contract. */
   def extract(host: String, html: Array[Byte]): String = {
     if (html == null) return ""
     val s = new String(html, StandardCharsets.UTF_8)
-    val family = FixtureConstants.familyOf(host)
-    val (start, end) = markers(family)
-    val i = s.indexOf(start)
-    if (i < 0) return ""
-    val from = i + start.length
-    val j = s.indexOf(end, from)
-    if (j < 0) "" else s.substring(from, j)
+    FixtureConstants.familyOf(host) match {
+      case f if f <= 2 =>
+        val (start, end) = markers(f)
+        between(s, start, end).getOrElse("")
+      case 3 =>
+        val key = """"articleBody":""""
+        val i = s.indexOf(key)
+        if (i < 0) "" else jsonUnescapeTo(s, i + key.length)
+      case 4 =>
+        between(s, """<div id="story-body">""", """</div>""") match {
+          case None => ""
+          case Some(inner) =>
+            val parts = SegRe.split(inner)
+            // parts(0) is empty (inner starts with a seg span); each later
+            // part ends with the closing </span>.
+            parts.iterator.drop(1).map(_.stripSuffix("</span>")).mkString
+        }
+      case _ =>
+        between(s, """<div class="entity-body">""", """</div>""")
+          .map(entityDecode).getOrElse("")
+    }
   }
 
   private val HrefRe = """href="([^"]+)"""".r
+  private val RssLinkRe = """<link>([^<]+)</link>""".r
+  private val JsonUrlRe = """"url":"([^"]+)"""".r
 
-  /** Extract outgoing links from a listing page (op 48). */
+  /** Extract outgoing links from a listing page (op 48), dispatching on the
+    * feed format by content sniffing: XML-prologue → RSS <link>s, JSON
+    * object → feed items' "url"s, else HTML <ul class="headlines"> hrefs.
+    * Article pages (incl. JSON-LD articles, which start with <html>) yield
+    * no links. */
   def extractLinks(html: Array[Byte]): Seq[String] = {
     if (html == null) return Nil
     val s = new String(html, StandardCharsets.UTF_8)
-    if (!s.contains("""<ul class="headlines">""")) return Nil
-    HrefRe.findAllMatchIn(s).map(_.group(1)).toVector
+    if (s.startsWith("<?xml")) RssLinkRe.findAllMatchIn(s).map(_.group(1)).toVector
+    else if (s.startsWith("{")) JsonUrlRe.findAllMatchIn(s).map(_.group(1)).toVector
+    else if (s.contains("""<ul class="headlines">""")) HrefRe.findAllMatchIn(s).map(_.group(1)).toVector
+    else Nil
   }
 }

@@ -35,6 +35,11 @@ object CrawlQueries {
       |         text, lang, source, doc_id
       |    FROM documents WHERE doc_id % 5 = 0
       |  UNION ALL
+      |  SELECT 'https://' || source || '.example.com/articles/' || doc_id,
+      |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) + to_seconds(7200),
+      |         text || ' updated', lang, source, doc_id
+      |    FROM documents WHERE doc_id % 7 = 3
+      |  UNION ALL
       |  SELECT DISTINCT 'https://' || source || '.example.com/',
       |         TIMESTAMP '2024-01-01 00:00:00', '', 'und', source, NULL
       |    FROM documents
@@ -203,6 +208,54 @@ object CrawlQueries {
         .select("host", "url", "gap_sec")
     }),
 
+    // op 36: heterogeneous per-source published-date parsing — each host
+    // family embeds its date in a different wire format (ISO-ish, RFC-1123-
+    // ish with weekday, US slashes, epoch seconds, dotted); the engine
+    // extracts the meta from the raw html bytes and dispatches the format by
+    // family (broadcast dim), canonicalizing to one timestamp.
+    "q15_published_dates" -> ((s, dir) => {
+      import s.implicits._
+      val familyDim = broadcast(
+        graft.core.FixtureConstants.hosts.map(h => (h.host, h.family)).toDF("host", "family"))
+      val raw = regexp_extract(col("html").cast("string"),
+        "property=\"article:published\" content=\"([^\"]+)\"", 1)
+      // family 3 is epoch seconds; family 5 strips the weekday prefix
+      // before parsing (Spark forbids 'E' in parse patterns).
+      val fmt = graft.core.Parsers.DateFormats
+      latestCaptures(s, dir)
+        .filter(col("url").contains("/articles/"))
+        .withColumn("published_raw", raw)
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .join(familyDim, Seq("host"))
+        .withColumn("published_ts",
+          when(col("family") === 0, to_timestamp(col("published_raw"), fmt(0).get))
+            .when(col("family") === 1, to_timestamp(col("published_raw"), fmt(1).get))
+            .when(col("family") === 2, to_timestamp(col("published_raw"), fmt(2).get))
+            .when(col("family") === 3, timestamp_seconds(col("published_raw").cast("long")))
+            .when(col("family") === 4, to_timestamp(col("published_raw"), fmt(4).get))
+            .otherwise(to_timestamp(
+              regexp_replace(col("published_raw"), "^[A-Za-z]{3}, ", ""),
+              "dd MMM yyyy HH:mm:ss")))
+        .select(col("url"), col("published_raw"), col("published_ts"))
+    }),
+
+    // op 4 read side: keyed latest-wins upsert compaction over all captures
+    // (ES-style index semantics: one surviving version per url key).
+    "q16_article_upsert" -> ((s, dir) => {
+      val caps = pages(s, dir)
+        .filter(Canonicalize.isHttpScheme(col("url")))
+        .select(
+          Canonicalize.canonicalUrl(col("url")).as("url"),
+          col("url").as("raw_url"), col("warc_ts"), col("text"))
+        .filter(col("url").isNotNull && col("url").contains("/articles/"))
+        .withColumn("batch_id",
+          (floor((unix_timestamp(col("warc_ts")) - lit(Constants.EPOCH.getEpochSecond))
+            / 21600L) + 1L).cast("long"))
+      graft.operators.Upsert.latestWins(caps, Seq("url"), Seq(desc("warc_ts"), desc("raw_url")))
+        .select(col("url"), col("n_versions"), col("batch_id").as("last_batch"),
+          length(col("text")).as("text_len"))
+    }),
+
     // ops 43/5/29: the full multi-batch crawl with checkpointed state; output
     // is the canonically-ordered article log. Oracle: the sequential crawler
     // (ScalaTest golden parity) — iterative state is not DuckDB-expressible.
@@ -279,9 +332,9 @@ object CrawlQueries {
          |    FROM canon GROUP BY url, host
          |),
          |allowed AS (
-         |  SELECT c.*, h.weight, h.budget,
-         |         h.weight * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
-         |    FROM cand c JOIN hostdim h USING (host)
+         |  SELECT c.*, COALESCE(h.weight, 1.0) AS weight, COALESCE(h.budget, 2) AS budget,
+         |         COALESCE(h.weight, 1.0) * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
+         |    FROM cand c LEFT JOIN hostdim h USING (host)
          |   WHERE NOT (regexp_replace(url, '^https://[^/]*', '') LIKE '/private/%'
          |              OR (host = 'src13.example.com'
          |                  AND regexp_replace(url, '^https://[^/]*', '') LIKE '/articles/%'))
@@ -300,9 +353,9 @@ object CrawlQueries {
          |  SELECT url, host, max(warc_ts) AS discovered_ts FROM canon GROUP BY url, host
          |),
          |allowed AS (
-         |  SELECT c.*, h.weight, h.budget,
-         |         h.weight * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
-         |    FROM cand c JOIN hostdim h USING (host)
+         |  SELECT c.*, COALESCE(h.weight, 1.0) AS weight, COALESCE(h.budget, 2) AS budget,
+         |         COALESCE(h.weight, 1.0) * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
+         |    FROM cand c LEFT JOIN hostdim h USING (host)
          |   WHERE NOT (regexp_replace(url, '^https://[^/]*', '') LIKE '/private/%'
          |              OR (host = 'src13.example.com'
          |                  AND regexp_replace(url, '^https://[^/]*', '') LIKE '/articles/%'))
@@ -364,6 +417,45 @@ object CrawlQueries {
          |)
          |SELECT host, url, CAST(gap_sec AS BIGINT) AS gap_sec FROM g
          | WHERE gap_sec IS NOT NULL""".stripMargin,
+
+    "q15_published_dates" ->
+      s"""$PagesCte,
+         |art AS (
+         |  SELECT DISTINCT rtrim(split_part(split_part(p.url, '#', 1), '?', 1), '/') AS url,
+         |         p.source || '.example.com' AS host, p.doc_id
+         |    FROM pages p WHERE p.doc_id IS NOT NULL
+         |),
+         |withpub AS (
+         |  SELECT url, host,
+         |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) AS pub
+         |    FROM art
+         |)
+         |SELECT p.url,
+         |       CASE h.family
+         |         WHEN 0 THEN strftime(p.pub, '%Y-%m-%d %H:%M:%S')
+         |         WHEN 1 THEN strftime(p.pub, '%d %b %Y %H:%M:%S')
+         |         WHEN 2 THEN strftime(p.pub, '%m/%d/%Y %H:%M:%S')
+         |         WHEN 3 THEN CAST(CAST(epoch(p.pub) AS BIGINT) AS VARCHAR)
+         |         WHEN 4 THEN strftime(p.pub, '%Y.%m.%d %H:%M:%S')
+         |         ELSE strftime(p.pub, '%a, %d %b %Y %H:%M:%S') END AS published_raw,
+         |       p.pub AS published_ts
+         |  FROM withpub p JOIN hostdim h USING (host)""".stripMargin,
+
+    "q16_article_upsert" ->
+      s"""$PagesCte,
+         |caps AS (
+         |  SELECT url, raw_url, warc_ts, text,
+         |         CAST(floor(epoch(warc_ts - TIMESTAMP '2024-01-01 00:00:00') / 21600) + 1 AS BIGINT) AS batch_id
+         |    FROM canon WHERE url LIKE '%/articles/%'
+         |),
+         |r AS (
+         |  SELECT url, batch_id, text,
+         |         ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, raw_url DESC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY url) AS n_versions
+         |    FROM caps
+         |)
+         |SELECT url, n_versions, batch_id AS last_batch, length(text) AS text_len
+         |  FROM r WHERE rn = 1""".stripMargin,
 
     "q09_link_extract" ->
       s"""WITH ranked AS (

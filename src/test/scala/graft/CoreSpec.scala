@@ -15,7 +15,7 @@ class CoreSpec extends AnyFunSuite {
     val df = FixtureConstants.hosts.map(h => (h.source, h.host)).toDF("source", "host")
     val derived = df.select(
       $"source",
-      pmod(xxhash64($"source"), lit(3)).as("family"),
+      pmod(xxhash64($"source"), lit(6)).as("family"),
       (lit(1.0) + pmod(xxhash64($"host"), lit(10))).as("weight"),
       (lit(2) + pmod(xxhash64($"host"), lit(4))).as("budget"),
       (lit(1.0) + pmod(xxhash64($"host"), lit(3))).as("crawl_delay"),
@@ -69,21 +69,57 @@ class CoreSpec extends AnyFunSuite {
   }
 
   test("parsers: render→extract roundtrip is byte-identical for all families") {
-    val body = "the fast key order sort / with punct, and words"
-    for (h <- FixtureConstants.hosts) {
+    // adversarial bodies: JSON-escape-worthy chars, entity chars, empty
+    val bodies = Seq(
+      "the fast key order sort / with punct, and words",
+      """quotes "inside" and back\slash & amp; mix  double-space""",
+      "a",
+      "")
+    assert(FixtureConstants.hosts.map(_.family).distinct.sorted === (0 to 5))
+    for (h <- FixtureConstants.hosts; body <- bodies) {
       val html = Parsers.renderArticle(h.family, "Doc 7", h.source, body)
-      assert(Parsers.extract(h.host, html) === body, s"family ${h.family}")
+      assert(Parsers.extract(h.host, html) === body,
+        s"family ${h.family}, body <$body>")
     }
   }
 
-  test("parsers: listing pages extract no text but yield links") {
-    val urls = (0 until 10).map(i => s"https://src2.example.com/articles/$i")
-    val html = Parsers.renderListing("src2.example.com", urls)
-    assert(Parsers.extract("src2.example.com", html) === "")
-    assert(Parsers.extractLinks(html) === urls)
-    // article pages yield no links
-    val art = Parsers.renderArticle(0, "Doc 1", "src0", "body text")
-    assert(Parsers.extractLinks(art) === Nil)
+  test("parsers: published-date meta round-trips through every family format") {
+    val pub = Constants.EPOCH.plusSeconds(12345 * 60)
+    for (h <- FixtureConstants.hosts) {
+      val html = new String(
+        Parsers.renderArticle(h.family, "Doc 1", h.source, "body", pub), "UTF-8")
+      val re = """property="article:published" content="([^"]+)"""".r
+      val raw = re.findFirstMatchIn(html).map(_.group(1)).getOrElse(fail(s"no meta: $html"))
+      assert(raw === Parsers.formatPublished(h.family, pub))
+      // the raw string must parse back to the instant (family-format aware)
+      val parsed = h.family match {
+        case 3 => java.time.Instant.ofEpochSecond(raw.toLong)
+        case f =>
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern(Parsers.DateFormats(f).get, java.util.Locale.US)
+            .withZone(java.time.ZoneOffset.UTC)
+          java.time.Instant.from(fmt.parse(raw))
+      }
+      assert(parsed === pub, s"family ${h.family}: $raw")
+    }
+  }
+
+  test("parsers: all three listing feed formats extract links, no text") {
+    // pick one fixture host per feed format (family % 3)
+    val byFormat = FixtureConstants.hosts.groupBy(h => h.family % 3)
+    assert(byFormat.keySet === Set(0, 1, 2))
+    for ((fmtId, hs) <- byFormat; h = hs.head) {
+      val urls = (0 until 10).map(i => s"https://${h.host}/articles/$i")
+      val html = Parsers.renderListing(h.host, urls)
+      assert(Parsers.listingFormatOf(h.host) === fmtId)
+      assert(Parsers.extract(h.host, html) === "", s"format $fmtId extracted text")
+      assert(Parsers.extractLinks(html) === urls, s"format $fmtId links")
+    }
+    // article pages yield no links, for every family
+    for (h <- FixtureConstants.hosts) {
+      val art = Parsers.renderArticle(h.family, "Doc 1", h.source, "body text")
+      assert(Parsers.extractLinks(art) === Nil, s"family ${h.family}")
+    }
   }
 
   test("fixtures: byte-identity invariant over the whole sf0.001 pages table") {
@@ -104,8 +140,9 @@ class CoreSpec extends AnyFunSuite {
   test("fixtures: expected shape at sf0.001") {
     val fixDir = Fixtures.ensure(spark, TestSpark.Sf0001)
     val pages = spark.read.parquet(s"$fixDir/pages.parquet")
-    // 500 docs + 100 aliases (doc_id%5==0) + 20 listing roots
-    assert(pages.count() === 620L)
+    // 500 docs + 100 aliases (doc_id%5==0) + 71 recaptures (doc_id%7==3)
+    // + 20 listing roots
+    assert(pages.count() === 691L)
     assert(spark.read.parquet(s"$fixDir/seeds.parquet").count() === 40L)
     assert(spark.read.parquet(s"$fixDir/robots.parquet").count() === 20L)
     val media = spark.read.parquet(s"$fixDir/media.parquet")
