@@ -75,9 +75,12 @@ object Bench {
     val total = results.map(_._2).sum + crawlSec.getOrElse(0.0)
 
     // North-rule two-cluster-size evidence: a disciplined FRESH-JVM pair
-    // (N=2 vs 4N=8 threads on the XL replicated frontier; each level is a
-    // spawned child process with its own warmup pass). The committed full
-    // ladder (R=1024) lives in BENCH.md §3c and is cited alongside.
+    // (N=2 vs 4N=8 threads on the XL replicated frontier, budget
+    // non-binding so the measured quantity is pipeline throughput; each
+    // level is a spawned child process with its own warmup pass). The
+    // committed full ladders (R=1024, both rounds) live in BENCH.md §3 and
+    // are cited alongside — single-host thread-scaling here carries large
+    // host-condition variance across rounds (BENCH.md §3d).
     // Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
     val scalingJson =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
@@ -87,11 +90,12 @@ object Bench {
         val (n2, s2) = ScalingBench.runOnceFreshJvm(2, xlDir, r)
         val (n8, s8) = ScalingBench.runOnceFreshJvm(8, xlDir, r)
         val eff = (n8 / s8) / (4 * (n2 / s2))
-        s""","scaling":{"r":$r,"mode":"fresh-jvm pair (spawned children, warmup inside each)",""" +
+        s""","scaling":{"r":$r,"mode":"fresh-jvm pair (spawned children, warmup inside each, budget non-binding)",""" +
           s""""local2":{"urls":$n2,"wall_sec":$s2},""" +
           s""""local8":{"urls":$n8,"wall_sec":$s8},"efficiency_2_to_8":$eff,""" +
-          s""""ladder_ref":{"note":"committed fresh-JVM ladder, BENCH.md section 3c",""" +
-          s""""r":1024,"efficiency_2_to_8":1.10}}"""
+          s""""ladder_ref":{"note":"committed fresh-JVM R=1024 ladders, BENCH.md section 3c; cross-round host variance documented in 3d",""" +
+          s""""round1_efficiency_2_to_8":1.10,"round2_efficiency_2_to_8":0.62,""" +
+          s""""round2_local32_urls_per_sec":129723}}"""
       } catch {
         // Never lose the whole bench line to a scaling-run failure.
         case e: Throwable =>

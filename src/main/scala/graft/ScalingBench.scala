@@ -69,6 +69,16 @@ object ScalingBench {
   /** One XL mega-batch at `cpus` threads → (urls processed, wall sec). */
   def runOnce(cpus: Int, xlDir: String): (Long, Double) = {
     val spark = newSession(cpus)
+    // SPARK_GRAFT_SCALE_TRACE=1: print job wall-clock boundaries so driver-
+    // serial gaps (time between jobs) can be measured offline.
+    if (sys.env.get("SPARK_GRAFT_SCALE_TRACE").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          System.err.println(s"[trace] job=${js.jobId} start=${js.time}")
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          System.err.println(s"[trace] job=${je.jobId} end=${je.time}")
+      })
+    }
     try {
       // html never cached; everything flows scan → shuffle → parse once.
       val cfg = CrawlConfig(
@@ -112,6 +122,12 @@ object ScalingBench {
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_SCALE_LEVELS", cpus.toString)
     pb.environment().put("SPARK_GRAFT_SCALE_R", r.toString)
+    // Parse-dominated regime by default (budget non-binding): the measured
+    // quantity must be pipeline throughput, not the politeness cap — a
+    // binding budget fixes the fetch/parse work regardless of R and the
+    // pair degenerates into measuring the scan+dedup prelude (BENCH.md §3d).
+    pb.environment().put("SPARK_GRAFT_SCALE_BUDGET",
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "32000"))
     pb.redirectErrorStream(false)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")

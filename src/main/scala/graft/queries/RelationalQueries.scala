@@ -15,6 +15,22 @@ object RelationalQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // map ops (SURVEY §2 op 40): JSON props → MapType, element_at /
+    // map_keys; the map stays internal (scalar outputs keep the DuckDB
+    // oracle clean — maps themselves don't round-trip parquet↔DuckDB well).
+    "q17_map_ops" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("pm", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))
+        .select(col("event_type"),
+          element_at(col("pm"), "k").as("k_val"),
+          size(map_keys(col("pm"))).as("n_keys"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k_val").as("sum_k"),
+          max("k_val").as("max_k"), max("n_keys").as("max_keys"))),
+
     // hash aggregate with partial/final combine (TPC-H Q1 shape).
     "q20_lineitem_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -106,6 +122,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_map_ops" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       CAST(max(len(json_keys(props))) AS INT) AS max_keys
+        |  FROM events GROUP BY event_type""".stripMargin,
+
     "q20_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

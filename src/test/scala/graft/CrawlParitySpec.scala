@@ -94,6 +94,12 @@ class CrawlParitySpec extends AnyFunSuite {
     val resumed = CrawlLoop.run(spark, TestSpark.Sf0001, partCfg, fresh = false)
 
     assert(resumed.batches === full.batches)
+    // Cumulative RunResult totals must cover pre-resume batches too (the
+    // manifest carries running totals): resumed == uninterrupted.
+    assert(resumed.scheduledTotal === full.scheduledTotal)
+    assert(resumed.fetchedTotal === full.fetchedTotal)
+    assert(resumed.parsedTotal === full.parsedTotal)
+    assert(resumed.articleCount === full.articleCount)
     val a = CrawlLoop.articles(spark, full.dir)
       .select("fetch_order", "url", "batch_id").as[(Long, String, Long)]
       .collect().sortBy(_._1).toSeq
