@@ -118,6 +118,104 @@ object Similarity {
     rankTopK(cands.select("query_id", "neighbor_id", "cos"), k)
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path beside LSH.
+  // ------------------------------------------------------------------
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** Deterministic IVF coarse quantizer: seed centroids are the `k` corpus
+    * vectors with the smallest xxhash64(vec_id) (reproducible at any
+    * parallelism), refined by `iters` Lloyd rounds (cosine assignment on
+    * normalized vectors, per-cell mean via a distributed posexplode
+    * aggregation — only k×dim floats ever reach the driver, the model, not
+    * the data). */
+  def ivfCentroids(vecs: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+    val spark = vecs.sparkSession
+    var centroids: Array[Array[Float]] = vecs
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(r => normalize(r.getSeq[Float](1).toArray))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val cellOf = udf { emb: Seq[Float] =>
+        val v = normalize(emb.toArray)
+        var best = 0; var bestDot = Double.MinValue
+        val cs = bc.value
+        var c = 0
+        while (c < cs.length) {
+          val d = dot(v, cs(c)); if (d > bestDot) { bestDot = d; best = c }; c += 1
+        }
+        best
+      }
+      val means = vecs
+        .select(cellOf(col("embedding")).as("cell"), col("embedding"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val dim = centroids(0).length
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next.map(normalize)
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: candidates live in exactly ONE cell each (their
+    * nearest centroid); every query probes its `nProbe` nearest cells. The
+    * candidate join is a bucketed EQUI-join on `cell` — never an all-pairs
+    * pass — and each (query, candidate) pair arises at most once (one cell
+    * per candidate), so no dedup shuffle is needed before the exact-cosine
+    * top-k aggregate. At 10^10 vectors the cell count is the knob: cells ~
+    * √n keeps both the centroid model and the per-cell posting lists
+    * worker-sized. */
+  def knnIvf(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = ivfCentroids(candidates, nCells, iters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val cellOf = udf { emb: Seq[Float] =>
+      val v = normalize(emb.toArray)
+      var best = 0; var bestDot = Double.MinValue
+      val cs = bc.value
+      var c = 0
+      while (c < cs.length) {
+        val d = dot(v, cs(c)); if (d > bestDot) { bestDot = d; best = c }; c += 1
+      }
+      best
+    }
+    val probeCells = udf { emb: Seq[Float] =>
+      val v = normalize(emb.toArray)
+      val cs = bc.value
+      cs.indices.map(c => (dot(v, cs(c)), c)).sortBy(-_._1).take(nProbe).map(_._2)
+    }
+    val cIdx = candidates.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), cellOf(col("embedding")).as("cell"))
+    val qIdx = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), explode(probeCells(col("embedding"))).as("cell"))
+    val scored = cIdx.join(qIdx, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("c_emb")))
+    rankTopK(scored.select("query_id", "neighbor_id", "cos"), k)
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup), via
     * TRIANGLE-TILED block self-join.
     *

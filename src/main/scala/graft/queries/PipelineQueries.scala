@@ -52,6 +52,13 @@ object PipelineQueries {
       Similarity.knnLsh(s, e.filter(col("vec_id") % 50 === 0), e, k = 5)
     }),
 
+    // IVF-bucketed approximate top-k (second scale path; recall tested vs
+    // q35 in MlSpec; hash/centroid-valued candidacy: rows-only).
+    "q43_knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnIvf(s, e.filter(col("vec_id") % 50 === 0), e, k = 5)
+    }),
+
     // language-ID heuristic.
     "q37_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
 

@@ -129,6 +129,28 @@ class MlSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"clustered ANN recall $recall — banding regressed")
   }
 
+  test("knn IVF: high recall on a clustered corpus, bucketed equi-join only") {
+    val e = clusteredVecs(300, 12, 64)
+    val q = e.filter($"vec_id" % 25 === 0)
+    val brute = Similarity.knnBruteForce(q, e, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(spark, q, e, 5, nCells = 12, nProbe = 3)
+    val got = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall — quantizer or probing regressed")
+    // candidate generation is an equi-join on cell, never a nested loop
+    val plan = ivf.queryExecution.executedPlan
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, "IVF candidate join is not an equi-join")
+    // each (query, neighbor) arises at most once (one cell per candidate)
+    val dupes = Similarity.knnIvf(spark, q, e, 5, nCells = 12, nProbe = 3)
+      .groupBy("query_id", "neighbor_id").count().filter($"count" > 1).count()
+    assert(dupes === 0L)
+  }
+
   test("tiled cosine near-dup pairs == brute-force truth (exact completeness)") {
     val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val got = Similarity.cosineNearDupPairs(e, 0.35, blocks = 8)
