@@ -57,9 +57,10 @@ object Checkpoints {
       field("scheduled_total"), field("fetched_total"), field("parsed_total"))
   }
 
-  /** Write state snapshots + append deltas for batch k, then commit the
-    * manifest. `seenDelta` is append-only (see CrawlLoop scale notes). */
-  def commit(
+  /** Write state snapshots + append deltas for batch k. NOT yet visible —
+    * visibility is gated solely by [[commitManifest]] (manifest-LAST).
+    * `seenDelta` is append-only (see CrawlLoop scale notes). */
+  def writeState(
       spark: SparkSession,
       dir: String,
       k: Long,
@@ -69,11 +70,10 @@ object Checkpoints {
       articlesDelta: DataFrame,
       fetchLogDelta: DataFrame,
       hostLogDelta: DataFrame,
-      m: Manifest,
       compact: Boolean = true): Unit = {
     val snap = snapDir(dir, k)
-    // The six pre-manifest writes are independent (visibility is gated
-    // solely by the manifest) — submit them as concurrent Spark jobs.
+    // The six pre-manifest writes are independent — submit them as
+    // concurrent Spark jobs.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -85,6 +85,24 @@ object Checkpoints {
       () => write(fetchLogDelta, s"$dir/fetch_log/b$k", compact),
       () => write(hostLogDelta, s"$dir/host_log/b$k", compact = true))
     Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+  }
+
+  /** (fetched, parsed, articles) of batch k, summed from the just-written
+    * (tiny) fetch_log delta — replaces a dedicated counting job over the
+    * parse pipeline. Call between writeState and commitManifest. */
+  def batchCounts(spark: SparkSession, dir: String, k: Long): (Long, Long, Long) = {
+    val r = spark.read.parquet(s"$dir/fetch_log/b$k")
+      .agg(
+        org.apache.spark.sql.functions.sum("urls_fetched"),
+        org.apache.spark.sql.functions.sum("urls_parsed"),
+        org.apache.spark.sql.functions.sum("urls_article"))
+      .head()
+    def at(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    (at(0), at(1), at(2))
+  }
+
+  /** Publish batch k: the manifest write is the atomic visibility point. */
+  def commitManifest(dir: String, m: Manifest): Unit = {
     val cp = Paths.get(dir, "checkpoints")
     Files.createDirectories(cp)
     val json =
@@ -92,10 +110,9 @@ object Checkpoints {
         s""""scheduled":${m.scheduled},"fetched":${m.fetched},"parsed":${m.parsed},""" +
         s""""scheduled_total":${m.scheduledTotal},"fetched_total":${m.fetchedTotal},""" +
         s""""parsed_total":${m.parsedTotal}}"""
-    // Manifest LAST — the atomic visibility point.
-    val tmp = cp.resolve(s"$k.json.tmp")
+    val tmp = cp.resolve(s"${m.batchId}.json.tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, cp.resolve(s"$k.json"),
+    Files.move(tmp, cp.resolve(s"${m.batchId}.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }

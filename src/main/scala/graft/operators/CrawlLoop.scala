@@ -42,6 +42,17 @@ object CrawlLoop {
   final case class RunResult(dir: String, batches: Long, articleCount: Long,
       scheduledTotal: Long, fetchedTotal: Long, parsedTotal: Long)
 
+  /** SPARK_GRAFT_CRAWL_TRACE=1 → per-phase driver timings on stderr. */
+  private val trace = sys.env.get("SPARK_GRAFT_CRAWL_TRACE").contains("1")
+  private[operators] def timed[A](name: String)(f: => A): A =
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[crawl-trace] $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
   def seedFrontier(spark: SparkSession, fixDir: String): DataFrame =
     spark.read.parquet(s"$fixDir/seeds.parquet")
       // scheme prefilter keeps the Column flavor in lockstep with
@@ -101,25 +112,29 @@ object CrawlLoop {
     while (!done && k < cfg.maxBatches) {
       k += 1
       val seenExact = seenUpTo(spark, dir, k - 1)
-      val r = Scheduler.runBatch(spark, pages, frontier, seenExact, seenShards,
-        robots, weights, budgets, k, articleCount, cfg)
+      val r = timed(s"b$k runBatch")(
+        Scheduler.runBatch(spark, pages, frontier, seenExact, seenShards,
+          robots, weights, budgets, k, articleCount, cfg))
 
       val newShards = BloomSeen.mergeShards(seenShards,
         BloomSeen.buildShards(r.seenDelta.select("url_hash")))
 
-      val nArticles = r.articleCount
-      Checkpoints.commit(spark, dir, k,
+      timed(s"b$k writeState")(Checkpoints.writeState(spark, dir, k,
         r.frontier, r.seenDelta, newShards,
         r.articles, r.fetchLog, r.hostLog,
+        compact = cfg.compactState))
+      // Counters come from the just-written fetch_log delta (one tiny file
+      // read instead of a dedicated agg job over the parse pipeline).
+      val (nFetched, nParsed, nArticles) = Checkpoints.batchCounts(spark, dir, k)
+      Checkpoints.commitManifest(dir,
         Checkpoints.Manifest(k, articleCount + nArticles,
-          r.scheduledCount, r.fetchedCount, r.parsedCount,
-          scheduledTotal + r.scheduledCount, fetchedTotal + r.fetchedCount,
-          parsedTotal + r.parsedCount),
-        compact = cfg.compactState)
+          r.scheduledCount, nFetched, nParsed,
+          scheduledTotal + r.scheduledCount, fetchedTotal + nFetched,
+          parsedTotal + nParsed))
       articleCount += nArticles
       scheduledTotal += r.scheduledCount
-      fetchedTotal += r.fetchedCount
-      parsedTotal += r.parsedCount
+      fetchedTotal += nFetched
+      parsedTotal += nParsed
       r.cached.foreach(_.unpersist())
 
       // Re-read committed state (truncates lineage across batches).
@@ -127,7 +142,7 @@ object CrawlLoop {
       seenShards = Checkpoints.readSnap(spark, dir, k, "seen_shards")
 
       val hwmDone = Constants.EPOCH.getEpochSecond + k * cfg.deltaPerBatchSec > maxTsSec
-      done = hwmDone && frontier.isEmpty
+      done = hwmDone && timed(s"b$k isEmpty")(frontier.isEmpty)
     }
     if (cfg.cacheInputs) pages.unpersist()
     RunResult(dir, k, articleCount, scheduledTotal, fetchedTotal, parsedTotal)

@@ -48,7 +48,12 @@ final case class CrawlConfig(
     /** State/checkpoint namespace under Constants.workDir/state/. */
     runTag: String = "default")
 
-/** One fetch-and-parse micro-batch's outputs (E1). */
+/** One fetch-and-parse micro-batch's outputs (E1).
+  *
+  * fetched/parsed/article counters are NOT computed here — they are columns
+  * of `fetchLog` (urls_fetched / urls_parsed / urls_article), aggregated by
+  * the same job that persists the lineage table, and the loop reads them
+  * back from the committed (tiny) file: one fewer action per batch. */
 final case class BatchResult(
     /** Parsed article rows appended this batch. */
     articles: DataFrame,
@@ -61,10 +66,6 @@ final case class BatchResult(
     /** Per-host politeness accounting rows (op 18). */
     hostLog: DataFrame,
     scheduledCount: Long,
-    fetchedCount: Long,
-    parsedCount: Long,
-    /** Article rows in `articles` (fetched non-listing pages). */
-    articleCount: Long,
     /** Frames cached inside the batch; caller unpersists after materializing. */
     cached: Seq[DataFrame])
 
@@ -236,7 +237,7 @@ object Scheduler {
     val excluded = sched.excluded
     val scheduled = sched.scheduled
       .select("url", "url_hash", "host", "discovered_ts", "priority", "host_bucket")
-    val scheduledCount = scheduled.count()
+    val scheduledCount = CrawlLoop.timed(s"b$batchId schedCount")(scheduled.count())
     val deferred = sched.deferred
 
     // ---- fetch (ops 3/14): scheduled ⋈ pages on canonical url -------------
@@ -343,6 +344,7 @@ object Scheduler {
       .agg(
         count(lit(1)).as("urls_fetched"),
         sum(when(col("parse_ok"), 1L).otherwise(0L)).as("urls_parsed"),
+        sum(when(col("is_listing"), 0L).otherwise(1L)).as("urls_article"),
         sum(col("bytes")).cast("long").as("bytes"))
       .withColumn("batch_id", lit(batchId))
     val hostLog = scheduled
@@ -357,18 +359,8 @@ object Scheduler {
       .na.fill(0L, Seq("urls_scheduled", "urls_fetched", "urls_parsed", "bytes"))
       .withColumn("batch_id", lit(batchId))
 
-    // One metrics job for all three counters (reads the parsed cache).
-    val countsRow = parsed
-      .agg(
-        count(lit(1)),
-        sum(when(col("parse_ok"), 1L).otherwise(0L)),
-        sum(when(col("is_listing"), 0L).otherwise(1L)))
-      .head()
-    val fetchedCount = countsRow.getLong(0)
-    val parsedCount = if (countsRow.isNullAt(1)) 0L else countsRow.getLong(1)
-    val articleCount = if (countsRow.isNullAt(2)) 0L else countsRow.getLong(2)
     BatchResult(
       articles, newFrontier, seenDelta, fetchLog, hostLog,
-      scheduledCount, fetchedCount, parsedCount, articleCount, sched.cached :+ parsed)
+      scheduledCount, sched.cached :+ parsed)
   }
 }
