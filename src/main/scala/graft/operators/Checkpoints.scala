@@ -87,18 +87,20 @@ object Checkpoints {
     Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
   }
 
-  /** (fetched, parsed, articles) of batch k, summed from the just-written
-    * (tiny) fetch_log delta — replaces a dedicated counting job over the
-    * parse pipeline. Call between writeState and commitManifest. */
-  def batchCounts(spark: SparkSession, dir: String, k: Long): (Long, Long, Long) = {
-    val r = spark.read.parquet(s"$dir/fetch_log/b$k")
-      .agg(
-        org.apache.spark.sql.functions.sum("urls_fetched"),
-        org.apache.spark.sql.functions.sum("urls_parsed"),
-        org.apache.spark.sql.functions.sum("urls_article"))
+  /** (scheduled, fetched, parsed, articles) of batch k, summed from the
+    * just-written (tiny) host_log + fetch_log deltas — replaces dedicated
+    * counting jobs over the scheduling and parse pipelines. Call between
+    * writeState and commitManifest. */
+  def batchCounts(spark: SparkSession, dir: String, k: Long): (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.sum
+    val f = spark.read.parquet(s"$dir/fetch_log/b$k")
+      .agg(sum("urls_fetched"), sum("urls_parsed"), sum("urls_article"))
       .head()
-    def at(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-    (at(0), at(1), at(2))
+    val h = spark.read.parquet(s"$dir/host_log/b$k")
+      .agg(sum("urls_scheduled"))
+      .head()
+    def at(r: org.apache.spark.sql.Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    (at(h, 0), at(f, 0), at(f, 1), at(f, 2))
   }
 
   /** Publish batch k: the manifest write is the atomic visibility point. */

@@ -91,6 +91,13 @@ object CrawlLoop {
 
     val maxTsSec = pages.agg(max("warc_ts")).head().getTimestamp(0).toInstant.getEpochSecond
 
+    // Per-run upper bound on a batch's scheduled count (Σ budgets ×
+    // budgetScale; hosts outside the dim default to budget 2, covered by the
+    // 2× slack) — lets runBatch pick the fetch_order strategy without a
+    // per-batch counting action. One tiny job per RUN, not per batch.
+    val budgetSum = budgets.agg(coalesce(sum("budget"), lit(0L))).head().getLong(0)
+    val scheduledBound = 2L * budgetSum * cfg.budgetScale
+
     // ---- resume point (op 5): max committed manifest ----------------------
     // Running totals are restored from the manifest's cumulative fields so a
     // resumed run's RunResult (and bench throughput) counts pre-resume
@@ -114,7 +121,7 @@ object CrawlLoop {
       val seenExact = seenUpTo(spark, dir, k - 1)
       val r = timed(s"b$k runBatch")(
         Scheduler.runBatch(spark, pages, frontier, seenExact, seenShards,
-          robots, weights, budgets, k, articleCount, cfg))
+          robots, weights, budgets, k, articleCount, cfg, scheduledBound))
 
       val newShards = BloomSeen.mergeShards(seenShards,
         BloomSeen.buildShards(r.seenDelta.select("url_hash")))
@@ -123,16 +130,17 @@ object CrawlLoop {
         r.frontier, r.seenDelta, newShards,
         r.articles, r.fetchLog, r.hostLog,
         compact = cfg.compactState))
-      // Counters come from the just-written fetch_log delta (one tiny file
-      // read instead of a dedicated agg job over the parse pipeline).
-      val (nFetched, nParsed, nArticles) = Checkpoints.batchCounts(spark, dir, k)
+      // Counters come from the just-written host_log/fetch_log deltas (two
+      // tiny file reads instead of dedicated agg jobs over the scheduling
+      // and parse pipelines).
+      val (nScheduled, nFetched, nParsed, nArticles) = Checkpoints.batchCounts(spark, dir, k)
       Checkpoints.commitManifest(dir,
         Checkpoints.Manifest(k, articleCount + nArticles,
-          r.scheduledCount, nFetched, nParsed,
-          scheduledTotal + r.scheduledCount, fetchedTotal + nFetched,
+          nScheduled, nFetched, nParsed,
+          scheduledTotal + nScheduled, fetchedTotal + nFetched,
           parsedTotal + nParsed))
       articleCount += nArticles
-      scheduledTotal += r.scheduledCount
+      scheduledTotal += nScheduled
       fetchedTotal += nFetched
       parsedTotal += nParsed
       r.cached.foreach(_.unpersist())

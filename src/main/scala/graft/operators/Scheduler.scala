@@ -63,9 +63,8 @@ final case class BatchResult(
     seenDelta: DataFrame,
     /** Per-partition lineage/throughput rows (op 21). */
     fetchLog: DataFrame,
-    /** Per-host politeness accounting rows (op 18). */
+    /** Per-host politeness accounting rows (op 18; carries urls_scheduled). */
     hostLog: DataFrame,
-    scheduledCount: Long,
     /** Frames cached inside the batch; caller unpersists after materializing. */
     cached: Seq[DataFrame])
 
@@ -201,9 +200,12 @@ object Scheduler {
 
   /** Run one micro-batch. `frontier`: (url, host, discovered_ts) queued rows;
     * `seenExact`: (url_hash, url, status); `seenShards`: bloom blobs;
-    * dims: robots/weights/budgets fixtures. Returns the batch outputs
-    * (unpersisted lazily-evaluated frames EXCEPT the internally cached
-    * scheduled set — caller materializes via checkpoint writes). */
+    * dims: robots/weights/budgets fixtures. `scheduledBound`: a per-run
+    * upper bound on the batch's scheduled count (Σ budgets × budgetScale,
+    * computed once per run) — picks the fetch_order strategy without a
+    * per-batch counting action. Returns the batch outputs as LAZY frames:
+    * the batch issues NO Spark action itself; the caller's checkpoint
+    * writes are the single job wave. */
   def runBatch(
       spark: SparkSession,
       pages: DataFrame,
@@ -215,7 +217,8 @@ object Scheduler {
       budgets: DataFrame,
       batchId: Long,
       articleCountSoFar: Long,
-      cfg: CrawlConfig): BatchResult = {
+      cfg: CrawlConfig,
+      scheduledBound: Long = Long.MaxValue): BatchResult = {
 
     val loSec = Constants.EPOCH.getEpochSecond + (batchId - 1) * cfg.deltaPerBatchSec
     val hiSec = loSec + cfg.deltaPerBatchSec
@@ -237,7 +240,6 @@ object Scheduler {
     val excluded = sched.excluded
     val scheduled = sched.scheduled
       .select("url", "url_hash", "host", "discovered_ts", "priority", "host_bucket")
-    val scheduledCount = CrawlLoop.timed(s"b$batchId schedCount")(scheduled.count())
     val deferred = sched.deferred
 
     // ---- fetch (ops 3/14): scheduled ⋈ pages on canonical url -------------
@@ -306,13 +308,14 @@ object Scheduler {
     // Small batches (the politeness-bounded norm) use a single-partition
     // row_number window; big batches (stress/scaling) switch to the two-phase
     // distributed global rank (range-sort + zipWithIndex). Same total order
-    // either way — (priority desc, url asc) is unique via the url tie-break.
+    // either way — (priority desc, url asc) is unique via the url tie-break —
+    // so the bound-based choice affects only the physical plan.
     val articleBase = parsed
       .filter(!col("is_listing"))
       .select(col("url"), col("warc_ts"), col("extracted").as("text"), col("lang"), col("priority"))
     val orderCols = Seq(desc("priority"), asc("url"))
     val withOrd =
-      if (scheduledCount <= 50000)
+      if (scheduledBound <= 50000)
         articleBase.withColumn("__ord", row_number().over(Window.orderBy(orderCols: _*)).cast("long"))
       else
         GlobalOrder.withRank(articleBase, orderCols, cfg.numBuckets, "__ord")
@@ -361,6 +364,6 @@ object Scheduler {
 
     BatchResult(
       articles, newFrontier, seenDelta, fetchLog, hostLog,
-      scheduledCount, sched.cached :+ parsed)
+      sched.cached :+ parsed)
   }
 }

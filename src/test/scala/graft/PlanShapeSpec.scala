@@ -88,7 +88,8 @@ class PlanShapeSpec extends AnyFunSuite {
       val emptySeen = graft.operators.Checkpoints.emptyFrame(spark, graft.operators.CrawlLoop.SeenSchema)
       val emptyShards = graft.operators.Checkpoints.emptyFrame(spark, graft.operators.CrawlLoop.ShardSchema)
       val r = Scheduler.runBatch(spark, pages, frontier, emptySeen, emptyShards,
-        robots, weights, budgets, 1L, 0L, cfg.copy(useBloom = false))
+        robots, weights, budgets, 1L, 0L, cfg.copy(useBloom = false),
+        scheduledBound = 1000L)
       val htmlShuffles = shuffles(r.articles).filter(
         _.child.output.exists(_.name == "html"))
       val plan = r.articles.queryExecution.executedPlan.toString
