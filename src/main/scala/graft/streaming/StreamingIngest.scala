@@ -59,6 +59,23 @@ object StreamingIngest {
       .select(col("sess.start").as("session_start"), col("sess.end").as("session_end"),
         col("host"), col("n_pages"))
 
+  /** Streaming URL-dedup (op 12's streaming flavor): emit the FIRST capture
+    * per canonical url, keyed by xxhash64, with dedup state bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark` — the unbounded
+    * `dropDuplicates` would grow state forever on an infinite feed). A
+    * re-capture arriving after its key's state was evicted re-emits; the
+    * DURABLE tier of the seen-set remains the batch loop's partitioned
+    * bloom + exact store — this operator is the in-flight guard in front of
+    * it, exactly the two-tier split the north rule's 10^10 design needs. */
+  def dedupStream(pages: DataFrame, horizon: String = "48 hours"): DataFrame =
+    pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(Canonicalize.canonicalUrl(col("url")).as("url"), col("warc_ts"))
+      .filter(col("url").isNotNull)
+      .withColumn("url_hash", Canonicalize.urlHash(col("url")))
+      .withWatermark("warc_ts", horizon)
+      .dropDuplicatesWithinWatermark("url_hash")
+
   final case class HostEvent(host: String, warcTsSec: Long)
   final case class HostState(seen: Long, lastTsSec: Long)
   final case class HostUpdate(host: String, seen: Long, lastTsSec: Long)

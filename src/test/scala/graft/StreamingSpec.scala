@@ -54,6 +54,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows > 0)
   }
 
+  test("streaming dedup emits exactly one row per canonical url") {
+    val stream = StreamingIngest.pagesStream(spark, pagesDir)
+    StreamingIngest.drainToMemory(spark,
+      StreamingIngest.dedupStream(stream), "dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("dedup").select("url").as[String].collect().sorted.toSeq
+    val exp = spark.read.parquet(pagesDir)
+      .filter(graft.core.Canonicalize.isHttpScheme($"url"))
+      .select(graft.core.Canonicalize.canonicalUrl($"url").as("url"))
+      .filter($"url".isNotNull)
+      .distinct()
+      .as[String].collect().sorted.toSeq
+    assert(got === exp)
+  }
+
   test("mapGroupsWithState accumulates per-host crawl state across batches") {
     val stream = StreamingIngest.pagesStream(spark, pagesDir)
     StreamingIngest.drainToMemory(spark,
