@@ -120,6 +120,12 @@ object ScalingBench {
       Seq("-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "graft.ScalingBench")).toArray
     val pb = new ProcessBuilder(cmd: _*)
+    // stderr to a file: reading stdout to EOF while the child's un-drained
+    // stderr pipe fills (Spark startup INFO + run WARNs can exceed the 64 KB
+    // pipe buffer) would deadlock both processes.
+    val errFile = java.io.File.createTempFile(s"graft-scale-$cpus-", ".stderr")
+    errFile.deleteOnExit()
+    pb.redirectError(errFile)
     pb.environment().put("SPARK_GRAFT_SCALE_LEVELS", cpus.toString)
     pb.environment().put("SPARK_GRAFT_SCALE_R", r.toString)
     // Parse-dominated regime by default (budget non-binding): the measured
@@ -131,7 +137,6 @@ object ScalingBench {
     pb.redirectErrorStream(false)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    p.getErrorStream.readAllBytes() // drain
     val rc = p.waitFor()
     val re = s""""local$cpus":\\{"urls":(\\d+),"wall_sec":([0-9.eE+-]+)""".r
     re.findFirstMatchIn(out) match {

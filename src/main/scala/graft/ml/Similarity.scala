@@ -32,16 +32,22 @@ object Similarity {
     * scores through per-query sorts) — the shape that survives 100 TB. */
   private class TopKAggregator(k: Int)
       extends Aggregator[(Long, Double), List[(Long, Double)], Seq[(Long, Double)]] {
+    // Buffer invariant: sorted by (cos desc, neighbor_id asc), length ≤ k.
     private def better(x: (Long, Double), y: (Long, Double)): Boolean =
       x._2 > y._2 || (x._2 == y._2 && x._1 < y._1)
-    private def trim(xs: List[(Long, Double)]): List[(Long, Double)] =
-      xs.sortWith(better).take(k)
     override def zero: List[(Long, Double)] = Nil
-    override def reduce(b: List[(Long, Double)], a: (Long, Double)): List[(Long, Double)] =
-      trim(a :: b)
+    override def reduce(b: List[(Long, Double)], a: (Long, Double)): List[(Long, Double)] = {
+      // Hot path: the overwhelming majority of scored rows lose to the
+      // current k-th best — reject in O(1) without rebuilding the list.
+      if (b.lengthCompare(k) >= 0 && !better(a, b.last)) b
+      else {
+        val (front, back) = b.span(better(_, a))
+        (front ::: a :: back).take(k)
+      }
+    }
     override def merge(b1: List[(Long, Double)], b2: List[(Long, Double)]): List[(Long, Double)] =
-      trim(b1 ++ b2)
-    override def finish(b: List[(Long, Double)]): Seq[(Long, Double)] = trim(b)
+      (b1 ++ b2).sortWith(better).take(k)
+    override def finish(b: List[(Long, Double)]): Seq[(Long, Double)] = b
     override def bufferEncoder: Encoder[List[(Long, Double)]] =
       Encoders.kryo[List[(Long, Double)]]
     override def outputEncoder: Encoder[Seq[(Long, Double)]] =
@@ -137,12 +143,17 @@ object Similarity {
     s
   }
 
-  /** Deterministic IVF coarse quantizer: seed centroids are the `k` corpus
-    * vectors with the smallest xxhash64(vec_id) (reproducible at any
-    * parallelism), refined by `iters` Lloyd rounds (cosine assignment on
-    * normalized vectors, per-cell mean via a distributed posexplode
-    * aggregation — only k×dim floats ever reach the driver, the model, not
-    * the data). */
+  /** IVF coarse quantizer: seed centroids are the `k` corpus vectors with
+    * the smallest xxhash64(vec_id) (reproducible at any parallelism),
+    * refined by `iters` Lloyd rounds (cosine assignment on normalized
+    * vectors, per-cell mean via a distributed posexplode aggregation — only
+    * k×dim floats ever reach the driver, the model, not the data).
+    *
+    * Determinism caveat: the Lloyd means use a distributed fp `avg`, whose
+    * accumulation order is partitioning-dependent — centroids can differ in
+    * the last ulp across parallelism levels, so the quantizer is
+    * SEED-deterministic, not bit-deterministic. Downstream correctness is
+    * recall-based (MlSpec), never exact-output-based, by design. */
   def ivfCentroids(vecs: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
     val spark = vecs.sparkSession
     var centroids: Array[Array[Float]] = vecs
@@ -169,7 +180,6 @@ object Similarity {
         .groupBy("cell", "pos")
         .agg(avg(col("v")).as("m"))
         .collect()
-      val dim = centroids(0).length
       val next = centroids.map(_.clone())
       means.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat

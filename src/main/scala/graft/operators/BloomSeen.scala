@@ -180,26 +180,36 @@ object BloomSeen {
     * all true duplicates — is anti-joined against `seen_exact(url_hash, …)`.
     * Result is exactly `candidates ∖ seen` for either probe shape (bloom has
     * no false negatives; parity pinned in BloomSeenSpec).
+    *
+    * Returns (result, cachedFrames): the bucketed probe's flagged frame is
+    * CACHED — both the definitely-new and residue branches read it, and an
+    * uncached plan would instantiate the cogroup (shuffle + per-task blob
+    * deserialization) twice. Callers unpersist after materializing.
     */
   def antiJoinSeen(
       spark: SparkSession,
       candidates: DataFrame,
       seenExact: DataFrame,
       seenShards: Option[DataFrame],
-      broadcastProbe: Boolean = false): DataFrame = {
+      broadcastProbe: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     seenShards match {
       case Some(shards) if !shards.isEmpty =>
-        val flagged =
-          if (broadcastProbe) candidates.withColumn("__maybe_seen", mightBeSeen(spark, shards))
-          else tagMaybeSeenBucketed(candidates, shards)
+        val (flagged, cached) =
+          if (broadcastProbe)
+            // map-side scalar probe — cheap to evaluate per branch, no cache
+            (candidates.withColumn("__maybe_seen", mightBeSeen(spark, shards)), Nil)
+          else {
+            val f = tagMaybeSeenBucketed(candidates, shards).cache()
+            (f, Seq(f))
+          }
         val definitelyNew = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
         val residue = flagged
           .filter(col("__maybe_seen"))
           .drop("__maybe_seen")
           .join(seenExact.select("url_hash"), Seq("url_hash"), "left_anti")
-        definitelyNew.unionByName(residue)
+        (definitelyNew.unionByName(residue), cached)
       case _ =>
-        candidates.join(seenExact.select("url_hash"), Seq("url_hash"), "left_anti")
+        (candidates.join(seenExact.select("url_hash"), Seq("url_hash"), "left_anti"), Nil)
     }
   }
 }

@@ -92,11 +92,18 @@ object CrawlLoop {
     val maxTsSec = pages.agg(max("warc_ts")).head().getTimestamp(0).toInstant.getEpochSecond
 
     // Per-run upper bound on a batch's scheduled count (Σ budgets ×
-    // budgetScale; hosts outside the dim default to budget 2, covered by the
-    // 2× slack) — lets runBatch pick the fetch_order strategy without a
+    // budgetScale) — lets runBatch pick the fetch_order strategy without a
     // per-batch counting action. One tiny job per RUN, not per batch.
+    // ASSUMPTION the 2× slack encodes: hosts discovered outside the budgets
+    // dim (defaulting to budget 2 each) contribute at most another Σbudgets
+    // worth of slots. A deployment doing open-web discovery with a sparse
+    // budgets dim should set cfg.scheduledBoundOverride (the choice only
+    // affects the PHYSICAL plan — both order strategies produce identical
+    // output, a misfire just picks the slower one, see Scheduler).
     val budgetSum = budgets.agg(coalesce(sum("budget"), lit(0L))).head().getLong(0)
-    val scheduledBound = 2L * budgetSum * cfg.budgetScale
+    val scheduledBound =
+      if (cfg.scheduledBoundOverride > 0) cfg.scheduledBoundOverride
+      else 2L * budgetSum * cfg.budgetScale
 
     // ---- resume point (op 5): max committed manifest ----------------------
     // Running totals are restored from the manifest's cumulative fields so a

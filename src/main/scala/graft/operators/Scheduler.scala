@@ -45,6 +45,10 @@ final case class CrawlConfig(
       * politeness-bounded batches; disable for stress/scale batches so the
       * checkpoint writes stay parallel). */
     compactState: Boolean = true,
+    /** Explicit scheduled-count bound for the fetch_order strategy choice
+      * (> 0 overrides the Σbudgets-derived per-run bound — see CrawlLoop).
+      * Output-invariant either way; this is a physical-plan knob. */
+    scheduledBoundOverride: Long = -1L,
     /** State/checkpoint namespace under Constants.workDir/state/. */
     runTag: String = "default")
 
@@ -231,7 +235,7 @@ object Scheduler {
       .withColumn("url_hash", Canonicalize.urlHash(col("url")))
 
     // ---- two-tier seen-set anti-join (op 12) ------------------------------
-    val newRows =
+    val (newRows, dedupCached) =
       BloomSeen.antiJoinSeen(spark, cands, seenExact,
         if (cfg.useBloom) Some(seenShards) else None, cfg.bloomBroadcastProbe)
 
@@ -364,6 +368,6 @@ object Scheduler {
 
     BatchResult(
       articles, newFrontier, seenDelta, fetchLog, hostLog,
-      sched.cached :+ parsed)
+      dedupCached ++ sched.cached :+ parsed)
   }
 }

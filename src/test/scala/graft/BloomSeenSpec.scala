@@ -56,12 +56,13 @@ class BloomSeenSpec extends AnyFunSuite {
     val cands = ((1L to 1500L).map(i => i * 31L) ++ (1L to 1500L).map(i => i * 31L + 7L))
       .toDF("url_hash")
       .withColumn("url", concat(lit("c"), col("url_hash")))
-    val bucketed = BloomSeen.antiJoinSeen(spark, cands, seen, Some(shards))
-      .select("url_hash").as[Long].collect().sorted
+    val (bucketedDf, cached) = BloomSeen.antiJoinSeen(spark, cands, seen, Some(shards))
+    val bucketed = bucketedDf.select("url_hash").as[Long].collect().sorted
+    cached.foreach(_.unpersist())
     val broadcasted = BloomSeen.antiJoinSeen(spark, cands, seen, Some(shards),
-      broadcastProbe = true)
+      broadcastProbe = true)._1
       .select("url_hash").as[Long].collect().sorted
-    val exact = BloomSeen.antiJoinSeen(spark, cands, seen, None)
+    val exact = BloomSeen.antiJoinSeen(spark, cands, seen, None)._1
       .select("url_hash").as[Long].collect().sorted
     assert(bucketed.toSeq === exact.toSeq)
     assert(broadcasted.toSeq === exact.toSeq)

@@ -104,7 +104,7 @@ class PlanShapeSpec extends AnyFunSuite {
     withStaticPlans {
       val cands = (1L to 50L).map(i => (i, s"u$i")).toDF("url_hash", "url")
       val seen = (1L to 25L).map(i => (i, s"u$i", "fetched")).toDF("url_hash", "url", "status")
-      val out = graft.operators.BloomSeen.antiJoinSeen(spark, cands, seen, None)
+      val out = graft.operators.BloomSeen.antiJoinSeen(spark, cands, seen, None)._1
       val plan = out.queryExecution.executedPlan.toString
       assert(plan.contains("LeftAnti"), s"anti-join missing: $plan")
     }
