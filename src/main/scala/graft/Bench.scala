@@ -85,7 +85,9 @@ object Bench {
     val scalingJson =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
       else try {
-        val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "256").toInt
+        // R=128 keeps the in-bench pair ~2 min (the authoritative large-R
+        // ladders are committed in BENCH.md §3c and cited in ladder_ref).
+        val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "128").toInt
         val xlDir = ScalingBench.ensureXl(spark, sfDir, r)
         val (n2, s2) = ScalingBench.runOnceFreshJvm(2, xlDir, r)
         val (n8, s8) = ScalingBench.runOnceFreshJvm(8, xlDir, r)
