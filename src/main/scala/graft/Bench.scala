@@ -61,6 +61,18 @@ object Bench {
           s""""wall_sec":$crawlSec,"throughput_urls_per_sec":$throughput}"""))
     } else None
 
+    // q11/q12 read a primed crawl's outputs. If they are selected while
+    // crawl_e2e is filtered out, run (and prime) the crawl OUTSIDE their
+    // timed window — otherwise q11 would silently time a full crawl run
+    // (and a same-JVM caller could leave a stale primed run behind).
+    if (crawlJson.isEmpty &&
+        (selected("q11_crawl_full") || selected("q12_host_log"))) {
+      val run = CrawlLoop.run(spark, sfDir,
+        graft.queries.CrawlQueries.fullCrawlConfig(sfDir).copy(runTag = s"bench_${cpus}"),
+        fresh = true)
+      graft.queries.CrawlQueries.primeCrawl(sfDir, run.dir)
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
@@ -85,19 +97,60 @@ object Bench {
     val scalingJson =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
       else try {
-        // R=128 keeps the in-bench pair ~2 min (the authoritative large-R
-        // ladders are committed in BENCH.md §3c and cited in ladder_ref).
+        // R=128 keeps each in-bench pair ~2 min (the authoritative large-R
+        // ladders are committed in bench_ladder.json / BENCH.md §3c).
         val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "128").toInt
+        val trials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "3").toInt
         val xlDir = ScalingBench.ensureXl(spark, sfDir, r)
-        val (n2, s2) = ScalingBench.runOnceFreshJvm(2, xlDir, r)
-        val (n8, s8) = ScalingBench.runOnceFreshJvm(8, xlDir, r)
-        val eff = (n8 / s8) / (4 * (n2 / s2))
-        s""","scaling":{"r":$r,"mode":"fresh-jvm pair (spawned children, warmup inside each, budget non-binding)",""" +
-          s""""local2":{"urls":$n2,"wall_sec":$s2},""" +
-          s""""local8":{"urls":$n8,"wall_sec":$s8},"efficiency_2_to_8":$eff,""" +
-          s""""ladder_ref":{"note":"committed fresh-JVM R=1024 ladders, BENCH.md section 3c; cross-round host variance documented in 3d",""" +
-          s""""round1_efficiency_2_to_8":1.10,"round2_efficiency_2_to_8":0.62,""" +
-          s""""round2_local32_urls_per_sec":129723}}"""
+
+        // (a) median-of-N fresh-JVM engine pairs (single pairs measured a
+        // ±0.2 spread across identical runs — BENCH.md §3).
+        val engine = (1 to trials).map { _ =>
+          val (n2, s2) = ScalingBench.runOnceFreshJvm(2, xlDir, r)
+          val (n8, s8) = ScalingBench.runOnceFreshJvm(8, xlDir, r)
+          (n2, s2, n8, s8, (n8 / s8) / (4 * (n2 / s2)))
+        }
+        val engEff = ScalingBench.median(engine.map(_._5))
+
+        // (b) SAME-SESSION host thread-scaling ceiling, same child-JVM
+        // harness: constant per-thread pure-CPU work, so eff = wall2/wall8.
+        val burnN = sys.env.getOrElse("SPARK_GRAFT_BURN_N", "4000000000").toLong
+        val host = (1 to trials).map { _ =>
+          val w2 = ScalingBench.burnFreshJvm(2, burnN)
+          val w8 = ScalingBench.burnFreshJvm(8, burnN)
+          (w2, w8, w2 / w8)
+        }
+        val hostEff = ScalingBench.median(host.map(_._3))
+
+        // (c) ceiling-normalized efficiency: what the engine achieves OF
+        // WHAT THIS HOST CAN GIVE between the two thread counts. On a real
+        // N→4N EXECUTOR scale-up each executor brings its own memory
+        // bandwidth, so the host ceiling (≈1.0 there) disappears and the
+        // normalized number is the cluster-relevant one.
+        val normEff = engEff / hostEff
+
+        val engineTrials = engine.map { case (n2, s2, n8, s8, e) =>
+          s"""{"local2":{"urls":$n2,"wall_sec":$s2},"local8":{"urls":$n8,"wall_sec":$s8},"efficiency":$e}"""
+        }.mkString("[", ",", "]")
+        val hostTrials = host.map { case (w2, w8, e) =>
+          s"""{"wall2_sec":$w2,"wall8_sec":$w8,"efficiency":$e}"""
+        }.mkString("[", ",", "]")
+
+        // ladder_ref cites the committed MEASURED artifact (bench_ladder
+        // .json, written by graft.ScalingBench) — never baked-in constants.
+        val ladderPath = sys.env.getOrElse("SPARK_GRAFT_LADDER_REF", "/root/repo/bench_ladder.json")
+        val ladder = try {
+          val s = java.nio.file.Files.readString(java.nio.file.Paths.get(ladderPath)).trim
+          if (s.startsWith("{")) s else "null"
+        } catch { case _: Throwable => "null" }
+
+        s""","scaling":{"r":$r,"trials":$trials,""" +
+          s""""mode":"median-of-$trials fresh-JVM engine pairs + same-session host-ceiling burn pairs (same child-JVM harness; warmup inside each child; budget non-binding)",""" +
+          s""""engine":{"trials":$engineTrials,"median_efficiency_2_to_8":$engEff},""" +
+          s""""host_ceiling":{"burn_per_thread":$burnN,"trials":$hostTrials,"median_efficiency_2_to_8":$hostEff},""" +
+          s""""efficiency_2_to_8":$engEff,""" +
+          s""""normalized_efficiency_2_to_8":$normEff,""" +
+          s""""ladder_ref":{"note":"committed measured ladder artifact (graft.ScalingBench); methodology + cross-round host variance in BENCH.md section 3","committed":$ladder}}"""
       } catch {
         // Never lose the whole bench line to a scaling-run failure.
         case e: Throwable =>

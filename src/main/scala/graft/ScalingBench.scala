@@ -98,6 +98,73 @@ object ScalingBench {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Host-ceiling burn: the same host's OWN thread-scaling limit, measured
+  // by the SAME child-JVM harness as the engine pair, in the SAME session.
+  // Round 1/2 showed the virtualized host's pure-CPU 2→8 ratio drifting
+  // 0.73 → ~0.95 between sessions — normalizing an engine ratio by a STALE
+  // ceiling is meaningless, so the bench measures both back-to-back and
+  // emits engine_eff / host_eff (BENCH.md §3).
+  // ---------------------------------------------------------------------
+
+  @volatile private var burnSink = 0L // defeats dead-code elimination
+
+  /** Cache-resident SplitMix64 kernel: no allocation, no memory traffic. */
+  private def burnKernel(n: Long, seed: Long): Long = {
+    var z = 0x9e3779b97f4a7c15L ^ seed
+    var acc = 0L
+    var i = 0L
+    while (i < n) {
+      z += 0x9e3779b97f4a7c15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      acc ^= x ^ (x >>> 31)
+      i += 1
+    }
+    acc
+  }
+
+  /** `threads` Java threads × `perThread` kernel iterations (constant
+    * per-thread work, so efficiency(2→8) = wall₂/wall₈). Returns wall sec. */
+  def burn(threads: Int, perThread: Long): Double = {
+    burnSink ^= burnKernel(math.min(perThread, 100000000L), 1L) // JIT warmup
+    val accs = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => accs.addAndGet(burnKernel(perThread, i + 2L)))
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    burnSink ^= accs.get()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Burn in a fresh child JVM (same harness discipline as the engine
+    * levels); returns wall sec. */
+  def burnFreshJvm(threads: Int, perThread: Long): Double = {
+    val classes = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+    val cmd = Seq("java", "-cp", s"$classes:/opt/spark/jars/*", "-Xmx1g",
+      "graft.ScalingBench", "burn", threads.toString, perThread.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    """"burn_wall_sec":([0-9.eE+-]+)""".r.findFirstMatchIn(out) match {
+      case Some(m) => m.group(1).toDouble
+      case None => sys.error(s"burn child (t=$threads) rc=$rc produced no line: $out")
+    }
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
   /** Run one level in a FRESH child JVM — the disciplined shape for the
     * N-vs-4N pair: no shared JIT profile, heap, or GC history between
     * levels (the in-JVM back-to-back pair measured up to 2× noise, BENCH.md
@@ -128,6 +195,9 @@ object ScalingBench {
     pb.redirectError(errFile)
     pb.environment().put("SPARK_GRAFT_SCALE_LEVELS", cpus.toString)
     pb.environment().put("SPARK_GRAFT_SCALE_R", r.toString)
+    // The child must run its (single) level IN-PROCESS — inheriting
+    // SCALE_FRESH from a fresh-ladder parent would recurse forever.
+    pb.environment().remove("SPARK_GRAFT_SCALE_FRESH")
     // Parse-dominated regime by default (budget non-binding): the measured
     // quantity must be pipeline throughput, not the politeness cap — a
     // binding budget fixes the fetch/parse work regardless of R and the
@@ -145,8 +215,15 @@ object ScalingBench {
     }
   }
 
-  /** Standalone runner: SPARK_GRAFT_SCALE_R (default 64), prints one JSON. */
+  /** Standalone runner: SPARK_GRAFT_SCALE_R (default 64), prints one JSON.
+    * `burn <threads> <perThread>` runs the host-ceiling kernel instead
+    * (no Spark) — the child mode of [[burnFreshJvm]]. */
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "burn") {
+      val wall = burn(args(1).toInt, args(2).toLong)
+      println(s"""{"burn_threads":${args(1)},"burn_per_thread":${args(2)},"burn_wall_sec":$wall}""")
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "64").toInt
     val prep = newSession(8)
@@ -157,16 +234,31 @@ object ScalingBench {
 
     val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq
-    val results = levels.map { c => val (n, s) = runOnce(c, xlDir); (c, n, s, n / s) }
+    // SPARK_GRAFT_SCALE_FRESH=1: run each level in its own child JVM (the
+    // disciplined pair shape) so a multi-level invocation can emit a
+    // fresh-JVM ladder artifact in one go.
+    val fresh = sys.env.get("SPARK_GRAFT_SCALE_FRESH").contains("1")
+    val results = levels.map { c =>
+      val (n, s) = if (fresh) runOnceFreshJvm(c, xlDir, r) else runOnce(c, xlDir)
+      (c, n, s, n / s)
+    }
     val parts = results.map { case (c, n, s, tp) =>
       s""""local$c":{"urls":$n,"wall_sec":$s,"throughput":$tp}"""
     }
     def tp(c: Int): Option[Double] = results.find(_._1 == c).map(_._4)
     val eff28 = for (a <- tp(2); b <- tp(8)) yield b / (4 * a)
     val eff832 = for (a <- tp(8); b <- tp(32)) yield b / (4 * a)
-    println(
+    val line =
       s"""{"metric":"scaling","r":$r,${parts.mkString(",")}""" +
         eff28.map(e => s""","efficiency_2_to_8":$e""").getOrElse("") +
-        eff832.map(e => s""","efficiency_8_to_32":$e""").getOrElse("") + "}")
+        eff832.map(e => s""","efficiency_8_to_32":$e""").getOrElse("") + "}"
+    println(line)
+    // Commit the ladder as an artifact so Bench's ladder_ref cites MEASURED
+    // data instead of hardcoded historical constants (round-2 ADVICE).
+    if (levels.length >= 2) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_LADDER_OUT", "/root/repo/bench_ladder.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[scaling] could not write $out: $e") }
+    }
   }
 }

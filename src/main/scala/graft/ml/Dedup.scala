@@ -91,7 +91,11 @@ object Dedup {
     * array_union build two hash sets per pair; the merge is allocation-free
     * and ~10× cheaper across millions of candidates). Same value as
     * [[jaccard]] by set semantics. */
-  private val jaccardSortedUdf = udf { (a: Seq[String], b: Seq[String]) =>
+  private val jaccardSortedUdf = udf { (a0: Seq[String], b0: Seq[String]) =>
+    // Null-safe (a NULL text upstream yields a null token array): an absent
+    // side has an empty set — same convention as shinglesUdf.
+    val a = if (a0 == null) Seq.empty[String] else a0
+    val b = if (b0 == null) Seq.empty[String] else b0
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       val c = a(i).compareTo(b(j))
@@ -108,7 +112,8 @@ object Dedup {
     * (h_i(t) = splitmix64(base(t) + i·φ)) — vs the Column formulation
     * `array_min(transform(ts, t => xxhash64(t, i)))` × numHashes, which is
     * interpreted (CodegenFallback) and walks the array once per hash. */
-  private def minhashSigUdf(numHashes: Int) = udf { ts: Seq[String] =>
+  private def minhashSigUdf(numHashes: Int) = udf { ts0: Seq[String] =>
+    val ts = if (ts0 == null) Seq.empty[String] else ts0 // null text → empty set
     val mins = Array.fill(numHashes)(Long.MaxValue)
     ts.foreach { t =>
       var m = scala.util.hashing.MurmurHash3.stringHash(t).toLong
@@ -178,10 +183,18 @@ object Dedup {
       .select("a", "b")
       .distinct()
 
+    // Attach token arrays to candidate pairs with plain SHUFFLED equi-joins
+    // on the representative id — deliberately NOT broadcast(toksOf): the
+    // representative table is corpus-sized (every distinct token-set), so a
+    // broadcast of it dies at 10^10 docs even though it is tiny at sandbox
+    // scale. AQE may still pick a broadcast at runtime when the MEASURED
+    // size is small — that is the right call per scale, and the absence of
+    // a forced broadcast is pinned by MlSpec ("minhash attach joins carry no
+    // broadcast hint").
     val toksOf = reps.select(col("rep"), col("ts"))
     pairs
-      .join(broadcast(toksOf.select(col("rep").as("a"), col("ts").as("ts_a"))), Seq("a"))
-      .join(broadcast(toksOf.select(col("rep").as("b"), col("ts").as("ts_b"))), Seq("b"))
+      .join(toksOf.select(col("rep").as("a"), col("ts").as("ts_a")), Seq("a"))
+      .join(toksOf.select(col("rep").as("b"), col("ts").as("ts_b")), Seq("b"))
       // ts is array_sort'ed above — the merge-pass kernel applies.
       .withColumn("jaccard", round(jaccardSortedUdf(col("ts_a"), col("ts_b")), 4))
       .filter(col("jaccard") >= threshold)

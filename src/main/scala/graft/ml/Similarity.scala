@@ -33,8 +33,14 @@ object Similarity {
   private class TopKAggregator(k: Int)
       extends Aggregator[(Long, Double), List[(Long, Double)], Seq[(Long, Double)]] {
     // Buffer invariant: sorted by (cos desc, neighbor_id asc), length ≤ k.
-    private def better(x: (Long, Double), y: (Long, Double)): Boolean =
-      x._2 > y._2 || (x._2 == y._2 && x._1 < y._1)
+    // Double.compare (not primitive >) gives a TOTAL order with NaN above
+    // every double — matching Spark's sort semantics, so a NaN cos (zero
+    // vector) ranks identically to the row_number window this replaces, and
+    // sortWith's strict-ordering contract holds in merge().
+    private def better(x: (Long, Double), y: (Long, Double)): Boolean = {
+      val c = java.lang.Double.compare(x._2, y._2)
+      c > 0 || (c == 0 && x._1 < y._1)
+    }
     override def zero: List[(Long, Double)] = Nil
     override def reduce(b: List[(Long, Double)], a: (Long, Double)): List[(Long, Double)] = {
       // Hot path: the overwhelming majority of scored rows lose to the

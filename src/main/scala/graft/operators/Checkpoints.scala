@@ -50,11 +50,27 @@ object Checkpoints {
 
   def readManifest(dir: String, k: Long): Manifest = {
     val s = Files.readString(Paths.get(dir, "checkpoints", s"$k.json"))
-    def field(name: String): Long =
-      s"""\"$name\"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-    Manifest(field("batch_id"), field("article_count"), field("scheduled"),
-      field("fetched"), field("parsed"),
-      field("scheduled_total"), field("fetched_total"), field("parsed_total"))
+    def field(src: String, name: String): Long =
+      s"""\"$name\"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(src).map(_.group(1).toLong).getOrElse(0L)
+    val base = Manifest(field(s, "batch_id"), field(s, "article_count"),
+      field(s, "scheduled"), field(s, "fetched"), field(s, "parsed"),
+      field(s, "scheduled_total"), field(s, "fetched_total"), field(s, "parsed_total"))
+    // Backward compat: pre-upgrade manifests (no *_total fields) would
+    // silently restore ZERO running totals on resume. The per-batch fields
+    // were always present, so the cumulative values are recoverable by
+    // summing manifests 1..k — done once here, at resume time only.
+    if (s.contains("\"scheduled_total\"")) base
+    else {
+      var (st, ft, pt) = (0L, 0L, 0L)
+      for (i <- 1L to k) {
+        val p = Paths.get(dir, "checkpoints", s"$i.json")
+        if (Files.exists(p)) {
+          val mi = Files.readString(p)
+          st += field(mi, "scheduled"); ft += field(mi, "fetched"); pt += field(mi, "parsed")
+        }
+      }
+      base.copy(scheduledTotal = st, fetchedTotal = ft, parsedTotal = pt)
+    }
   }
 
   /** Write state snapshots + append deltas for batch k. NOT yet visible —
@@ -93,14 +109,22 @@ object Checkpoints {
     * writeState and commitManifest. */
   def batchCounts(spark: SparkSession, dir: String, k: Long): (Long, Long, Long, Long) = {
     import org.apache.spark.sql.functions.sum
-    val f = spark.read.parquet(s"$dir/fetch_log/b$k")
-      .agg(sum("urls_fetched"), sum("urls_parsed"), sum("urls_article"))
-      .head()
+    val flog = spark.read.parquet(s"$dir/fetch_log/b$k")
+    def at(r: org.apache.spark.sql.Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    // Backward compat: pre-upgrade fetch_log deltas lack urls_article — the
+    // article count is then the (equally tiny) articles delta's row count.
+    val (fetched, parsed, nArticles) =
+      if (flog.columns.contains("urls_article")) {
+        val f = flog.agg(sum("urls_fetched"), sum("urls_parsed"), sum("urls_article")).head()
+        (at(f, 0), at(f, 1), at(f, 2))
+      } else {
+        val f = flog.agg(sum("urls_fetched"), sum("urls_parsed")).head()
+        (at(f, 0), at(f, 1), spark.read.parquet(s"$dir/articles/b$k").count())
+      }
     val h = spark.read.parquet(s"$dir/host_log/b$k")
       .agg(sum("urls_scheduled"))
       .head()
-    def at(r: org.apache.spark.sql.Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-    (at(h, 0), at(f, 0), at(f, 1), at(f, 2))
+    (at(h, 0), fetched, parsed, nArticles)
   }
 
   /** Publish batch k: the manifest write is the atomic visibility point. */

@@ -153,6 +153,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q31 minhash pairs: no forced broadcast of the representative table") {
+    // The reps table is corpus-sized (every distinct token-set) — a
+    // broadcast hint on the attach joins is a 10^10-doc OOM. With the
+    // auto-broadcast threshold disabled, any surviving BroadcastHashJoin
+    // can only come from an explicit hint — pin that none exists. (AQE may
+    // still choose a broadcast at runtime from MEASURED small sizes; that
+    // adaptive choice is correct and is not what this pins.)
+    withStaticPlans {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val docs = (1L to 40L)
+          .map(i => (i, (0 until 20).map(w => s"w${(i * 7 + w) % 30}").mkString(" ")))
+          .toDF("doc_id", "text")
+        val pairs = graft.ml.Dedup.minhashPairs(docs, threshold = 0.95)
+        val plan = pairs.queryExecution.executedPlan
+        val bcasts = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        }
+        assert(bcasts.isEmpty,
+          s"forced broadcast survives in the minhash attach plan:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("q35 brute-force knn: no global window; partial/final top-k agg") {
     withStaticPlans {
       val vecs = (1L to 60L)
