@@ -143,10 +143,17 @@ object Scheduler {
       .select(col("url_hash"), col("url"), lit("excluded").as("status"))
     val allowed = tagged.filter(!col("robots_excluded")).drop("robots_excluded")
 
+    // Per-host crawl_delay (robots rule) caps the batch budget — see
+    // rankCandidates. Tolerates delay-less robots dims (tests, exotic deps).
+    val delays =
+      if (robots.columns.contains("crawl_delay"))
+        Some(robots.select(col("host"), col("crawl_delay")))
+      else None
+
     // Cache the ranked stage: scheduled, deferred, and the downstream state
     // writes all read it — without the cache each consumer would re-run the
     // whole candidate+dedup+rank pipeline (one full pass per output).
-    val ranked = rankCandidates(allowed, weights, budgets, cfg).cache()
+    val ranked = rankCandidates(allowed, weights, budgets, cfg, delays).cache()
 
     ScheduleOut(
       ranked.filter(col("host_rank") <= col("budget"))
@@ -162,12 +169,34 @@ object Scheduler {
       allowed: DataFrame,
       weights: DataFrame,
       budgets: DataFrame,
-      cfg: CrawlConfig): DataFrame = {
-    val prioritized = allowed
+      cfg: CrawlConfig,
+      delays: Option[DataFrame] = None): DataFrame = {
+    val budgeted = allowed
       .join(broadcast(weights), Seq("host"), "left")
       .withColumn("weight", coalesce(col("weight"), lit(1.0)))
       .join(broadcast(budgets), Seq("host"), "left")
-      .withColumn("budget", coalesce(col("budget"), lit(2)) * cfg.budgetScale)
+      .withColumn("budget",
+        (coalesce(col("budget"), lit(2)) * cfg.budgetScale).cast("long"))
+    // Politeness op 2/2 — robots crawl_delay ENFORCEMENT: in a Δ-window of
+    // `deltaPerBatchSec` seconds a polite crawler issues at most
+    // ⌊window / delay⌋ fetches to that host (the batched analogue of the
+    // inter-request delay; min 1 so a delay longer than the window slows
+    // the host to one fetch per batch rather than starving it). The cap
+    // composes with the budget as a per-(host, batch) minimum; the
+    // sequential oracle applies the identical formula.
+    val capped = delays match {
+      case Some(d) =>
+        budgeted
+          .join(broadcast(d), Seq("host"), "left")
+          .withColumn("budget",
+            when(col("crawl_delay").isNotNull && col("crawl_delay") > 0,
+              least(col("budget"), greatest(lit(1L),
+                floor(lit(cfg.deltaPerBatchSec) / col("crawl_delay")).cast("long"))))
+              .otherwise(col("budget")))
+          .drop("crawl_delay")
+      case None => budgeted
+    }
+    val prioritized = capped
       .withColumn("priority", Priority.score(col("weight"), col("discovered_ts")))
       .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(cfg.numBuckets)))
 

@@ -42,7 +42,9 @@ object SequentialCrawler {
       weights: Map[String, Double] =
         FixtureConstants.hosts.map(h => h.host -> h.weight).toMap,
       budgets: Map[String, Int] =
-        FixtureConstants.hosts.map(h => h.host -> h.budget).toMap): OracleResult = {
+        FixtureConstants.hosts.map(h => h.host -> h.budget).toMap,
+      crawlDelays: Map[String, Double] =
+        FixtureConstants.hosts.map(h => h.host -> h.crawlDelay).toMap): OracleResult = {
 
     // Captures grouped by canonical url, kept sorted by (warcTs, rawUrl) so
     // "latest capture before the hwm" is a scan.
@@ -97,7 +99,12 @@ object SequentialCrawler {
       // Priority + per-host budget (ops 24/25/38 mirror).
       val byHost = allowed.toSeq.groupBy { case (u, _) => hostOf(u) }
       val scheduled = byHost.toSeq.flatMap { case (h, rows) =>
-        val budget = budgets.getOrElse(h, 2) * cfg.budgetScale
+        // crawl_delay cap (ops 25/49 mirror): ⌊Δ-window / delay⌋, min 1 —
+        // the exact formula of Scheduler.rankCandidates.
+        val delayCap = crawlDelays.get(h).filter(_ > 0)
+          .map(d => math.max(1L, math.floor(cfg.deltaPerBatchSec / d).toLong))
+          .getOrElse(Long.MaxValue)
+        val budget = math.min(budgets.getOrElse(h, 2).toLong * cfg.budgetScale, delayCap).toInt
         rows
           .map { case (u, ts) => (u, ts, Priority.scoreScala(weights.getOrElse(h, 1.0), ts)) }
           .sortBy { case (u, ts, p) => (-p, -ts, u) }(

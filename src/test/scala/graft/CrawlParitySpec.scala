@@ -72,6 +72,60 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(!gotSeen.exists { case (u, st) => st == "fetched" && u.contains("src13.example.com/articles/") })
   }
 
+  test("crawl_delay enforcement: binding cap matches the oracle exactly (P3)") {
+    import graft.core.{Constants, Parsers}
+    // Custom fixture where the delay cap BINDS: budget 10 would fetch all 8
+    // articles per host in batch 1, but crawl_delay 7200 s over the 6 h
+    // Δ-window caps each host at ⌊21600/7200⌋ = 3 fetches per batch.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delay-fix").toString
+    val hosts = Seq("d0.test.example", "d1.test.example")
+    val rows = for {
+      h <- hosts
+      i <- 0 until 8
+    } yield {
+      val text = s"delay fixture body $h $i"
+      val published = Constants.EPOCH.plusSeconds(60L * (i + 1))
+      (s"https://$h/articles/$i", java.sql.Timestamp.from(published),
+        Parsers.renderArticle(0, s"D$i", h, text, published), text, "en")
+    }
+    rows.toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/pages.parquet")
+    hosts.map(h => Tuple1(s"https://$h/articles/1")).toDF("url")
+      .write.mode("overwrite").parquet(s"$tmp/seeds.parquet")
+    hosts.map(h => (h, Seq("/private/"), 7200.0)).toDF("host", "disallow", "crawl_delay")
+      .write.mode("overwrite").parquet(s"$tmp/robots.parquet")
+    hosts.map(h => (h, 1.0)).toDF("host", "weight")
+      .write.mode("overwrite").parquet(s"$tmp/source_weights.parquet")
+    hosts.map(h => (h, 10)).toDF("host", "budget")
+      .write.mode("overwrite").parquet(s"$tmp/budgets.parquet")
+
+    val cfg = cfgBase.copy(runTag = "delay_parity")
+    val run = CrawlLoop.runWithFixtures(spark, tmp, cfg, fresh = true)
+
+    val caps = rows.map { case (u, ts, h, t, l) =>
+      PageCap(u, ts.toInstant.getEpochSecond, h, t, l) }
+    val oracle = SequentialCrawler.crawl(
+      caps, hosts.map(h => s"https://$h/articles/1"), cfg,
+      robots = hosts.map(_ -> Seq("/private/")).toMap,
+      weights = hosts.map(_ -> 1.0).toMap,
+      budgets = hosts.map(_ -> 10).toMap,
+      crawlDelays = hosts.map(_ -> 7200.0).toMap)
+
+    val got = CrawlLoop.articles(spark, run.dir)
+      .select($"fetch_order", $"url", $"batch_id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.length === oracle.articles.length)
+    for ((g, o) <- got.zip(oracle.articles)) {
+      assert(g._1 === o.fetchOrder); assert(g._2 === o.url); assert(g._3 === o.batchId)
+    }
+    // The cap actually bound: every (host, batch) fetched ≤ 3 urls, and the
+    // backlog forced ≥ 3 batches (budget alone would finish in 1).
+    val perHostBatch = got.groupBy(g => (g._2.split('/')(2), g._3)).view.mapValues(_.length)
+    assert(perHostBatch.values.forall(_ <= 3), s"delay cap violated: $perHostBatch")
+    assert(got.map(_._3).max >= 3, "delay cap did not spread fetches across batches")
+    assert(got.length === hosts.size * 8, "not all articles eventually fetched")
+  }
+
   test("two-tier bloom dedup and exact-only dedup produce identical crawls") {
     val exact = CrawlLoop.run(spark, TestSpark.Sf0001,
       cfgBase.copy(runTag = "parity_exact", useBloom = false), fresh = true)
