@@ -47,8 +47,21 @@ object Constants {
   /** Suffix appended to alias rows (canonicalization fodder, FIXTURES.md B1). */
   val AliasSuffix: String = "?utm_source=feed&utm_campaign=x#frag"
 
-  /** Fixture layout version — bump to invalidate cached generated fixtures. */
-  val FixtureVersion: Int = 2
+  /** Ticker-symbol universe for the entity-extraction fixture (FIXTURES.md
+    * B9): article doc_id carries 1 + (doc_id % 3) tickers, the j-th being
+    * Tickers((doc_id + 7·j) % 12) — 7·j is injective mod 12 for j ∈ 0..2,
+    * so a page's tickers are always distinct. Mirrors the reference's
+    * per-article ticker attachment (news feeds tag symbols). */
+  val Tickers: Vector[String] = Vector(
+    "AAPL", "MSFT", "GOOG", "AMZN", "TSLA", "NVDA",
+    "META", "NFLX", "INTC", "AMD", "IBM", "ORCL")
+
+  def tickersOf(docId: Long): Seq[String] =
+    (0L to docId % 3).map(j => Tickers(((docId + 7 * j) % 12).toInt))
+
+  /** Fixture layout version — bump to invalidate cached generated fixtures.
+    * v3: article pages carry an `article:tickers` meta (entity extraction). */
+  val FixtureVersion: Int = 3
 
   /** Root for generated fixtures / crawl state. Overridable for tests. */
   def workDir: String = sys.env.getOrElse("GRAFT_WORK_DIR", "/tmp/graft")

@@ -93,7 +93,8 @@ object Fixtures {
       val url = s"https://$host/articles/$docId"
       val published = Constants.EPOCH.plusSeconds(docId * 60)
       val ts = Timestamp.from(published)
-      val html = Parsers.renderArticle(family, s"Doc $docId", source, text, published)
+      val tickers = Constants.tickersOf(docId)
+      val html = Parsers.renderArticle(family, s"Doc $docId", source, text, published, tickers)
       val base = Page(url, ts, html, text, lang)
       val alias =
         if (docId % 5 == 0) {
@@ -105,7 +106,7 @@ object Fixtures {
           val text2 = text + " updated"
           val ts2 = Timestamp.from(Constants.EPOCH.plusSeconds(docId * 60 + 7200))
           Seq(Page(url, ts2,
-            Parsers.renderArticle(family, s"Doc $docId", source, text2, published),
+            Parsers.renderArticle(family, s"Doc $docId", source, text2, published, tickers),
             text2, lang))
         } else Nil
       base +: (alias ++ recapture)

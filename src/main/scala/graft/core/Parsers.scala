@@ -98,7 +98,10 @@ object Parsers {
             case 'n' => b.append('\n'); i += 2
             case 'r' => b.append('\r'); i += 2
             case 't' => b.append('\t'); i += 2
-            case 'u' if i + 5 < s.length =>
+            case 'u' if i + 5 < s.length &&
+                s.substring(i + 2, i + 6).forall(c => Character.digit(c, 16) >= 0) =>
+              // hex-validated: corrupted/truncated \uXXXX escapes (adversarial
+              // bytes) must degrade deterministically, never throw.
               b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
             case other => b.append(other); i += 2
           }
@@ -136,15 +139,22 @@ object Parsers {
   // Article rendering / extraction.
   // ------------------------------------------------------------------
 
-  private def head(title: String, published: String): String =
+  private def head(title: String, published: String, tickers: Seq[String]): String = {
+    val tick =
+      if (tickers.isEmpty) ""
+      else s"""<meta property="article:tickers" content="${tickers.mkString(",")}"/>"""
     s"""<head><title>$title</title>""" +
-      s"""<meta property="article:published" content="$published"/></head>"""
+      s"""<meta property="article:published" content="$published"/>$tick</head>"""
+  }
 
   /** Render an article page for (family, title, source, body, published) →
-    * UTF-8 bytes. Bodies in the fixture corpus never contain '<'. */
+    * UTF-8 bytes. Bodies in the fixture corpus never contain '<'.
+    * `tickers` (entity metadata the reference's feeds attach per article)
+    * lands in a head <meta> — never in the extracted body text. */
   def renderArticle(family: Int, title: String, source: String, body: String,
-      published: Instant = Constants.EPOCH): Array[Byte] = {
-    val h = head(title, formatPublished(family, published))
+      published: Instant = Constants.EPOCH,
+      tickers: Seq[String] = Nil): Array[Byte] = {
+    val h = head(title, formatPublished(family, published), tickers)
     val page = family match {
       case 0 =>
         s"""<html>$h<body><div class="ArticleBody">$body</div>""" +

@@ -204,8 +204,36 @@ object Similarity {
     * √n keeps both the centroid model and the per-cell posting lists
     * worker-sized. */
   def knnIvf(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
-      k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = ivfCentroids(candidates, nCells, iters)
+      k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    knnIvfModel(spark, queries, candidates, k,
+      ivfCentroids(candidates, nCells, iters), nProbe)
+
+  /** Persist the coarse quantizer as a tiny parquet MODEL table
+    * (cell, centroid) — train once, probe many. The model is k×dim floats
+    * regardless of corpus size (it is the model, not the data), so this is
+    * a one-file write at any scale. Returns the trained centroids. */
+  def saveIvfModel(spark: SparkSession, vecs: DataFrame, path: String,
+      nCells: Int = 16, iters: Int = 2): Array[Array[Float]] = {
+    val cents = ivfCentroids(vecs, nCells, iters)
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    cents
+  }
+
+  /** Load a persisted quantizer (exact float roundtrip through parquet). */
+  def loadIvfModel(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(path)
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+
+  /** IVF probe against a PRE-TRAINED quantizer (see [[knnIvf]] for the plan
+    * shape; this is the probe-many half of the persistence split). */
+  def knnIvfModel(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+      k: Int, cents: Array[Array[Float]], nProbe: Int = 4): DataFrame = {
     val bc = spark.sparkContext.broadcast(cents)
     val cellOf = udf { emb: Seq[Float] =>
       val v = normalize(emb.toArray)

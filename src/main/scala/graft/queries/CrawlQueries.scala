@@ -256,6 +256,22 @@ object CrawlQueries {
           length(col("text")).as("text_len"))
     }),
 
+    // entity extraction (the reference's per-article ticker attachment): pull
+    // the ticker symbols out of the raw html bytes of each latest capture,
+    // explode to (url, ticker) grain — regexp + split + generator, all
+    // codegen'd Catalyst builtins on the post-latest-wins (bounded) set.
+    "q44_tickers" -> ((s, dir) => {
+      val raw = regexp_extract(col("html").cast("string"),
+        "property=\"article:tickers\" content=\"([^\"]+)\"", 1)
+      latestCaptures(s, dir)
+        .filter(col("url").contains("/articles/"))
+        .withColumn("ticker_csv", raw)
+        .filter(col("ticker_csv") =!= "")
+        .select(col("url"),
+          explode(split(col("ticker_csv"), ",")).as("ticker"),
+          size(split(col("ticker_csv"), ",")).as("n_tickers"))
+    }),
+
     // ops 43/5/29: the full multi-batch crawl with checkpointed state; output
     // is the canonically-ordered article log. Oracle: the sequential crawler
     // (ScalaTest golden parity) — iterative state is not DuckDB-expressible.
@@ -456,6 +472,22 @@ object CrawlQueries {
          |)
          |SELECT url, n_versions, batch_id AS last_batch, length(text) AS text_len
          |  FROM r WHERE rn = 1""".stripMargin,
+
+    "q44_tickers" ->
+      s"""WITH art AS (
+         |  SELECT DISTINCT 'https://' || source || '.example.com/articles/' || doc_id AS url,
+         |         CAST(doc_id AS BIGINT) AS doc_id
+         |    FROM documents
+         |),
+         |x AS (
+         |  SELECT url, doc_id,
+         |         unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS j
+         |    FROM art
+         |)
+         |SELECT url,
+         |       (['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA','META','NFLX','INTC','AMD','IBM','ORCL'])[CAST((doc_id + 7*j) % 12 AS INT) + 1] AS ticker,
+         |       CAST(doc_id % 3 + 1 AS INT) AS n_tickers
+         |  FROM x""".stripMargin,
 
     "q09_link_extract" ->
       s"""WITH ranked AS (

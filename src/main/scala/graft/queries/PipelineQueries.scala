@@ -59,6 +59,19 @@ object PipelineQueries {
       Similarity.knnIvf(s, e.filter(col("vec_id") % 50 === 0), e, k = 5)
     }),
 
+    // IVF with a PERSISTED model: train-once (tiny parquet model table),
+    // probe-many — the deployment shape at 10^10 vectors. Output grain
+    // matches q43 (rows-only; model-vs-memory parity pinned in MlSpec).
+    "q45_knn_ivf_model" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = s"${graft.core.Constants.workDir}/models/ivf_${java.nio.file.Paths.get(dir).getFileName}"
+      val cents =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+          Similarity.loadIvfModel(s, path)
+        else Similarity.saveIvfModel(s, e, path)
+      Similarity.knnIvfModel(s, e.filter(col("vec_id") % 50 === 0), e, k = 5, cents)
+    }),
+
     // language-ID heuristic.
     "q37_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
 

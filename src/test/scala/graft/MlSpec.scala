@@ -151,6 +151,29 @@ class MlSpec extends AnyFunSuite {
     assert(dupes === 0L)
   }
 
+  test("IVF model persistence: saved model == trained model, probe output identical") {
+    val e = clusteredVecs(300, 12, 64)
+    val q = e.filter($"vec_id" % 25 === 0)
+    val path = s"${graft.core.Constants.workDir}/models/ivf_mlspec"
+    val trained = Similarity.saveIvfModel(spark, e, path, nCells = 12, iters = 2)
+    val loaded = Similarity.loadIvfModel(spark, path)
+    // exact float roundtrip through the parquet model table
+    assert(loaded.length === trained.length)
+    for ((l, t) <- loaded.zip(trained)) assert(l.toSeq === t.toSeq)
+    // probe-many with the loaded model == probing with the in-memory one
+    val a = Similarity.knnIvfModel(spark, q, e, 5, trained, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val b = Similarity.knnIvfModel(spark, q, e, 5, loaded, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
+    // and the persisted-model path keeps the clustered-corpus recall floor
+    val brute = Similarity.knnBruteForce(q, e, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = b.map { case (x, y, _) => (x, y) }
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"persisted-model IVF recall $recall")
+  }
+
   test("tiled cosine near-dup pairs == brute-force truth (exact completeness)") {
     val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val got = Similarity.cosineNearDupPairs(e, 0.35, blocks = 8)

@@ -69,6 +69,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("streaming→batch seen-set handoff: folded survivors dedup the batch tier") {
+    // The two-tier design's seam (round-3 worklist item 7): the streaming
+    // dedup is the IN-FLIGHT tier; its survivors are folded into the durable
+    // bloom+exact store, and the BATCH pipeline must then treat exactly
+    // those urls as seen. Fold HALF the survivors (even url_hash) so the
+    // assertion distinguishes "seen works" from "everything filtered".
+    val stream = StreamingIngest.pagesStream(spark, pagesDir)
+    StreamingIngest.drainToMemory(spark,
+      StreamingIngest.dedupStream(stream), "handoff_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val survivors = spark.table("handoff_dedup").select("url", "url_hash")
+    val folded = survivors.filter(pmod($"url_hash", lit(2)) === 0)
+    val seenExact = folded.withColumn("status", lit("fetched"))
+    val shards = graft.operators.BloomSeen.buildShards(folded.select("url_hash"))
+
+    val cands = spark.read.parquet(pagesDir)
+      .filter(graft.core.Canonicalize.isHttpScheme($"url"))
+      .select(graft.core.Canonicalize.canonicalUrl($"url").as("url"))
+      .filter($"url".isNotNull)
+      .distinct()
+      .withColumn("url_hash", graft.core.Canonicalize.urlHash($"url"))
+    val (newRows, cached) = graft.operators.BloomSeen.antiJoinSeen(
+      spark, cands, seenExact, Some(shards))
+    val got = newRows.select("url").as[String].collect().toSet
+    cached.foreach(_.unpersist())
+
+    // Batch parity: survivors == all canonical urls (the streaming tier saw
+    // everything), so the batch must schedule exactly the un-folded half.
+    val all = cands.select("url").as[String].collect().toSet
+    val foldedSet = folded.select("url").as[String].collect().toSet
+    assert(foldedSet.nonEmpty && foldedSet.size < all.size, "fold split degenerate")
+    assert(got === (all -- foldedSet))
+  }
+
   test("mapGroupsWithState accumulates per-host crawl state across batches") {
     val stream = StreamingIngest.pagesStream(spark, pagesDir)
     StreamingIngest.drainToMemory(spark,
