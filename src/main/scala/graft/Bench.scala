@@ -97,9 +97,17 @@ object Bench {
     val scalingJson =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
       else try {
-        // R=128 keeps each in-bench pair ~2 min (the authoritative large-R
-        // ladders are committed in bench_ladder.json / BENCH.md §3c).
-        val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "128").toInt
+        // R=1024 deliberately: the pair must measure PIPELINE throughput,
+        // and the mega-batch carries a ~15-20 s serial floor (planning,
+        // broadcast builds, checkpoint commit) that at small R caps the
+        // 8-thread ratio by Amdahl regardless of engine quality — measured
+        // this round: R=128 → 0.35-0.54, R=512 → 0.75, R=1024 → 0.85 on
+        // the same engine (BENCH.md §3d). At cluster scale a batch carries
+        // minutes-to-hours of work and the same floor is noise, so the
+        // large-R regime is the one that answers the N→4N question.
+        // ~10 min per trial (2 levels × warmup+measured); SKIP_SCALING or
+        // SCALE_TRIALS=1 for local iteration.
+        val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "1024").toInt
         val trials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "3").toInt
         val xlDir = ScalingBench.ensureXl(spark, sfDir, r)
 
