@@ -1,0 +1,161 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operations that sit ON TOP of the dedup /
+  * similarity primitives: turning near-dup PAIRS into duplicate CLUSTERS
+  * (connected components), decontaminating a corpus against an eval set,
+  * deterministic stratified sampling, and corpus token statistics.
+  *
+  * Scale design notes (the 100 TB story):
+  *  - Connected components is the step every dedup pipeline needs after the
+  *    pair join: transitive closure picks ONE keeper per duplicate group.
+  *    Implemented as distributed min-label propagation — O(diameter)
+  *    all-shuffle iterations, each a pair of equi-joins + a hash agg; no
+  *    driver-side graph ever materializes. Near-dup graphs are dense
+  *    clique-ish clusters (diameter 2-4 in practice), so the iteration
+  *    count is small and independent of corpus size; `localCheckpoint`
+  *    truncates the lineage so plan size stays constant per iteration.
+  *  - Decontamination joins corpus shingle postings against the eval set's
+  *    distinct shingles on an 8-byte hash key. No forced broadcast: an eval
+  *    benchmark is usually tiny (AQE will broadcast it from measured size)
+  *    but nothing breaks if it isn't.
+  *  - Stratified sampling must be deterministic and key-stable at 10^10
+  *    rows (re-runs and late-arriving partitions must agree), so it is a
+  *    pure function of the row key — no RNG state, no sampleBy. The query
+  *    entry uses a Lehmer-style LCG on doc_id so the DuckDB oracle can
+  *    mirror it exactly; production would swap in xxhash64(key, salt)
+  *    (same shape, not oracle-expressible — see OracleParity in SURVEY §7).
+  */
+object Corpus {
+
+  /** Connected components over an undirected pair list `edges(a, b)`:
+    * returns (doc_id, rep, cluster_size) for every node that appears in at
+    * least one edge, where `rep` is the minimum doc_id of the node's
+    * component (the canonical keeper) — exactly the transitive closure of
+    * the near-dup relation.
+    *
+    * Distributed min-label propagation WITH path compression: every node
+    * starts labeled with its own id; each round (1) hooks to the min of its
+    * own and its neighbors' labels, then (2) compresses label ← label(label)
+    * (pointer doubling — labels are always node ids of the same component,
+    * so the self-join is total). Hook alone converges in O(diameter)
+    * rounds; the doubling step makes it O(log diameter), so even a
+    * pathological chain-shaped dup graph converges in a few dozen rounds at
+    * any scale. Every step is an equi-join or partial-agg-friendly hash agg
+    * keyed on node id; no driver-side graph, and `localCheckpoint`
+    * truncates lineage so the plan stays constant-size per round.
+    *
+    * Fixpoint ⇒ correctness: labels are monotone non-increasing and stay
+    * within the component; at a hook fixpoint the label is constant across
+    * every (symmetric) edge, hence constant per component, and the
+    * component-minimum node never adopts a larger label — so the shared
+    * label is the component min.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    // Symmetric closure once; propagation then only needs one direction.
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Hook: candidate label = min over own + incoming neighbor labels.
+      val fromNeighbors = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("label").as("nlabel"))
+      val hooked = labels
+        .join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("h"))
+      // Compress: label ← label(label). h(x) ≤ x invariantly, so hh ≤ h.
+      val pmap = hooked.select(col("id").as("hid"), col("h").as("hh"))
+      val next = hooked
+        .join(pmap, col("h") === col("hid"))
+        .select(col("id"), col("old"), least(col("h"), col("hh")).as("label"))
+        .localCheckpoint(true) // truncate lineage: constant plan per round
+      val nChanged = next.filter(col("label") < col("old")).count()
+      labels = next.select("id", "label")
+      converged = nChanged == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("rep"), col("cluster_size"))
+  }
+
+  /** Near-dup clusters of `docs`: word-3-gram Jaccard pairs (the exact,
+    * PPJoin-pruned join from [[Dedup.ngramJaccardPairs]]) fed through
+    * [[connectedComponents]] — the full pairs→clusters dedup pipeline in
+    * one plan. */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    connectedComponents(Dedup.ngramJaccardPairs(docs, threshold))
+
+  /** Benchmark decontamination: which corpus documents share at least
+    * `minOverlap` distinct word 3-grams with the eval set?
+    *
+    * `evalPred` marks the eval/benchmark rows inside `docs` (they are
+    * excluded from the output); returns (doc_id, n_overlap) with
+    * n_overlap = |shingles(doc) ∩ shingles(eval-union)| ≥ minOverlap.
+    *
+    * Postings-join shape: both sides explode to (doc_id, shingle-hash)
+    * postings; the eval side collapses to DISTINCT shingle keys before the
+    * join, so the join key space is the eval vocabulary, not the corpus.
+    * No forced broadcast — eval sets are small, AQE broadcasts from
+    * measured size (same policy as the minhash attach joins).
+    */
+  def decontaminate(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+      minOverlap: Long = 1L): DataFrame = {
+    val sh = docs
+      .repartition(col("doc_id")) // parallelize the shingle kernel (cf. Dedup)
+      .select(col("doc_id"), evalPred.as("is_eval"),
+        explode(Dedup.shingles3(col("text"))).as("shingle"))
+      .select(col("doc_id"), col("is_eval"), xxhash64(col("shingle")).as("sk"))
+    val evalShingles = sh.filter(col("is_eval")).select("sk").distinct()
+    sh.filter(!col("is_eval"))
+      .join(evalShingles, Seq("sk")) // postings are distinct per doc by shingles3
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Deterministic stratified sample: keep a row iff its key lands under
+    * `permille` in a Lehmer-LCG permutation of `doc_id` — a pure function
+    * of the key, so the sample is stable across re-runs, partitionings and
+    * cluster sizes (no RNG state; the property a 10^10-row pipeline needs
+    * for reproducible training mixes). Returns the sampled rows with their
+    * bucket. Production note: for arbitrary/string keys substitute
+    * pmod(xxhash64(key, salt), 1000) — identical plan shape; the LCG keeps
+    * the DuckDB oracle exact (xxhash64 has no oracle counterpart). */
+  def stratifiedSample(docs: DataFrame, permille: Int): DataFrame =
+    docs
+      .withColumn("bucket", ((col("doc_id") * 48271L + 11L) % 1000L).cast("int"))
+      .filter(col("bucket") < permille)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+
+  /** Per-language top-k tokens by frequency (tie-break token asc): the
+    * corpus-statistics pass (vocabulary head) of a training-data pipeline.
+    * Explode → two-level hash agg (partial map-side combine collapses the
+    * token stream before the shuffle) → per-lang top-k window over the
+    * already-aggregated (lang, token) grain — the window input is the
+    * vocabulary size, not the token stream. */
+  def topTokens(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("cnt"), asc("token"))))
+      .filter(col("rank") <= k)
+      .select("lang", "token", "cnt", "rank")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Fixtures
 import graft.functions.expressions.rolling_hash
-import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ml.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (task brief): dedup family, similarity
   * search, text analysis, multimodal plumbing. Oracle SQL runs over the
@@ -95,7 +95,24 @@ object PipelineQueries {
     // multimodal decode/feature-extract/resize/frame-sample (stubbed codec,
     // real partition-batched typed plumbing; rows-only).
     "q42_media_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(s, Fixtures.table(s, dir, "media")).toDF())
+      Multimodal.decodeFeatures(s, Fixtures.table(s, dir, "media")).toDF()),
+
+    // pairs → CLUSTERS: connected components over the exact ngram-Jaccard
+    // near-dup pairs (min-id rep per transitive duplicate group).
+    "q46_dedup_clusters" -> ((s, dir) =>
+      Corpus.dedupClusters(docs(s, dir), threshold = 0.5)),
+
+    // benchmark decontamination: corpus docs sharing any word-3-gram with
+    // the eval slice (doc_id % 37 == 0).
+    "q47_decontaminate" -> ((s, dir) =>
+      Corpus.decontaminate(docs(s, dir), col("doc_id") % 37 === 0)),
+
+    // deterministic key-stable stratified sample (200‰).
+    "q48_sample_stratified" -> ((s, dir) =>
+      Corpus.stratifiedSample(docs(s, dir), permille = 200)),
+
+    // corpus vocabulary head: per-lang top-10 tokens.
+    "q49_top_tokens" -> ((s, dir) => Corpus.topTokens(docs(s, dir), k = 10))
   )
 
   val oracles: Map[String, String] = Map(
@@ -179,6 +196,56 @@ object PipelineQueries {
         |       strlen(text) AS byte_len,
         |       CAST(32 + doc_id % 97 AS INT) AS width,
         |       CAST(32 + doc_id % 53 AS INT) AS height
-        |  FROM documents""".stripMargin
+        |  FROM documents""".stripMargin,
+
+    // Connected components as a recursive CTE: min reachable id over the
+    // symmetric closure of the q33 pair set == the Spark label propagation.
+    "q46_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |pairs AS (SELECT a, b FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         round(len(list_intersect(a.s, b.s)) * 1.0
+        |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) AS p
+        | WHERE jaccard >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b AS src, a AS dst FROM pairs),
+        |cc AS (SELECT src AS node, src AS root FROM edges
+        |       UNION
+        |       SELECT e.dst AS node, cc.root FROM cc JOIN edges e ON cc.node = e.src),
+        |lab AS (SELECT node AS doc_id, min(root) AS rep FROM cc GROUP BY node)
+        |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS cluster_size
+        |  FROM lab""".stripMargin,
+
+    "q47_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM t),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |  FROM (SELECT doc_id, s FROM sh WHERE doc_id % 37 <> 0) AS c
+        |  JOIN ev USING (s)
+        | GROUP BY c.doc_id""".stripMargin,
+
+    "q48_sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |       CAST((doc_id * 48271 + 11) % 1000 AS INT) AS bucket
+        |  FROM documents
+        | WHERE (doc_id * 48271 + 11) % 1000 < 200""".stripMargin,
+
+    "q49_top_tokens" ->
+      """WITH c AS (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents),
+        |g AS (SELECT lang, token, count(*) AS cnt FROM c GROUP BY lang, token),
+        |r AS (SELECT lang, token, cnt,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |                                ORDER BY cnt DESC, token ASC) AS rank
+        |        FROM g)
+        |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10""".stripMargin
   )
 }

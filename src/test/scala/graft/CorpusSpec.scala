@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.Corpus
+
+/** Corpus-level pipeline operators: connected-components clustering vs a
+  * union-find truth, decontamination vs hand-built overlap, deterministic
+  * stratified sampling, top-k token stats vs a naive computation. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents == union-find truth on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 80
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    // Union-find truth; union-by-min keeps each root = component minimum.
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val truthRep = nodes.map(v => v -> find(v.toInt).toLong).toMap
+    val truthSize = truthRep.values.groupBy(identity).map { case (r, vs) => r -> vs.size.toLong }
+
+    val got = Corpus.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === nodes.size)
+    for ((id, rep, sz) <- got) {
+      assert(rep === truthRep(id), s"rep of $id")
+      assert(sz === truthSize(truthRep(id)), s"cluster_size of $id")
+    }
+  }
+
+  test("connectedComponents merges a 40-node chain in O(log) rounds") {
+    // Worst-case diameter: hook alone needs ~40 rounds; with path
+    // compression the reachable distance grows ~2^k, so 12 rounds suffice.
+    val chain = (0L until 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val got = Corpus.connectedComponents(chain.toDF("a", "b"), maxIter = 12)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 40)
+    assert(got.forall(_._2 == 0L), "all chain nodes collapse to rep 0")
+    assert(got.forall(_._3 == 40L))
+  }
+
+  test("decontaminate finds exactly the docs sharing a 3-gram with the eval slice") {
+    // Eval slice = doc_id % 37 == 0 → docs 0 and 37.
+    // shingles(0) = {a b c, b c d}; shingles(37) = {x y z}.
+    val df = Seq(
+      (0L, "a b c d"), (37L, "x y z"),
+      (1L, "a b c q"),           // shares "a b c"            → overlap 1
+      (2L, "q w e r"),           // shares nothing
+      (3L, "b c d x y z w"))     // shares "b c d" + "x y z"  → overlap 2
+      .toDF("doc_id", "text")
+    val got = Corpus.decontaminate(df, col("doc_id") % 37 === 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("stratifiedSample is deterministic, key-stable and near the target rate") {
+    val df = (0L until 5000L).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 3 === 0, "en").otherwise("de"))
+      .withColumn("source", lit("s"))
+    val expected = (0L until 5000L).filter(id => (id * 48271L + 11L) % 1000L < 200L)
+    val got = Corpus.stratifiedSample(df, permille = 200)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === expected, "sample == the pure function of the key")
+    // Key-stability: a different physical partitioning yields the same set.
+    val got2 = Corpus.stratifiedSample(df.repartition(7, col("lang")), permille = 200)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got2.toSeq === expected)
+    // Rate is near 200‰ (the LCG is a permutation mod 1000 → near-exact).
+    assert(math.abs(got.length / 5000.0 - 0.2) < 0.01)
+  }
+
+  test("topTokens matches a naive computation (ties broken token-asc)") {
+    val df = Seq(
+      ("en", "b a a c b a"), ("en", "c b d"),
+      ("de", "x y x")).toDF("lang", "text")
+    // truth: en → a:3, b:3, c:2, d:1 ; de → x:2, y:1
+    val got = Corpus.topTokens(df, k = 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(got === Set(
+      ("en", "a", 3L, 1), ("en", "b", 3L, 2),
+      ("de", "x", 2L, 1), ("de", "y", 1L, 2)))
+  }
+}
