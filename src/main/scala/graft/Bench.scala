@@ -86,6 +86,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + crawlSec.getOrElse(0.0)
 
+    def benchLine(scaling: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","cpus":$cpus""" +
+        crawlJson.map("," + _._2).getOrElse("") +
+        scaling + "}"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    def writeOut(l: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), l + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    // Partial flush BEFORE the scaling pair: the R=1024 median-of-3 pair
+    // runs ~30 min, and a caller-side timeout there must not lose the
+    // query/crawl numbers. The final write below overwrites this line.
+    writeOut(benchLine(""))
+
     // North-rule two-cluster-size evidence: a disciplined FRESH-JVM pair
     // (N=2 vs 4N=8 threads on the XL replicated frontier, budget
     // non-binding so the measured quantity is pipeline throughput; each
@@ -165,15 +179,9 @@ object Bench {
           System.err.println(s"[bench] scaling pair failed: $e")
           ""
       }
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","cpus":$cpus""" +
-        crawlJson.map("," + _._2).getOrElse("") +
-        scalingJson + "}"
     // File first (driver-parseable regardless of log wrappers), then stdout.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    val line = benchLine(scalingJson)
+    writeOut(line)
     println(line)
     spark.stop()
   }

@@ -81,6 +81,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(got.length / 5000.0 - 0.2) < 0.01)
   }
 
+  test("decontaminate plan: equi-join only, no forced broadcast of either side") {
+    // Both sides of the shingle join are corpus-scale-sensitive (the eval
+    // side is usually small, but that is AQE's measured-size call, not a
+    // baked hint). With auto-broadcast disabled and AQE off, any surviving
+    // BroadcastHashJoin could only come from an explicit hint — pin none.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (0L until 200L).map(i => (i, s"w${i % 9} w${(i + 1) % 9} w${(i + 2) % 9} w${i % 5}"))
+        .toDF("doc_id", "text")
+      val plan = Corpus.decontaminate(df, col("doc_id") % 37 === 0)
+        .queryExecution.executedPlan
+      val bad = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bad.isEmpty, s"decontaminate plan has a forced/non-equi join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("topTokens plan: map-side partial agg before the shuffle + group-limit pushdown") {
+    val df = Seq(("en", "a b c a"), ("de", "x y")).toDF("lang", "text")
+    val s = Corpus.topTokens(df, 3).queryExecution.executedPlan.toString
+    assert(s.contains("partial_count"),
+      "token stream must be collapsed map-side before the (lang, token) shuffle")
+    assert(s.contains("WindowGroupLimit"),
+      "per-lang top-k must push a group limit below the window exchange")
+  }
+
   test("topTokens matches a naive computation (ties broken token-asc)") {
     val df = Seq(
       ("en", "b a a c b a"), ("en", "c b d"),
