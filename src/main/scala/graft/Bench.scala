@@ -126,13 +126,27 @@ object Bench {
         val xlDir = ScalingBench.ensureXl(spark, sfDir, r)
 
         // (a) median-of-N fresh-JVM engine pairs (single pairs measured a
-        // ±0.2 spread across identical runs — BENCH.md §3).
-        val engine = (1 to trials).map { _ =>
+        // ±0.2 spread across identical runs — BENCH.md §3), under a
+        // wall-clock budget: at sf0.1 one R=1024 trial is ~15-25 min, and a
+        // caller-side timeout must never eat the whole bench. At least one
+        // trial always completes; a further trial starts only if the
+        // projected finish (elapsed + the longest trial so far) stays
+        // inside SPARK_GRAFT_SCALE_MAX_SEC.
+        val maxSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_SEC", "2700").toDouble
+        val tScale0 = System.nanoTime()
+        def elapsedSec: Double = (System.nanoTime() - tScale0) / 1e9
+        val engine = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long, Double, Double)]
+        var longestTrial = 0.0
+        var i = 0
+        while (i < trials && (i == 0 || elapsedSec + longestTrial <= maxSec)) {
+          val t0 = elapsedSec
           val (n2, s2) = ScalingBench.runOnceFreshJvm(2, xlDir, r)
           val (n8, s8) = ScalingBench.runOnceFreshJvm(8, xlDir, r)
-          (n2, s2, n8, s8, (n8 / s8) / (4 * (n2 / s2)))
+          engine += ((n2, s2, n8, s8, (n8 / s8) / (4 * (n2 / s2))))
+          longestTrial = math.max(longestTrial, elapsedSec - t0)
+          i += 1
         }
-        val engEff = ScalingBench.median(engine.map(_._5))
+        val engEff = ScalingBench.median(engine.map(_._5).toSeq)
 
         // (b) SAME-SESSION host thread-scaling ceiling, same child-JVM
         // harness: constant per-thread pure-CPU work, so eff = wall2/wall8.
@@ -166,8 +180,9 @@ object Bench {
           if (s.startsWith("{")) s else "null"
         } catch { case _: Throwable => "null" }
 
-        s""","scaling":{"r":$r,"trials":$trials,""" +
-          s""""mode":"median-of-$trials fresh-JVM engine pairs + same-session host-ceiling burn pairs (same child-JVM harness; warmup inside each child; budget non-binding)",""" +
+        s""","scaling":{"r":$r,"trials_requested":$trials,"trials_completed":${engine.length},""" +
+          s""""scale_max_sec":$maxSec,""" +
+          s""""mode":"median-of-${engine.length} fresh-JVM engine pairs + same-session host-ceiling burn pairs (same child-JVM harness; warmup inside each child; budget non-binding; trial count bounded by scale_max_sec)",""" +
           s""""engine":{"trials":$engineTrials,"median_efficiency_2_to_8":$engEff},""" +
           s""""host_ceiling":{"burn_per_thread":$burnN,"trials":$hostTrials,"median_efficiency_2_to_8":$hostEff},""" +
           s""""efficiency_2_to_8":$engEff,""" +
