@@ -140,6 +140,33 @@ object Corpus {
       .filter(col("bucket") < permille)
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
 
+  /** End-to-end corpus curation — the composed training-data pipeline in
+    * ONE DataFrame: a document survives iff it
+    *  (1) is not part of the eval/benchmark slice,
+    *  (2) passes the quality gate (n_tokens ≥ minTokens),
+    *  (3) shares no word-3-gram with the eval slice ([[decontaminate]]),
+    *  (4) is the keeper (min-id representative) of its near-dup cluster, or
+    *      is in no cluster ([[dedupClusters]]),
+    *  (5) lands in the deterministic sample ([[stratifiedSample]]'s key
+    *      function, bucket < permille).
+    * Every filter is defined over the FULL input set, so the five gates
+    * commute (pure set intersection — no staging-order semantics to get
+    * wrong at 10^10 docs, and the DuckDB oracle mirrors them clause by
+    * clause). Returns (doc_id, lang, n_tokens). */
+  def curate(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+      minTokens: Int = 30, permille: Int = 500): DataFrame = {
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("n_tokens"))
+    val contaminated = decontaminate(docs, evalPred).select("doc_id")
+    val dupLosers = dedupClusters(docs)
+      .filter(col("doc_id") =!= col("rep")).select("doc_id")
+    docs.filter(!evalPred)
+      .join(q.filter(col("n_tokens") >= minTokens), Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .filter(((col("doc_id") * 48271L + 11L) % 1000L) < permille)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   /** Per-language top-k tokens by frequency (tie-break token asc): the
     * corpus-statistics pass (vocabulary head) of a training-data pipeline.
     * Explode → two-level hash agg (partial map-side combine collapses the

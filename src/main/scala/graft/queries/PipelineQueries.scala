@@ -112,7 +112,12 @@ object PipelineQueries {
       Corpus.stratifiedSample(docs(s, dir), permille = 200)),
 
     // corpus vocabulary head: per-lang top-10 tokens.
-    "q49_top_tokens" -> ((s, dir) => Corpus.topTokens(docs(s, dir), k = 10))
+    "q49_top_tokens" -> ((s, dir) => Corpus.topTokens(docs(s, dir), k = 10)),
+
+    // flagship composed pipeline: quality gate + decontamination +
+    // dedup-keeper selection + deterministic sample, one DataFrame.
+    "q50_curate" -> ((s, dir) =>
+      Corpus.curate(docs(s, dir), col("doc_id") % 37 === 0))
   )
 
   val oracles: Map[String, String] = Map(
@@ -246,6 +251,39 @@ object PipelineQueries {
         |             ROW_NUMBER() OVER (PARTITION BY lang
         |                                ORDER BY cnt DESC, token ASC) AS rank
         |        FROM g)
-        |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10""".stripMargin
+        |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // The composed pipeline, clause by clause: each gate is defined over
+    // the FULL documents set (pure intersection), mirroring Corpus.curate.
+    "q50_curate" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |pairs AS (SELECT a, b FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         round(len(list_intersect(a.s, b.s)) * 1.0
+        |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) AS p
+        | WHERE jaccard >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b AS src, a AS dst FROM pairs),
+        |cc AS (SELECT src AS node, src AS root FROM edges
+        |       UNION
+        |       SELECT e.dst AS node, cc.root FROM cc JOIN edges e ON cc.node = e.src),
+        |losers AS (SELECT node AS doc_id FROM (SELECT node, min(root) AS rep FROM cc GROUP BY node) AS lab
+        |            WHERE node <> rep),
+        |shp AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |ev AS (SELECT DISTINCT g FROM shp WHERE doc_id % 37 = 0),
+        |contaminated AS (SELECT DISTINCT shp.doc_id FROM shp JOIN ev USING (g)
+        |                  WHERE doc_id % 37 <> 0)
+        |SELECT d.doc_id, d.lang, len(string_split(d.text,' ')) AS n_tokens
+        |  FROM documents d
+        | WHERE d.doc_id % 37 <> 0
+        |   AND len(string_split(d.text,' ')) >= 30
+        |   AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |   AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+        |   AND (d.doc_id * 48271 + 11) % 1000 < 500""".stripMargin
   )
 }

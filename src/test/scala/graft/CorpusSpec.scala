@@ -116,6 +116,42 @@ class CorpusSpec extends AnyFunSuite {
       "per-lang top-k must push a group limit below the window exchange")
   }
 
+  test("curate == the intersection of its five gates computed independently") {
+    // Synthetic corpus with every gate exercised: an eval doc, a contaminated
+    // doc, a near-dup pair (loser dropped, keeper kept), a too-short doc,
+    // and docs falling in/out of the deterministic sample.
+    // Sample buckets ((id·48271+11) % 1000 < 500): 1→282✓ 2→553✗ 5→366✓
+    // 8→179✓ 9→450✓ — ids chosen so the sample gate is NOT what kills the
+    // contaminated/short/loser docs.
+    val base = (1 to 30).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (0L, "en", "s", (1 to 30).map("e" + _).mkString(" ")),     // eval (0 % 37 == 0)
+      (1L, "en", "s", "e1 e2 e3 " + (1 to 27).map("q" + _).mkString(" ")), // contaminated
+      (2L, "en", "s", "a b c"),                                  // too short
+      (5L, "en", "s", base),                                     // keeper of {5, 9}
+      (9L, "en", "s", base + " w31"),                            // near-dup loser of 5
+      (8L, "en", "s", (1 to 35).map("u" + _).mkString(" "))      // independent survivor
+    ).toDF("doc_id", "lang", "source", "text")
+    val evalPred = col("doc_id") % 37 === 0
+    val got = Corpus.curate(docs, evalPred, minTokens = 30, permille = 500)
+      .select("doc_id").as[Long].collect().toSet
+
+    val notEval = Set(1L, 2L, 5L, 8L, 9L)
+    val quality = graft.ml.TextAnalysis.quality(docs)
+      .filter(col("n_tokens") >= 30).select("doc_id").as[Long].collect().toSet
+    val contaminated = Corpus.decontaminate(docs, evalPred)
+      .select("doc_id").as[Long].collect().toSet
+    val losers = Corpus.dedupClusters(docs)
+      .filter(col("doc_id") =!= col("rep")).select("doc_id").as[Long].collect().toSet
+    val sampled = (0L to 9L).filter(id => (id * 48271L + 11L) % 1000L < 500L).toSet
+    val expected = notEval & quality & sampled -- contaminated -- losers
+    assert(got === expected)
+    assert(got === Set(5L, 8L),
+      "keeper + independent doc survive; eval/contaminated/short/loser do not")
+    assert(losers === Set(9L), "the near-dup loser gate must be exercised")
+    assert(contaminated === Set(1L), "the decontamination gate must be exercised")
+  }
+
   test("topTokens matches a naive computation (ties broken token-asc)") {
     val df = Seq(
       ("en", "b a a c b a"), ("en", "c b d"),
