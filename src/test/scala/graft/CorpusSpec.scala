@@ -12,31 +12,34 @@ class CorpusSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("connectedComponents == union-find truth on a seeded random graph") {
-    val rnd = new scala.util.Random(42)
-    val n = 80
-    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      .filter { case (a, b) => a != b }
-      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
-      .distinct
-    // Union-find truth; union-by-min keeps each root = component minimum.
-    val parent = Array.tabulate(n)(identity)
-    def find(x: Int): Int =
-      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
-    for ((a, b) <- edges) {
-      val (ra, rb) = (find(a.toInt), find(b.toInt))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
-    val truthRep = nodes.map(v => v -> find(v.toInt).toLong).toMap
-    val truthSize = truthRep.values.groupBy(identity).map { case (r, vs) => r -> vs.size.toLong }
+  test("connectedComponents == union-find truth on seeded random graphs") {
+    // Three densities: sparse (many tiny components), balanced, dense (one
+    // giant component) — the regimes a dedup pair graph actually spans.
+    for ((seed, n, m) <- Seq((42, 80, 70), (7, 60, 20), (13, 40, 120))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // Union-find truth; union-by-min keeps each root = component minimum.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val truthRep = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val truthSize = truthRep.values.groupBy(identity).map { case (r, vs) => r -> vs.size.toLong }
 
-    val got = Corpus.connectedComponents(edges.toDF("a", "b"))
-      .as[(Long, Long, Long)].collect()
-    assert(got.length === nodes.size)
-    for ((id, rep, sz) <- got) {
-      assert(rep === truthRep(id), s"rep of $id")
-      assert(sz === truthSize(truthRep(id)), s"cluster_size of $id")
+      val got = Corpus.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long, Long)].collect()
+      assert(got.length === nodes.size, s"seed=$seed node count")
+      for ((id, rep, sz) <- got) {
+        assert(rep === truthRep(id), s"seed=$seed rep of $id")
+        assert(sz === truthSize(truthRep(id)), s"seed=$seed cluster_size of $id")
+      }
     }
   }
 
