@@ -150,11 +150,19 @@ object Bench {
 
         // (b) SAME-SESSION host thread-scaling ceiling, same child-JVM
         // harness: constant per-thread pure-CPU work, so eff = wall2/wall8.
+        // Own try/catch: a burn failure must not discard the (30-45 min of)
+        // engine-pair measurements already collected above.
         val burnN = sys.env.getOrElse("SPARK_GRAFT_BURN_N", "4000000000").toLong
-        val host = (1 to trials).map { _ =>
-          val w2 = ScalingBench.burnFreshJvm(2, burnN)
-          val w8 = ScalingBench.burnFreshJvm(8, burnN)
-          (w2, w8, w2 / w8)
+        val host = try {
+          (1 to trials).map { _ =>
+            val w2 = ScalingBench.burnFreshJvm(2, burnN)
+            val w8 = ScalingBench.burnFreshJvm(8, burnN)
+            (w2, w8, w2 / w8)
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] host-ceiling burn failed (engine pair kept): $e")
+            Seq.empty
         }
         val hostEff = ScalingBench.median(host.map(_._3))
 
@@ -163,8 +171,10 @@ object Bench {
         // N→4N EXECUTOR scale-up each executor brings its own memory
         // bandwidth, so the host ceiling (≈1.0 there) disappears and the
         // normalized number is the cluster-relevant one.
-        val normEff = engEff / hostEff
+        val normEff = engEff / hostEff // NaN if the burn failed (host empty)
 
+        // NaN (empty/failed set) is not valid JSON — emit null instead.
+        def jnum(x: Double): String = if (x.isNaN || x.isInfinite) "null" else x.toString
         val engineTrials = engine.map { case (n2, s2, n8, s8, e) =>
           s"""{"local2":{"urls":$n2,"wall_sec":$s2},"local8":{"urls":$n8,"wall_sec":$s8},"efficiency":$e}"""
         }.mkString("[", ",", "]")
@@ -184,9 +194,9 @@ object Bench {
           s""""scale_max_sec":$maxSec,""" +
           s""""mode":"median-of-${engine.length} fresh-JVM engine pairs + same-session host-ceiling burn pairs (same child-JVM harness; warmup inside each child; budget non-binding; trial count bounded by scale_max_sec)",""" +
           s""""engine":{"trials":$engineTrials,"median_efficiency_2_to_8":$engEff},""" +
-          s""""host_ceiling":{"burn_per_thread":$burnN,"trials":$hostTrials,"median_efficiency_2_to_8":$hostEff},""" +
-          s""""efficiency_2_to_8":$engEff,""" +
-          s""""normalized_efficiency_2_to_8":$normEff,""" +
+          s""""host_ceiling":{"burn_per_thread":$burnN,"trials":$hostTrials,"median_efficiency_2_to_8":${jnum(hostEff)}},""" +
+          s""""efficiency_2_to_8":${jnum(engEff)},""" +
+          s""""normalized_efficiency_2_to_8":${jnum(normEff)},""" +
           s""""ladder_ref":{"note":"committed measured ladder artifact (graft.ScalingBench); methodology + cross-round host variance in BENCH.md section 3","committed":$ladder}}"""
       } catch {
         // Never lose the whole bench line to a scaling-run failure.

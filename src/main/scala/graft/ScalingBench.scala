@@ -148,13 +148,21 @@ object ScalingBench {
     val cmd = Seq("java", "-cp", s"$classes:/opt/spark/jars/*", "-Xmx1g",
       "graft.ScalingBench", "burn", threads.toString, perThread.toString)
     val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
+    // stderr to a file (same discipline as runOnceFreshJvm): an un-drained
+    // stderr pipe deadlocks both processes past 64 KB, and on failure the
+    // diagnostics live there, not on stdout.
+    val errFile = java.io.File.createTempFile(s"graft-burn-$threads-", ".stderr")
+    errFile.deleteOnExit()
+    pb.redirectError(errFile)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     val rc = p.waitFor()
     """"burn_wall_sec":([0-9.eE+-]+)""".r.findFirstMatchIn(out) match {
       case Some(m) => m.group(1).toDouble
-      case None => sys.error(s"burn child (t=$threads) rc=$rc produced no line: $out")
+      case None =>
+        val err = try java.nio.file.Files.readString(errFile.toPath).takeRight(2000)
+          catch { case _: Throwable => "<unreadable>" }
+        sys.error(s"burn child (t=$threads) rc=$rc produced no line: $out; stderr tail: $err")
     }
   }
 

@@ -53,6 +53,17 @@ object Corpus {
     * component-minimum node never adopts a larger label — so the shared
     * label is the component min.
     */
+  /** Best-effort release of the storage behind a localCheckpoint'ed frame
+    * (`Dataset.unpersist` does not reach checkpoint storage — the persisted
+    * RDD sits behind the LogicalRDD leaf). Superseded label tables would
+    * otherwise accumulate one corpus-sized cached copy per round until the
+    * ContextCleaner happens to GC them. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
     // Symmetric closure once; propagation then only needs one direction.
@@ -81,10 +92,12 @@ object Corpus {
         .select(col("id"), col("old"), least(col("h"), col("hh")).as("label"))
         .localCheckpoint(true) // truncate lineage: constant plan per round
       val nChanged = next.filter(col("label") < col("old")).count()
+      freeCheckpoint(labels) // next is materialized — the old copy can go
       labels = next.select("id", "label")
       converged = nChanged == 0
       iter += 1
     }
+    freeCheckpoint(sym) // only the final label table is consumed downstream
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))

@@ -19,6 +19,22 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Cheap content fingerprint of a parquet file/dir (names+sizes+mtimes,
+    * no Spark job) — cache keys derived from it invalidate when the input
+    * is regenerated, instead of silently reusing stale artifacts. */
+  private def dirFingerprint(p: String): String = {
+    import java.nio.file.{Files, Paths}
+    val path = Paths.get(p)
+    val entries: Array[String] =
+      if (Files.isDirectory(path))
+        Files.list(path).toArray.map(_.toString).sorted.map { f =>
+          val fp = Paths.get(f)
+          s"${fp.getFileName}:${Files.size(fp)}:${Files.getLastModifiedTime(fp).toMillis}"
+        }
+      else Array(s"${path.getFileName}:${Files.size(path)}:${Files.getLastModifiedTime(path).toMillis}")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.arrayHash(entries))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup by full text over pages (alias rows form the dup groups).
     "q30_dedup_exact" -> ((s, dir) =>
@@ -64,7 +80,13 @@ object PipelineQueries {
     // matches q43 (rows-only; model-vs-memory parity pinned in MlSpec).
     "q45_knn_ivf_model" -> ((s, dir) => {
       val e = emb(s, dir)
-      val path = s"${graft.core.Constants.workDir}/models/ivf_${java.nio.file.Paths.get(dir).getFileName}"
+      // Cache key = sf basename + input fingerprint: a regenerated or
+      // different embeddings table under the same basename retrains instead
+      // of silently probing a stale quantizer. (First run trains+writes
+      // inside the query; later runs only load — documented timing
+      // asymmetry, the deployment shape being demonstrated.)
+      val path = s"${graft.core.Constants.workDir}/models/" +
+        s"ivf_${java.nio.file.Paths.get(dir).getFileName}_${dirFingerprint(s"$dir/embeddings.parquet")}"
       val cents =
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
           Similarity.loadIvfModel(s, path)

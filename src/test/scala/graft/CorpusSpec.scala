@@ -54,6 +54,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 40L))
   }
 
+  test("connectedComponents frees superseded per-round checkpoints") {
+    // Each round localCheckpoints a new label table; superseded copies (and
+    // the edge table) must be unpersisted, or a long-running pipeline
+    // accumulates one corpus-sized cached replica per round. The chain
+    // needs ~6 rounds — without freeing, the persistent-RDD delta would be
+    // ~7+; with it, only the final label table may remain.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val out = Corpus.connectedComponents(chain.toDF("a", "b"), maxIter = 12)
+    assert(out.count() === 40)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"checkpoint storage leaked: $before persistent RDDs before, $after after")
+  }
+
   test("decontaminate finds exactly the docs sharing a 3-gram with the eval slice") {
     // Eval slice = doc_id % 37 == 0 → docs 0 and 37.
     // shingles(0) = {a b c, b c d}; shingles(37) = {x y z}.
