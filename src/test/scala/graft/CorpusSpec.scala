@@ -54,6 +54,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 40L))
   }
 
+  test("connectedComponents output is invariant to the input partitioning") {
+    // The north-rule determinism story: the labels are a pure function of
+    // the edge SET, so physical layout must not matter.
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val a = Corpus.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Corpus.connectedComponents(edges.toDF("a", "b").repartition(7, col("b")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("curate plan: composed gates stay equi/semi/anti joins — no nested loop") {
+    val docs = Seq((1L, "en", "s", (1 to 35).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+    val plan = Corpus.curate(docs, col("doc_id") % 37 === 0)
+      .queryExecution.executedPlan
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"curate composition planned a non-equi join:\n$plan")
+  }
+
   test("connectedComponents frees superseded per-round checkpoints") {
     // Each round localCheckpoints a new label table; superseded copies (and
     // the edge table) must be unpersisted, or a long-running pipeline
