@@ -176,10 +176,10 @@ object Bench {
         // NaN (empty/failed set) is not valid JSON — emit null instead.
         def jnum(x: Double): String = if (x.isNaN || x.isInfinite) "null" else x.toString
         val engineTrials = engine.map { case (n2, s2, n8, s8, e) =>
-          s"""{"local2":{"urls":$n2,"wall_sec":$s2},"local8":{"urls":$n8,"wall_sec":$s8},"efficiency":$e}"""
+          s"""{"local2":{"urls":$n2,"wall_sec":$s2},"local8":{"urls":$n8,"wall_sec":$s8},"efficiency":${jnum(e)}}"""
         }.mkString("[", ",", "]")
         val hostTrials = host.map { case (w2, w8, e) =>
-          s"""{"wall2_sec":$w2,"wall8_sec":$w8,"efficiency":$e}"""
+          s"""{"wall2_sec":$w2,"wall8_sec":$w8,"efficiency":${jnum(e)}}"""
         }.mkString("[", ",", "]")
 
         // ladder_ref cites the committed MEASURED artifact (bench_ladder
@@ -193,7 +193,7 @@ object Bench {
         s""","scaling":{"r":$r,"trials_requested":$trials,"trials_completed":${engine.length},""" +
           s""""scale_max_sec":$maxSec,""" +
           s""""mode":"median-of-${engine.length} fresh-JVM engine pairs + same-session host-ceiling burn pairs (same child-JVM harness; warmup inside each child; budget non-binding; trial count bounded by scale_max_sec)",""" +
-          s""""engine":{"trials":$engineTrials,"median_efficiency_2_to_8":$engEff},""" +
+          s""""engine":{"trials":$engineTrials,"median_efficiency_2_to_8":${jnum(engEff)}},""" +
           s""""host_ceiling":{"burn_per_thread":$burnN,"trials":$hostTrials,"median_efficiency_2_to_8":${jnum(hostEff)}},""" +
           s""""efficiency_2_to_8":${jnum(engEff)},""" +
           s""""normalized_efficiency_2_to_8":${jnum(normEff)},""" +

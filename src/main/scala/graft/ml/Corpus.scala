@@ -75,30 +75,37 @@ object Corpus {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // Hook: candidate label = min over own + incoming neighbor labels.
-      val fromNeighbors = sym
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min("label").as("nlabel"))
-      val hooked = labels
-        .join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("h"))
-      // Compress: label ← label(label). h(x) ≤ x invariantly, so hh ≤ h.
-      val pmap = hooked.select(col("id").as("hid"), col("h").as("hh"))
-      val next = hooked
-        .join(pmap, col("h") === col("hid"))
-        .select(col("id"), col("old"), least(col("h"), col("hh")).as("label"))
-        .localCheckpoint(true) // truncate lineage: constant plan per round
-      val nChanged = next.filter(col("label") < col("old")).count()
-      freeCheckpoint(labels) // next is materialized — the old copy can go
-      labels = next.select("id", "label")
-      converged = nChanged == 0
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        // Hook: candidate label = min over own + incoming neighbor labels.
+        val fromNeighbors = sym
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min("label").as("nlabel"))
+        val hooked = labels
+          .join(fromNeighbors, Seq("id"), "left")
+          .select(col("id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("h"))
+        // Compress: label ← label(label). h(x) ≤ x invariantly, so hh ≤ h.
+        val pmap = hooked.select(col("id").as("hid"), col("h").as("hh"))
+        val next = hooked
+          .join(pmap, col("h") === col("hid"))
+          .select(col("id"), col("old"), least(col("h"), col("hh")).as("label"))
+          .localCheckpoint(true) // truncate lineage: constant plan per round
+        val nChanged = next.filter(col("label") < col("old")).count()
+        freeCheckpoint(labels) // next is materialized — the old copy can go
+        labels = next.select("id", "label")
+        converged = nChanged == 0
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    } catch {
+      // On any mid-loop failure nothing downstream will consume the frames:
+      // release the edge table and the live label checkpoint too.
+      case t: Throwable =>
+        freeCheckpoint(sym); freeCheckpoint(labels); throw t
     }
     freeCheckpoint(sym) // only the final label table is consumed downstream
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("rep"), col("cluster_size"))
@@ -125,11 +132,20 @@ object Corpus {
     * measured size (same policy as the minhash attach joins).
     */
   def decontaminate(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+      minOverlap: Long = 1L): DataFrame =
+    decontaminateFrom(
+      docs.repartition(col("doc_id")) // parallelize the shingle kernel (cf. Dedup)
+        .select(col("doc_id"), Dedup.shingles3(col("text")).as("sh")),
+      evalPred, minOverlap)
+
+  /** [[decontaminate]] over a precomputed shingle frame — any frame with
+    * (doc_id, sh) columns, e.g. [[Dedup.shingleFrame]] (the shared-kernel
+    * path for composed pipelines; `evalPred` may reference the frame's
+    * columns). */
+  def decontaminateFrom(shingled: DataFrame, evalPred: org.apache.spark.sql.Column,
       minOverlap: Long = 1L): DataFrame = {
-    val sh = docs
-      .repartition(col("doc_id")) // parallelize the shingle kernel (cf. Dedup)
-      .select(col("doc_id"), evalPred.as("is_eval"),
-        explode(Dedup.shingles3(col("text"))).as("shingle"))
+    val sh = shingled
+      .select(col("doc_id"), evalPred.as("is_eval"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("is_eval"), xxhash64(col("shingle")).as("sk"))
     val evalShingles = sh.filter(col("is_eval")).select("sk").distinct()
     sh.filter(!col("is_eval"))
@@ -147,9 +163,16 @@ object Corpus {
     * bucket. Production note: for arbitrary/string keys substitute
     * pmod(xxhash64(key, salt), 1000) — identical plan shape; the LCG keeps
     * the DuckDB oracle exact (xxhash64 has no oracle counterpart). */
+  /** The one definition of the sample-bucket key function (Lehmer-LCG
+    * permutation of doc_id mod 1000) — [[stratifiedSample]] and
+    * [[curate]]'s gate (5) must stay the SAME function, and the q48/q50
+    * oracles mirror these constants. */
+  def sampleBucket(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((docId * 48271L + 11L) % 1000L).cast("int")
+
   def stratifiedSample(docs: DataFrame, permille: Int): DataFrame =
     docs
-      .withColumn("bucket", ((col("doc_id") * 48271L + 11L) % 1000L).cast("int"))
+      .withColumn("bucket", sampleBucket(col("doc_id")))
       .filter(col("bucket") < permille)
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
 
@@ -168,16 +191,27 @@ object Corpus {
     * clause). Returns (doc_id, lang, n_tokens). */
   def curate(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
       minTokens: Int = 30, permille: Int = 500): DataFrame = {
-    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("n_tokens"))
-    val contaminated = decontaminate(docs, evalPred).select("doc_id")
-    val dupLosers = dedupClusters(docs)
-      .filter(col("doc_id") =!= col("rep")).select("doc_id")
-    docs.filter(!evalPred)
-      .join(q.filter(col("n_tokens") >= minTokens), Seq("doc_id"))
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .join(dupLosers, Seq("doc_id"), "left_anti")
-      .filter(((col("doc_id") * 48271L + 11L) % 1000L) < permille)
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    // The shingle UDF is the CPU-heavy kernel (Dedup scale notes) and TWO
+    // gates consume it (decontamination + the near-dup pair join). Run it
+    // ONCE: persist the shared frame, let the CC stage's eager evaluation
+    // populate it, checkpoint the (small) survivor set eagerly, then
+    // release the corpus-sized cache before returning — the returned frame
+    // is self-contained.
+    val shingled = Dedup.shingleFrame(docs).persist()
+    try {
+      val q = TextAnalysis.quality(docs).select(col("doc_id"), col("n_tokens"))
+      val contaminated = decontaminateFrom(shingled, evalPred).select("doc_id")
+      val dupLosers =
+        connectedComponents(Dedup.ngramJaccardPairsFrom(shingled, threshold = 0.5))
+          .filter(col("doc_id") =!= col("rep")).select("doc_id")
+      docs.filter(!evalPred)
+        .join(q.filter(col("n_tokens") >= minTokens), Seq("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .filter(sampleBucket(col("doc_id")) < permille)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .localCheckpoint(true)
+    } finally shingled.unpersist(false)
   }
 
   /** Per-language top-k tokens by frequency (tie-break token asc): the

@@ -246,15 +246,23 @@ object Dedup {
     * volume post-pruning is tiny relative to the corpus), so the output is
     * identical to the naive all-pairs join.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** The shared word-3-gram frame (doc_id, lang, sh, sz). Repartition
+    * first: shingling is the CPU-heavy kernel and a small parquet input
+    * plans 1 split — one narrow (doc_id, lang, text) shuffle buys 32-way
+    * parallel shingles everywhere downstream. Exposed so composed pipelines
+    * ([[graft.ml.Corpus.curate]]) can run the kernel ONCE and feed several
+    * consumers. */
+  def shingleFrame(docs: DataFrame): DataFrame = docs
+    .repartition(col("doc_id"))
+    .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
+    .withColumn("sz", size(col("sh")))
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsFrom(shingleFrame(docs), threshold)
+
+  /** [[ngramJaccardPairs]] over a precomputed [[shingleFrame]]. */
+  def ngramJaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Repartition first: shingling is the CPU-heavy kernel and a small
-    // parquet input plans 1 split — one narrow (doc_id, lang, text) shuffle
-    // buys 32-way parallel shingles everywhere downstream.
-    val sh = docs
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
-      .withColumn("sz", size(col("sh")))
     val postings = sh
       .select(col("doc_id"), col("lang"), col("sz"),
         explode(col("sh")).as("shingle"))

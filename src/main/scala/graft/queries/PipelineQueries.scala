@@ -26,12 +26,13 @@ object PipelineQueries {
     import java.nio.file.{Files, Paths}
     val path = Paths.get(p)
     val entries: Array[String] =
-      if (Files.isDirectory(path))
-        Files.list(path).toArray.map(_.toString).sorted.map { f =>
+      if (Files.isDirectory(path)) {
+        val stream = Files.list(path) // must be closed: DirectoryStream-backed
+        try stream.toArray.map(_.toString).sorted.map { f =>
           val fp = Paths.get(f)
           s"${fp.getFileName}:${Files.size(fp)}:${Files.getLastModifiedTime(fp).toMillis}"
-        }
-      else Array(s"${path.getFileName}:${Files.size(path)}:${Files.getLastModifiedTime(path).toMillis}")
+        } finally stream.close()
+      } else Array(s"${path.getFileName}:${Files.size(path)}:${Files.getLastModifiedTime(path).toMillis}")
     Integer.toHexString(scala.util.hashing.MurmurHash3.arrayHash(entries))
   }
 
@@ -85,12 +86,27 @@ object PipelineQueries {
       // of silently probing a stale quantizer. (First run trains+writes
       // inside the query; later runs only load — documented timing
       // asymmetry, the deployment shape being demonstrated.)
-      val path = s"${graft.core.Constants.workDir}/models/" +
-        s"ivf_${java.nio.file.Paths.get(dir).getFileName}_${dirFingerprint(s"$dir/embeddings.parquet")}"
+      val base = s"ivf_${java.nio.file.Paths.get(dir).getFileName}"
+      val modelsDir = java.nio.file.Paths.get(s"${graft.core.Constants.workDir}/models")
+      val path = s"$modelsDir/${base}_${dirFingerprint(s"$dir/embeddings.parquet")}"
       val cents =
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
           Similarity.loadIvfModel(s, path)
-        else Similarity.saveIvfModel(s, e, path)
+        else {
+          // Evict superseded models for this base first (a regenerated
+          // input changes the fingerprint; stale siblings would otherwise
+          // accumulate without bound).
+          if (java.nio.file.Files.isDirectory(modelsDir)) {
+            val stream = java.nio.file.Files.list(modelsDir)
+            try stream.toArray.map(_.toString).filter { p =>
+              val n = java.nio.file.Paths.get(p).getFileName.toString
+              (n == base || n.startsWith(base + "_")) && p != path
+            }.foreach { p =>
+              org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+            } finally stream.close()
+          }
+          Similarity.saveIvfModel(s, e, path)
+        }
       Similarity.knnIvfModel(s, e.filter(col("vec_id") % 50 === 0), e, k = 5, cents)
     }),
 
