@@ -52,6 +52,12 @@ object Corpus {
     * every (symmetric) edge, hence constant per component, and the
     * component-minimum node never adopts a larger label — so the shared
     * label is the component min.
+    *
+    * The hook + pointer-doubling pattern is the classic public-domain
+    * parallel-CC recipe (Shiloach–Vishkin PRAM CC, 1982; its MapReduce
+    * descendants: Rastogi et al. "hash-to-min", ICDE 2013, and Kiveris et
+    * al. "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * re-expressed here as Catalyst joins/aggregations, original code.
     */
   /** Best-effort release of the storage behind a localCheckpoint'ed frame
     * (`Dataset.unpersist` does not reach checkpoint storage — the persisted
