@@ -27,6 +27,53 @@ import graft.operators.{CrawlConfig, CrawlLoop, Checkpoints}
   */
 object ScalingBench {
 
+  /** Write a replicated XL documents table once (untimed input setup) for
+    * the PIPELINE scaling mode: each replica's tokens carry a `_<rep>`
+    * suffix, so token sets are DISJOINT across replicas — the near-dup
+    * structure (and the pair count) scales linearly with R instead of
+    * quadratically, and the measured work keeps the real op's profile
+    * (tokenize + 128-hash signatures + band join + exact verify). */
+  def ensureXlDocs(spark: SparkSession, sfDir: String, r: Int): String = {
+    val xlDir = s"${Constants.workDir}/fixtures/xl_docs_r$r"
+    val marker = java.nio.file.Paths.get(xlDir, "_ALL_DONE")
+    if (!java.nio.file.Files.exists(marker)) {
+      val suffix = udf { (text: String, rep: Int) =>
+        if (text == null) null
+        else text.split(' ').map(_ + "_" + rep).mkString(" ")
+      }
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .select(
+          (col("doc_id") + col("rep").cast("long") * 1000000000L).as("doc_id"),
+          suffix(col("text"), col("rep")).as("text"),
+          col("lang"), col("source"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$xlDir/documents.parquet")
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    xlDir
+  }
+
+  /** One pipeline mega-job (MinHash+LSH near-dup dedup over the XL docs)
+    * at `cpus` threads → (docs processed, wall sec). Warmup pass inside
+    * the JVM, then the measured pass — same discipline as [[runOnce]]. */
+  def runOncePipeline(cpus: Int, xlDir: String): (Long, Double) = {
+    val spark = newSession(cpus)
+    try {
+      val docs = spark.read.parquet(s"$xlDir/documents.parquet")
+      graft.ml.Dedup.minhashPairs(docs, threshold = 0.95).count() // warmup
+      val n = docs.count()
+      val t0 = System.nanoTime()
+      graft.ml.Dedup.minhashPairs(docs, threshold = 0.95).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (n, sec)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   /** Write the replicated XL pages fixture once (untimed input setup). */
   def ensureXl(spark: SparkSession, sfDir: String, r: Int): String = {
     val fixDir = Fixtures.ensure(spark, sfDir)
@@ -216,7 +263,7 @@ object ScalingBench {
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     val rc = p.waitFor()
-    val re = s""""local$cpus":\\{"urls":(\\d+),"wall_sec":([0-9.eE+-]+)""".r
+    val re = s""""local$cpus":\\{"(?:urls|docs)":(\\d+),"wall_sec":([0-9.eE+-]+)""".r
     re.findFirstMatchIn(out) match {
       case Some(m) => (m.group(1).toLong, m.group(2).toDouble)
       case None => sys.error(s"child (local[$cpus]) rc=$rc produced no scaling line: $out")
@@ -234,8 +281,15 @@ object ScalingBench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "64").toInt
+    // SPARK_GRAFT_SCALE_MODE=pipeline: the measured job is the MinHash+LSH
+    // dedup over replicated documents (the training-pipeline flagship)
+    // instead of the crawl mega-batch — same fresh-JVM/warmup discipline,
+    // so the N-vs-4N evidence covers the pipeline operator family too.
+    // Child JVMs inherit the env, so the mode propagates through
+    // runOnceFreshJvm unchanged.
+    val pipeline = sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("pipeline")
     val prep = newSession(8)
-    val xlDir = ensureXl(prep, sfDir, r)
+    val xlDir = if (pipeline) ensureXlDocs(prep, sfDir, r) else ensureXl(prep, sfDir, r)
     prep.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -247,24 +301,31 @@ object ScalingBench {
     // fresh-JVM ladder artifact in one go.
     val fresh = sys.env.get("SPARK_GRAFT_SCALE_FRESH").contains("1")
     val results = levels.map { c =>
-      val (n, s) = if (fresh) runOnceFreshJvm(c, xlDir, r) else runOnce(c, xlDir)
+      val (n, s) =
+        if (fresh) runOnceFreshJvm(c, xlDir, r)
+        else if (pipeline) runOncePipeline(c, xlDir)
+        else runOnce(c, xlDir)
       (c, n, s, n / s)
     }
+    val itemKey = if (pipeline) "docs" else "urls"
     val parts = results.map { case (c, n, s, tp) =>
-      s""""local$c":{"urls":$n,"wall_sec":$s,"throughput":$tp}"""
+      s""""local$c":{"$itemKey":$n,"wall_sec":$s,"throughput":$tp}"""
     }
     def tp(c: Int): Option[Double] = results.find(_._1 == c).map(_._4)
     val eff28 = for (a <- tp(2); b <- tp(8)) yield b / (4 * a)
     val eff832 = for (a <- tp(8); b <- tp(32)) yield b / (4 * a)
     val line =
-      s"""{"metric":"scaling","r":$r,${parts.mkString(",")}""" +
+      s"""{"metric":"scaling","mode":"${if (pipeline) "pipeline-minhash" else "crawl"}","r":$r,${parts.mkString(",")}""" +
         eff28.map(e => s""","efficiency_2_to_8":$e""").getOrElse("") +
         eff832.map(e => s""","efficiency_8_to_32":$e""").getOrElse("") + "}"
     println(line)
     // Commit the ladder as an artifact so Bench's ladder_ref cites MEASURED
     // data instead of hardcoded historical constants (round-2 ADVICE).
     if (levels.length >= 2) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_LADDER_OUT", "/root/repo/bench_ladder.json")
+      val defaultOut =
+        if (pipeline) "/root/repo/bench_pipeline_ladder.json"
+        else "/root/repo/bench_ladder.json"
+      val out = sys.env.getOrElse("SPARK_GRAFT_LADDER_OUT", defaultOut)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
       catch { case e: Throwable => System.err.println(s"[scaling] could not write $out: $e") }
     }
