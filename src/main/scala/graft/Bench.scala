@@ -182,13 +182,17 @@ object Bench {
           s"""{"wall2_sec":$w2,"wall8_sec":$w8,"efficiency":${jnum(e)}}"""
         }.mkString("[", ",", "]")
 
-        // ladder_ref cites the committed MEASURED artifact (bench_ladder
-        // .json, written by graft.ScalingBench) — never baked-in constants.
-        val ladderPath = sys.env.getOrElse("SPARK_GRAFT_LADDER_REF", "/root/repo/bench_ladder.json")
-        val ladder = try {
-          val s = java.nio.file.Files.readString(java.nio.file.Paths.get(ladderPath)).trim
+        // ladder_ref cites the committed MEASURED artifacts (bench_ladder
+        // .json + bench_pipeline_ladder.json, both written by
+        // graft.ScalingBench) — never baked-in constants.
+        def readLadder(path: String): String = try {
+          val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path)).trim
           if (s.startsWith("{")) s else "null"
         } catch { case _: Throwable => "null" }
+        val ladder = readLadder(
+          sys.env.getOrElse("SPARK_GRAFT_LADDER_REF", "/root/repo/bench_ladder.json"))
+        val pipeLadder = readLadder(
+          sys.env.getOrElse("SPARK_GRAFT_PIPE_LADDER_REF", "/root/repo/bench_pipeline_ladder.json"))
 
         s""","scaling":{"r":$r,"trials_requested":$trials,"trials_completed":${engine.length},""" +
           s""""scale_max_sec":$maxSec,""" +
@@ -197,7 +201,7 @@ object Bench {
           s""""host_ceiling":{"burn_per_thread":$burnN,"trials":$hostTrials,"median_efficiency_2_to_8":${jnum(hostEff)}},""" +
           s""""efficiency_2_to_8":${jnum(engEff)},""" +
           s""""normalized_efficiency_2_to_8":${jnum(normEff)},""" +
-          s""""ladder_ref":{"note":"committed measured ladder artifact (graft.ScalingBench); methodology + cross-round host variance in BENCH.md section 3","committed":$ladder}}"""
+          s""""ladder_ref":{"note":"committed measured ladder artifacts (graft.ScalingBench); methodology + cross-round host variance in BENCH.md section 3","committed":$ladder,"committed_pipeline":$pipeLadder}}"""
       } catch {
         // Never lose the whole bench line to a scaling-run failure.
         case e: Throwable =>
