@@ -76,6 +76,22 @@ object StreamingIngest {
       .withWatermark("warc_ts", horizon)
       .dropDuplicatesWithinWatermark("url_hash")
 
+  /** Streaming exact-DOCUMENT dedup — the pipeline family's streaming tier
+    * (op 30 / q30's streaming flavor): emit the FIRST capture per text
+    * content, keyed by xxhash64(text), with dedup state bounded by the
+    * watermark horizon. Hash-keyed (a 2⁻⁶⁴ collision would drop a distinct
+    * doc) — the DURABLE batch tier (Dedup.exactByText) re-groups by the
+    * text itself for multi-hash groups, so the end-to-end pipeline stays
+    * exact under collisions; this operator is the in-flight guard in front
+    * of it, the same two-tier split as the URL seen-set. */
+  def docDedupStream(pages: DataFrame, horizon: String = "48 hours"): DataFrame =
+    pages
+      .select(col("url"), col("warc_ts"), col("text"))
+      .withColumn("text_hash",
+        xxhash64(coalesce(col("text"), lit("\u0000<null>"))))
+      .withWatermark("warc_ts", horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   final case class HostEvent(host: String, warcTsSec: Long)
   final case class HostState(seen: Long, lastTsSec: Long)
   final case class HostUpdate(host: String, seen: Long, lastTsSec: Long)

@@ -69,6 +69,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("streaming document dedup emits exactly one row per distinct text") {
+    val stream = StreamingIngest.pagesStream(spark, pagesDir)
+    StreamingIngest.drainToMemory(spark,
+      StreamingIngest.docDedupStream(stream), "doc_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("doc_dedup").select("text_hash").as[Long].collect().sorted.toSeq
+    val exp = spark.read.parquet(pagesDir)
+      .select(xxhash64(coalesce($"text", lit("\u0000<null>"))).as("h"))
+      .distinct().as[Long].collect().sorted.toSeq
+    assert(got === exp)
+    // Tier parity: the streaming tier's group count matches the batch
+    // exact-dedup's keeper count over the same corpus (one keeper per
+    // distinct text — Dedup.exactByText is the durable tier behind this).
+    val batchKeepers = graft.ml.Dedup.exactByText(
+      spark.read.parquet(pagesDir).select($"url", $"text")).count()
+    assert(got.size.toLong === batchKeepers)
+  }
+
   test("streaming→batch seen-set handoff: folded survivors dedup the batch tier") {
     // The two-tier design's seam (round-3 worklist item 7): the streaming
     // dedup is the IN-FLIGHT tier; its survivors are folded into the durable
