@@ -87,6 +87,27 @@ object expressions {
     override def prettyName: String = "simhash"
   }
 
+  /** All `numHashes` SplitMix64 minhashes of a (distinct) token array in
+    * one pass — the MinHash signature kernel, q31's hot stage and the
+    * measured job of the pipeline scaling ladder. Base hash = FNV-1a over
+    * each token's UTF-8 bytes (allocation-free on the token; the Scala-UDF
+    * predecessor decoded to java.lang.String first). Any stable base hash
+    * satisfies the operator contract — banding recall/precision are
+    * re-validated by MlSpec, and exact-Jaccard verification downstream
+    * makes the emitted pairs independent of the hash choice. */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    require(numHashes > 0, "numHashes must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.minhashSig(v.asInstanceOf[ArrayData], numHashes)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.minhashSig($x, $numHashes)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_sig"
+  }
+
   // ---- Column-facing API --------------------------------------------------
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -97,6 +118,8 @@ object expressions {
     Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
   def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
   def simhash(c: Column): Column = Bridge.column(SimHash(Bridge.expression(c)))
+  def minhash_sig(c: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
 
   /** Register all native functions for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -105,6 +128,8 @@ object expressions {
     Bridge.registerFunction(spark, "hamming", es => HammingDistance(es(0), es(1)))
     Bridge.registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
     Bridge.registerFunction(spark, "simhash", es => SimHash(es.head))
+    Bridge.registerFunction(spark, "minhash_sig", es =>
+      MinHashSig(es(0), es(1).eval().asInstanceOf[Number].intValue()))
   }
 }
 
@@ -172,6 +197,37 @@ object NativeOps {
     var b = 0
     while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
     sig
+  }
+
+  /** One-pass MinHash signature over a token array: FNV-1a base hash per
+    * token (over raw UTF-8 bytes — no String decode), then a SplitMix64
+    * stream of `numHashes` independent 64-bit hashes per token
+    * (h_i = splitmix64(base + i·φ)); elementwise min across tokens. */
+  def minhashSig(ts: ArrayData, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = ts.numElements()
+    var i = 0
+    while (i < n) {
+      if (!ts.isNullAt(i)) {
+        val bytes = ts.getUTF8String(i).getBytes
+        var m = FnvOffset
+        var j = 0
+        while (j < bytes.length) { m = (m ^ (bytes(j) & 0xffL)) * FnvPrime; j += 1 }
+        var k = 0
+        while (k < numHashes) {
+          m += 0x9e3779b97f4a7c15L
+          var z = m
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          if (z < mins(k)) mins(k) = z
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
   private final val FnvOffset = 0xcbf29ce484222325L

@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{hamming, simhash}
+import graft.functions.expressions.{hamming, minhash_sig, simhash}
 
 /** Training-data deduplication family (task brief):
   * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
@@ -107,29 +107,13 @@ object Dedup {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  /** All `numHashes` minhashes of a token set in ONE pass: per token, one
-    * 32-bit base hash then a SplitMix64 stream of independent 64-bit hashes
-    * (h_i(t) = splitmix64(base(t) + i·φ)) — vs the Column formulation
-    * `array_min(transform(ts, t => xxhash64(t, i)))` × numHashes, which is
-    * interpreted (CodegenFallback) and walks the array once per hash. */
-  private def minhashSigUdf(numHashes: Int) = udf { ts0: Seq[String] =>
-    val ts = if (ts0 == null) Seq.empty[String] else ts0 // null text → empty set
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    ts.foreach { t =>
-      var m = scala.util.hashing.MurmurHash3.stringHash(t).toLong
-      var i = 0
-      while (i < numHashes) {
-        m += 0x9e3779b97f4a7c15L
-        var z = m
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^= z >>> 31
-        if (z < mins(i)) mins(i) = z
-        i += 1
-      }
-    }
-    mins
-  }
+  // Signature kernel history: a Column formulation
+  // (`array_min(transform(ts, t => xxhash64(t, i)))` × numHashes) is
+  // interpreted (CodegenFallback) and walks the array once per hash —
+  // measured ~16× slower (round 2); a one-pass Scala UDF replaced it, and
+  // round 3 replaced the UDF with the native codegen'd `minhash_sig`
+  // expression (graft.functions.expressions.MinHashSig): no Seq[String]
+  // boxing, no UTF-8→String decode, stays inside whole-stage codegen.
 
   /** MinHash+LSH near-duplicate pairs over token SETS.
     *
@@ -162,7 +146,7 @@ object Dedup {
       .groupBy("setkey")
       .agg(min("doc_id").as("rep"), first("ts").as("ts"))
     val withSig = reps.select(col("rep"), col("ts"),
-      minhashSigUdf(numHashes)(col("ts")).as("sig"))
+      minhash_sig(col("ts"), numHashes).as("sig"))
 
     // Band keys: hash of each band's signature slice. The banding join
     // carries ONLY (rep, band, key) — the token arrays stay out of the

@@ -50,6 +50,27 @@ class MlSpec extends AnyFunSuite {
     assert(rows(0).getLong(2) === rows(1).getLong(2))
   }
 
+  test("native minhash_sig: codegen == driver-side kernel; min-structure holds") {
+    val df = Seq(
+      (1L, Array("alpha", "beta", "gamma")),
+      (2L, Array("alpha", "beta", "gamma")), // identical set → identical sig
+      (3L, Array("alpha", "beta")),          // subset → elementwise sig_3 >= sig_1? no — but min over fewer tokens is >= min over more
+      (4L, Array.empty[String])).toDF("id", "ts")
+    val rows = df.select($"id", minhash_sig($"ts", 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // codegen path vs the same kernel invoked driver-side
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val driver = graft.functions.NativeOps.minhashSig(
+      new GenericArrayData(Array("alpha", "beta", "gamma").map(UTF8String.fromString): Array[Any]),
+      16).toLongArray.toSeq
+    assert(rows(1L) === driver)
+    assert(rows(1L) === rows(2L), "identical token sets must produce identical signatures")
+    // dropping a token can only RAISE (or keep) each minimum
+    assert(rows(3L).zip(rows(1L)).forall { case (sub, full) => sub >= full })
+    assert(rows(4L).forall(_ == Long.MaxValue), "empty set → identity signature")
+  }
+
   test("minhash+LSH pairs: perfect precision, high recall vs brute force (sf0.001)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val got = Dedup.minhashPairs(docs, threshold = 0.95)
