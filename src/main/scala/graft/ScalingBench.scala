@@ -34,7 +34,10 @@ object ScalingBench {
     * quadratically, and the measured work keeps the real op's profile
     * (tokenize + 128-hash signatures + band join + exact verify). */
   def ensureXlDocs(spark: SparkSession, sfDir: String, r: Int): String = {
-    val xlDir = s"${Constants.workDir}/fixtures/xl_docs_r$r"
+    // Keyed by sf basename: documents come straight from the (static)
+    // testdata, so no FixtureVersion component is needed — unlike ensureXl.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName
+    val xlDir = s"${Constants.workDir}/fixtures/xl_docs_${sfName}_r$r"
     val marker = java.nio.file.Paths.get(xlDir, "_ALL_DONE")
     if (!java.nio.file.Files.exists(marker)) {
       val suffix = udf { (text: String, rep: Int) =>
@@ -74,10 +77,18 @@ object ScalingBench {
     }
   }
 
-  /** Write the replicated XL pages fixture once (untimed input setup). */
+  /** Write the replicated XL pages fixture once (untimed input setup).
+    * The cache key includes FixtureVersion: the source pages fixture
+    * changes when the generator does (e.g. v2→v3 added the ticker metas),
+    * and a version-blind `xl_r$r` marker would silently replay the OLD
+    * corpus in every scaling run after a bump while the same bench line's
+    * crawl/query numbers used the new one. (The committed cross-round
+    * ladder series predates this key and is self-consistent — every round
+    * measured the same cached v2-derived XL input.) */
   def ensureXl(spark: SparkSession, sfDir: String, r: Int): String = {
     val fixDir = Fixtures.ensure(spark, sfDir)
-    val xlDir = s"${Constants.workDir}/fixtures/xl_r$r"
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName
+    val xlDir = s"${Constants.workDir}/fixtures/xl_v${Constants.FixtureVersion}_${sfName}_r$r"
     val marker = java.nio.file.Paths.get(xlDir, "_ALL_DONE")
     if (!java.nio.file.Files.exists(marker)) {
       val pages = spark.read.parquet(s"$fixDir/pages.parquet")
