@@ -93,14 +93,27 @@ final case class BatchResult(
   *    host_bucket already satisfies the window's required distribution
   *    (subset rule), so ranking reuses SHUFFLE 1 (probe-verified on 4.1.2,
   *    SURVEY.md §4).
-  *  - The scheduled set is ≤ Σ budgets per batch — bounded by design, hence
-  *    broadcastable into the fetch join, and a single-partition window for
-  *    the global fetch_order is safe at any corpus size.
+  *  - The scheduled set is ≤ Σ budgets per batch — bounded by design, but
+  *    Σ budgets scales with HOST COUNT, so the fetch join broadcasts it only
+  *    below [[Scheduler.BroadcastFetchBound]]; above, it (and the capture
+  *    winners, and the fetch_order rank) switch to shuffle-based strategies
+  *    with identical output.
   *  - Per-host budgets are enforced pre-salt (per-host-global), salting is
   *    applied only to the post-budget fetch/parse stage where per-host
   *    grouping no longer matters (SURVEY.md §4 skew note).
   */
 object Scheduler {
+
+  /** Scheduled-count bound below which the fetch stage broadcasts the
+    * scheduled / capture-winner key sets (and the global fetch_order runs as
+    * a single-partition window). Σ budgets grows with HOST COUNT: at the
+    * design scale (~10^7 hosts × budget ~10) the scheduled set is ~10^8
+    * rows — far past any sane broadcast — so above this bound both joins
+    * flip to plain shuffled equi-joins and the order rank flips to the
+    * two-phase distributed GlobalOrder. All four shapes are
+    * output-identical (CrawlParitySpec pins parity; PlanShapeSpec pins the
+    * plan shapes on both sides of the bound). */
+  val BroadcastFetchBound: Long = 50000L
 
   private val extractUdf = udf((host: String, html: Array[Byte]) => Parsers.extract(host, html))
   private val linksUdf = udf((html: Array[Byte]) => Parsers.extractLinks(html))
@@ -276,12 +289,27 @@ object Scheduler {
     val deferred = sched.deferred
 
     // ---- fetch (ops 3/14): scheduled ⋈ pages on canonical url -------------
-    // The fat `html` column NEVER shuffles: capture-dedup ("latest capture
-    // wins") runs on a NARROW (url, raw_url, warc_ts) projection of the
-    // scan, and the winning raw keys — bounded by the budget cap — are
-    // broadcast back so html flows scan → map-side join → parse inside one
-    // stage. At 100 TB this is the difference between shuffling the corpus
-    // and shuffling a candidate-key list.
+    // Capture-dedup ("latest capture wins") runs on a NARROW
+    // (url, raw_url, warc_ts) projection of the scan; the fat `html` column
+    // only ever enters the final winners rejoin. Strategy is gated on the
+    // per-run scheduled bound:
+    //  - bound ≤ BroadcastFetchBound (politeness-bounded batches, the norm):
+    //    the scheduled set and the winning raw keys are BROADCAST, so html
+    //    flows scan → map-side join → parse inside one stage and never
+    //    shuffles at all (PlanShapeSpec pins this).
+    //  - above the bound (Σ budgets ~ host count; ~10^8 rows at the 10^10-URL
+    //    design point — a guaranteed driver/executor OOM if broadcast): both
+    //    joins run as plain shuffled equi-joins. The scheduled/winner KEY
+    //    sets that shuffle are narrow O(batch) rows, and the scan side is
+    //    pruned to ≈ the winning captures before its html rows reach the
+    //    exchange by Spark's runtime bloom-filter injection
+    //    (spark.sql.optimizer.runtime.bloomFilter.enabled) / AQE, so the
+    //    html that moves is the fetch batch itself — which must move to be
+    //    parsed — never the corpus.
+    // Both shapes produce byte-identical output (CrawlParitySpec
+    // fetch-strategy invariance).
+    val broadcastFetch = scheduledBound <= BroadcastFetchBound
+    def fetchSide(df: DataFrame): DataFrame = if (broadcastFetch) broadcast(df) else df
     val hiTs = lit(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(hiSec)))
     val pagesVisible = pages
       .filter(Canonicalize.isHttpScheme(col("url")))
@@ -291,7 +319,7 @@ object Scheduler {
         Canonicalize.canonicalUrl(col("url")).as("url"),
         col("url").as("raw_url"), col("warc_ts"))
       .filter(col("url").isNotNull)
-      .join(broadcast(scheduled.select(
+      .join(fetchSide(scheduled.select(
         col("url"), col("url_hash"), col("priority"), col("host"), col("host_bucket"))),
         Seq("url"), "inner")
     // Latest capture wins per canonical url (alias rows differ only in ts).
@@ -307,7 +335,7 @@ object Scheduler {
 
     val fetched0 = pagesVisible
       .select(col("url").as("raw_url"), col("warc_ts"), col("html"), col("text"), col("lang"))
-      .join(broadcast(winners), Seq("raw_url", "warc_ts"), "inner")
+      .join(fetchSide(winners), Seq("raw_url", "warc_ts"), "inner")
       .drop("raw_url")
 
     // ---- parse stage (ops 47/35), optionally salted (op 51) ----------------
@@ -348,7 +376,7 @@ object Scheduler {
       .select(col("url"), col("warc_ts"), col("extracted").as("text"), col("lang"), col("priority"))
     val orderCols = Seq(desc("priority"), asc("url"))
     val withOrd =
-      if (scheduledBound <= 50000)
+      if (broadcastFetch)
         articleBase.withColumn("__ord", row_number().over(Window.orderBy(orderCols: _*)).cast("long"))
       else
         GlobalOrder.withRank(articleBase, orderCols, cfg.numBuckets, "__ord")

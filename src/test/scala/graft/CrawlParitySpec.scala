@@ -183,6 +183,33 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("fetch-strategy invariance: the shuffled (above-bound) fetch shape crawls identically") {
+    // Forcing scheduledBound above BroadcastFetchBound flips the fetch joins
+    // from broadcast to shuffled equi-joins AND the fetch_order rank from a
+    // single-partition window to the distributed GlobalOrder — the shapes a
+    // 10^8-row scheduled set would plan. Output must be byte-identical to
+    // the committed broadcast-shape parity run.
+    val shuffled = CrawlLoop.run(spark, TestSpark.Sf0001,
+      cfgBase.copy(runTag = "parity_shuffled",
+        scheduledBoundOverride = graft.operators.Scheduler.BroadcastFetchBound + 1),
+      fresh = true)
+    val base = CrawlLoop.run(spark, TestSpark.Sf0001,
+      cfgBase.copy(runTag = "parity"), fresh = false) // reuse committed run
+    val a = CrawlLoop.articles(spark, shuffled.dir)
+      .select("fetch_order", "url", "batch_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val b = CrawlLoop.articles(spark, base.dir)
+      .select("fetch_order", "url", "batch_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a === b)
+    // Seen-set parity too (fetch-misses flow through the shuffled join).
+    val sa = CrawlLoop.seenUpTo(spark, shuffled.dir, shuffled.batches)
+      .select("url", "status").as[(String, String)].collect().toSet
+    val sb = CrawlLoop.seenUpTo(spark, base.dir, base.batches)
+      .select("url", "status").as[(String, String)].collect().toSet
+    assert(sa === sb)
+  }
+
   test("bucket-count invariance: numBuckets does not change outputs") {
     val r2 = CrawlLoop.run(spark, TestSpark.Sf0001,
       cfgBase.copy(runTag = "buckets2", numBuckets = 2, maxBatches = 3), fresh = true)

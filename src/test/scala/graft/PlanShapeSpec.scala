@@ -100,6 +100,43 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch join above BroadcastFetchBound: no forced broadcast of scheduled/winners") {
+    // Above the bound the scheduled set is ~Σ budgets ~ host count (10^8
+    // rows at the design point) — a forced broadcast there is a guaranteed
+    // OOM. With auto-broadcast disabled, any surviving BroadcastExchange
+    // could only come from an explicit hint: the dim joins (robots/weights/
+    // budgets — genuinely tiny at any scale) keep theirs, but no broadcast
+    // side may carry the scheduled/winner columns (recognizable by
+    // `priority`, which no dim has).
+    withStaticPlans {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val fixDir = Fixtures.ensure(spark, TestSpark.Sf0001)
+        val pages = spark.read.parquet(s"$fixDir/pages.parquet")
+        val robots = spark.read.parquet(s"$fixDir/robots.parquet")
+        val weights = spark.read.parquet(s"$fixDir/source_weights.parquet")
+        val budgets = spark.read.parquet(s"$fixDir/budgets.parquet")
+        val cfg = CrawlConfig(deltaPerBatchSec = 365L * 24 * 3600,
+          saltParse = false, useBloom = false, runTag = "planshape_shuffled")
+        val frontier = graft.operators.CrawlLoop.seedFrontier(spark, fixDir)
+        val emptySeen = graft.operators.Checkpoints.emptyFrame(spark, graft.operators.CrawlLoop.SeenSchema)
+        val emptyShards = graft.operators.Checkpoints.emptyFrame(spark, graft.operators.CrawlLoop.ShardSchema)
+        val r = Scheduler.runBatch(spark, pages, frontier, emptySeen, emptyShards,
+          robots, weights, budgets, 1L, 0L, cfg,
+          scheduledBound = Scheduler.BroadcastFetchBound + 1)
+        val plan = r.articles.queryExecution.executedPlan
+        r.cached.foreach(_.unpersist())
+        val schedBcasts = plan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+              if b.output.exists(_.name == "priority") => b
+        }
+        assert(schedBcasts.isEmpty,
+          s"scheduled/winner set still force-broadcast above the bound:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("exact-dedup anti-join plans as a real join, robots dim broadcasts") {
     withStaticPlans {
       val cands = (1L to 50L).map(i => (i, s"u$i")).toDF("url_hash", "url")
