@@ -27,6 +27,30 @@ import graft.operators.{CrawlConfig, CrawlLoop, Checkpoints}
   */
 object ScalingBench {
 
+  /** Best-effort eviction of superseded XL fixture caches: when a new cache
+    * dir is generated, sibling dirs for the SAME sf/r under an older naming
+    * scheme or FixtureVersion (multi-GB replicated corpora) would otherwise
+    * be stranded forever — one orphaned generation per version bump. Runs
+    * only on generation (same train-then-evict pattern as the q45 model
+    * cache); deletion is quiet so a concurrent reader can at worst retrigger
+    * its own regeneration. */
+  private def evictStaleXl(keep: String, sfName: String, r: Int): Unit = {
+    val root = java.nio.file.Paths.get(keep).getParent
+    if (root == null || !java.nio.file.Files.isDirectory(root)) return
+    // Stale = a pages-family cache for the same sf/r under a DIFFERENT
+    // FixtureVersion, or the legacy version-blind `xl_r<r>` key (rounds
+    // 1-2). The docs-family cache (`xl_docs_*`, derived from static
+    // testdata, unversioned) is never stale and never touched here.
+    def isStale(n: String): Boolean =
+      n == s"xl_r$r" ||
+        (n.startsWith("xl_v") && n.endsWith(s"_${sfName}_r$r"))
+    val stream = java.nio.file.Files.list(root)
+    try stream.toArray.map(_.toString)
+      .filter(p => p != keep && isStale(java.nio.file.Paths.get(p).getFileName.toString))
+      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    finally stream.close()
+  }
+
   /** Write a replicated XL documents table once (untimed input setup) for
     * the PIPELINE scaling mode: each replica's tokens carry a `_<rep>`
     * suffix, so token sets are DISJOINT across replicas — the near-dup
@@ -105,6 +129,8 @@ object ScalingBench {
         spark.read.parquet(s"$fixDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$xlDir/$t.parquet")
       java.nio.file.Files.writeString(marker, "ok")
+      // New generation committed — release superseded multi-GB caches.
+      evictStaleXl(xlDir, sfName.toString, r)
     }
     xlDir
   }

@@ -172,9 +172,16 @@ object Corpus {
   /** The one definition of the sample-bucket key function (Lehmer-LCG
     * permutation of doc_id mod 1000) — [[stratifiedSample]] and
     * [[curate]]'s gate (5) must stay the SAME function, and the q48/q50
-    * oracles mirror these constants. */
+    * oracles mirror these constants (as `((x % 1000) + 1000) % 1000`, the
+    * SQL spelling of pmod). `pmod`, not `%`: SQL `%` keeps the dividend's
+    * sign, so a negative key (e.g. a production xxhash64(key, salt), which
+    * is SIGNED) would yield a negative bucket that compares `< permille`
+    * always — silent over-sampling. The Long multiply still wraps for
+    * |doc_id| ≳ 1.9e14 (Spark wraps silently, DuckDB errors) — the wrap is
+    * deterministic and key-stable, so sampling stays correct; only the
+    * oracle comparison requires the fixture id domain. */
   def sampleBucket(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    ((docId * 48271L + 11L) % 1000L).cast("int")
+    pmod(docId * 48271L + 11L, lit(1000L)).cast("int")
 
   def stratifiedSample(docs: DataFrame, permille: Int): DataFrame =
     docs

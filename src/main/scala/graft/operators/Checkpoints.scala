@@ -119,7 +119,13 @@ object Checkpoints {
         (at(f, 0), at(f, 1), at(f, 2))
       } else {
         val f = flog.agg(sum("urls_fetched"), sum("urls_parsed")).head()
-        (at(f, 0), at(f, 1), spark.read.parquet(s"$dir/articles/b$k").count())
+        // A zero-article batch written by an older writer may have no
+        // articles delta at all — a missing dir means 0, not a failed resume.
+        val artDir = Paths.get(s"$dir/articles/b$k")
+        val nArt =
+          if (Files.isDirectory(artDir)) spark.read.parquet(artDir.toString).count()
+          else 0L
+        (at(f, 0), at(f, 1), nArt)
       }
     val h = spark.read.parquet(s"$dir/host_log/b$k")
       .agg(sum("urls_scheduled"))

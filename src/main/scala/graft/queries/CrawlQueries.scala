@@ -350,11 +350,12 @@ object CrawlQueries {
          |allowed AS (
          |  SELECT c.*, COALESCE(h.weight, 1.0) AS weight,
          |         -- robots crawl_delay caps the batch budget (round 3, op 25):
-         |         -- identical formula to Scheduler.rankCandidates with the
-         |         -- default 3600 s delta window used by scheduleOnce.
+         |         -- identical formula to Scheduler.rankCandidates; the delta
+         |         -- window is INTERPOLATED from the same CrawlConfig default
+         |         -- scheduleOnce uses, so engine and oracle cannot drift.
          |         CASE WHEN h.crawl_delay IS NOT NULL AND h.crawl_delay > 0
          |              THEN least(COALESCE(h.budget, 2),
-         |                         greatest(1, CAST(floor(3600.0 / h.crawl_delay) AS BIGINT)))
+         |                         greatest(1, CAST(floor(${CrawlConfig().deltaPerBatchSec}.0 / h.crawl_delay) AS BIGINT)))
          |              ELSE COALESCE(h.budget, 2) END AS budget,
          |         COALESCE(h.weight, 1.0) * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
          |    FROM cand c LEFT JOIN hostdim h USING (host)
@@ -378,11 +379,12 @@ object CrawlQueries {
          |allowed AS (
          |  SELECT c.*, COALESCE(h.weight, 1.0) AS weight,
          |         -- robots crawl_delay caps the batch budget (round 3, op 25):
-         |         -- identical formula to Scheduler.rankCandidates with the
-         |         -- default 3600 s delta window used by scheduleOnce.
+         |         -- identical formula to Scheduler.rankCandidates; the delta
+         |         -- window is INTERPOLATED from the same CrawlConfig default
+         |         -- scheduleOnce uses, so engine and oracle cannot drift.
          |         CASE WHEN h.crawl_delay IS NOT NULL AND h.crawl_delay > 0
          |              THEN least(COALESCE(h.budget, 2),
-         |                         greatest(1, CAST(floor(3600.0 / h.crawl_delay) AS BIGINT)))
+         |                         greatest(1, CAST(floor(${CrawlConfig().deltaPerBatchSec}.0 / h.crawl_delay) AS BIGINT)))
          |              ELSE COALESCE(h.budget, 2) END AS budget,
          |         COALESCE(h.weight, 1.0) * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
          |    FROM cand c LEFT JOIN hostdim h USING (host)

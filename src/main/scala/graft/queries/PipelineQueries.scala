@@ -89,24 +89,31 @@ object PipelineQueries {
       val base = s"ivf_${java.nio.file.Paths.get(dir).getFileName}"
       val modelsDir = java.nio.file.Paths.get(s"${graft.core.Constants.workDir}/models")
       val path = s"$modelsDir/${base}_${dirFingerprint(s"$dir/embeddings.parquet")}"
+      // Superseded-sibling eviction runs only AFTER the new model's
+      // _SUCCESS is committed (train-then-evict): deleting first would race
+      // a concurrent session (e.g. Verify and Bench sharing GRAFT_WORK_DIR)
+      // that is mid-load on the evicted path. A load hitting a half-deleted
+      // or corrupt dir falls back to retraining in place.
+      def evictSiblings(): Unit =
+        if (java.nio.file.Files.isDirectory(modelsDir)) {
+          val stream = java.nio.file.Files.list(modelsDir)
+          try stream.toArray.map(_.toString).filter { p =>
+            val n = java.nio.file.Paths.get(p).getFileName.toString
+            (n == base || n.startsWith(base + "_")) && p != path
+          }.foreach { p =>
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+          } finally stream.close()
+        }
+      def trainCommitEvict(): Array[Array[Float]] = {
+        val m = Similarity.saveIvfModel(s, e, path) // parquet commit writes _SUCCESS
+        evictSiblings()
+        m
+      }
       val cents =
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-          Similarity.loadIvfModel(s, path)
-        else {
-          // Evict superseded models for this base first (a regenerated
-          // input changes the fingerprint; stale siblings would otherwise
-          // accumulate without bound).
-          if (java.nio.file.Files.isDirectory(modelsDir)) {
-            val stream = java.nio.file.Files.list(modelsDir)
-            try stream.toArray.map(_.toString).filter { p =>
-              val n = java.nio.file.Paths.get(p).getFileName.toString
-              (n == base || n.startsWith(base + "_")) && p != path
-            }.foreach { p =>
-              org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
-            } finally stream.close()
-          }
-          Similarity.saveIvfModel(s, e, path)
-        }
+          try Similarity.loadIvfModel(s, path)
+          catch { case _: Exception => trainCommitEvict() }
+        else trainCommitEvict()
       Similarity.knnIvfModel(s, e.filter(col("vec_id") % 50 === 0), e, k = 5, cents)
     }),
 
@@ -276,11 +283,13 @@ object PipelineQueries {
         |  JOIN ev USING (s)
         | GROUP BY c.doc_id""".stripMargin,
 
+    // (((x % m) + m) % m) is the SQL spelling of Spark's pmod — sign-safe
+    // for negative keys (Corpus.sampleBucket).
     "q48_sample_stratified" ->
       """SELECT doc_id, lang, source,
-        |       CAST((doc_id * 48271 + 11) % 1000 AS INT) AS bucket
+        |       CAST((((doc_id * 48271 + 11) % 1000) + 1000) % 1000 AS INT) AS bucket
         |  FROM documents
-        | WHERE (doc_id * 48271 + 11) % 1000 < 200""".stripMargin,
+        | WHERE (((doc_id * 48271 + 11) % 1000) + 1000) % 1000 < 200""".stripMargin,
 
     "q49_top_tokens" ->
       """WITH c AS (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents),
@@ -322,6 +331,6 @@ object PipelineQueries {
         |   AND len(string_split(d.text,' ')) >= 30
         |   AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
         |   AND d.doc_id NOT IN (SELECT doc_id FROM losers)
-        |   AND (d.doc_id * 48271 + 11) % 1000 < 500""".stripMargin
+        |   AND (((d.doc_id * 48271 + 11) % 1000) + 1000) % 1000 < 500""".stripMargin
   )
 }

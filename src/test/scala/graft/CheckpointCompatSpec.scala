@@ -52,5 +52,15 @@ class CheckpointCompatSpec extends AnyFunSuite {
     assert(fetched === 6L)
     assert(parsed === 5L)
     assert(arts === 2L, "article count not derived from articles delta")
+
+    // A zero-article pre-upgrade batch may have NO articles delta dir at
+    // all — the fallback must report 0, not throw AnalysisException.
+    Seq((0, 1L, 3L, 0L, 50L))
+      .toDF("partition_id", "host_bucket", "urls_fetched", "urls_parsed", "bytes")
+      .write.parquet(s"$dir/fetch_log/b2")
+    Seq(("h0.example.com", 3L)).toDF("host", "urls_scheduled")
+      .write.parquet(s"$dir/host_log/b2")
+    val (s2, f2, p2, a2) = Checkpoints.batchCounts(spark, dir, 2L)
+    assert((s2, f2, p2, a2) === ((3L, 3L, 0L, 0L)))
   }
 }

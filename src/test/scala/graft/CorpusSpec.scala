@@ -124,6 +124,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(got.length / 5000.0 - 0.2) < 0.01)
   }
 
+  test("sampleBucket is sign-safe: negative keys land in [0, 1000) and sample correctly") {
+    // A production key swap (xxhash64(key, salt) is SIGNED) must not flip
+    // the bucket negative — signed % would make every negative key compare
+    // < permille and silently over-sample. pmod pins bucket ∈ [0, 1000).
+    val df = (-2500L until 2500L).toDF("doc_id")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    def floorMod(x: Long): Long = java.lang.Math.floorMod(x * 48271L + 11L, 1000L)
+    val buckets = df.select(col("doc_id"), Corpus.sampleBucket(col("doc_id")).as("b"))
+      .as[(Long, Int)].collect()
+    assert(buckets.forall { case (_, b) => b >= 0 && b < 1000 })
+    for ((id, b) <- buckets) assert(b.toLong === floorMod(id), s"bucket of $id")
+    val got = Corpus.stratifiedSample(df, permille = 200)
+      .select("doc_id").as[Long].collect().sorted
+    val expected = (-2500L until 2500L).filter(id => floorMod(id) < 200L)
+    assert(got.toSeq === expected)
+    // ~200‰ on the negative half too — the over-sampling signed % caused.
+    val negRate = got.count(_ < 0) / 2500.0
+    assert(math.abs(negRate - 0.2) < 0.02, s"negative-key sample rate $negRate")
+  }
+
   test("decontaminate plan: equi-join only, no forced broadcast of either side") {
     // Both sides of the shingle join are corpus-scale-sensitive (the eval
     // side is usually small, but that is AQE's measured-size call, not a
