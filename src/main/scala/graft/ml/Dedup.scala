@@ -60,27 +60,17 @@ object Dedup {
   /** Distinct word 3-gram shingles of a text column (first-occurrence
     * order — only ever consumed as a set).
     *
-    * Deliberately a compact Scala UDF, not the equivalent
-    * transform/sequence/element_at Column chain: Spark's higher-order
-    * lambda functions are CodegenFallback (interpreted, one closure + array
-    * allocation per element), measured ~16× slower here (12.2 s vs 0.77 s
-    * for the sf0.1 postings build) — and the expression is re-evaluated at
-    * several points of the self-join DAG, multiplying the gap. */
-  private val shinglesUdf = udf { text: String =>
-    if (text == null) Array.empty[String]
-    else {
-      val t = text.split(' ')
-      if (t.length < 3) Array.empty[String]
-      else {
-        val out = new scala.collection.mutable.LinkedHashSet[String]
-        var i = 0
-        while (i + 2 < t.length) { out += (t(i) + " " + t(i + 1) + " " + t(i + 2)); i += 1 }
-        out.toArray
-      }
-    }
-  }
-
-  def shingles3(text: Column): Column = shinglesUdf(text)
+    * Kernel history (task-brief preference order): the Column/HOF chain
+    * (transform/sequence/element_at) is CodegenFallback — interpreted,
+    * measured ~16× slower (12.2 s vs 0.77 s for the sf0.1 postings build)
+    * and re-evaluated at several points of the self-join DAG; a one-pass
+    * Scala UDF replaced it (round 1), and round 4 replaced the UDF with
+    * the native codegen'd `shingles3` expression (zero-copy byte-slice
+    * shingles, no String decode, stays in whole-stage codegen — same
+    * upgrade minhash_sig got in round 3; parity pinned in MlSpec). NULL
+    * text yields NULL (standard unary-expression semantics; every consumer
+    * explodes or sizes the array, where NULL and empty behave alike). */
+  def shingles3(text: Column): Column = graft.functions.expressions.shingles3(text)
 
   /** Exact token-set Jaccard similarity of two distinct-token arrays. */
   def jaccard(a: Column, b: Column): Column =

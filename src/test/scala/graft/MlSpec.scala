@@ -71,6 +71,44 @@ class MlSpec extends AnyFunSuite {
     assert(rows(4L).forall(_ == Long.MaxValue), "empty set → identity signature")
   }
 
+  test("native shingles3: codegen == split(' ')-semantics reference, dedup + order") {
+    // Reference = the retired round-1 UDF kernel, verbatim: Java split(' ')
+    // semantics (empty tokens between doubled spaces, trailing empties
+    // dropped), distinct shingles in first-occurrence order.
+    def ref(text: String): Seq[String] = {
+      val t = text.split(' ')
+      if (t.length < 3) Seq.empty
+      else {
+        val out = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i + 2 < t.length) { out += (t(i) + " " + t(i + 1) + " " + t(i + 2)); i += 1 }
+        out.toSeq
+      }
+    }
+    val cases = Seq(
+      "a b c d e",
+      "a b c a b c a b c",       // duplicate shingles collapse, order kept
+      "a  b c",                  // doubled space → empty token
+      " a b c",                  // leading empty token
+      "a b c   ",                // trailing spaces drop
+      "a b", "a", "", "   ",
+      "wörter über straße zwei", // multi-byte UTF-8
+      "的 是 了 在 我")
+    val got = cases.toDF("text")
+      .select($"text", graft.ml.Dedup.shingles3($"text").as("sh"))
+      .as[(String, Seq[String])].collect().toMap
+    for (c <- cases) assert(got(c) === ref(c), s"shingles diverge on '$c'")
+    // driver-side kernel == codegen path
+    import org.apache.spark.unsafe.types.UTF8String
+    val driver = graft.functions.NativeOps.shingles3(UTF8String.fromString(cases(1)))
+    assert((0 until driver.numElements()).map(driver.getUTF8String(_).toString)
+      === got(cases(1)))
+    // NULL text → NULL array (documented unary-expression semantics)
+    val nullRow = Seq((1L, null: String)).toDF("id", "text")
+      .select(graft.ml.Dedup.shingles3($"text")).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("minhash+LSH pairs: perfect precision, high recall vs brute force (sf0.001)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val got = Dedup.minhashPairs(docs, threshold = 0.95)
