@@ -15,31 +15,41 @@ import org.apache.spark.sql.functions._
   * (tracking params — the only query strings in the fixture universe,
   * FIXTURES.md B1) and fragments are dropped entirely.
   *
-  * No %-decoding: `url_decode` maps '+' to ' ' (URLDecoder semantics) which
-  * makes decoding non-idempotent on already-canonical urls; idempotence
-  * (c(c(u)) == c(u)) is property P1 (SURVEY.md §5) and wins.
+  * %-decoding is GUARDED (round 4): a %XX escape is decoded iff the decoded
+  * octet is an RFC 3986 unreserved character (ALPHA/DIGIT/-._~), so
+  * gratuitously-escaped urls (https://h/a%72ticles/1) dedup against their
+  * plain spelling — what production canonicalizers do — while blanket
+  * `url_decode` stays rejected: its '+'→' ' (URLDecoder semantics) breaks
+  * idempotence (c(c(u)) == c(u), property P1, SURVEY.md §5). The guarded
+  * decode preserves P1: decoded chars are never '%', and a surviving escape
+  * decodes to a non-unreserved octet, so a second pass is the identity
+  * (pinned by CoreSpec's P1 property sample).
   *
-  * The Column flavor is pure Catalyst builtins (codegen'd, no UDF, and
-  * expressible in the DuckDB oracle via split_part/lower/regexp_replace);
-  * the Scala flavor backs the sequential oracle. `CanonicalizeSpec` asserts
-  * they agree byte-exactly on every fixture url.
+  * The Column flavor is Catalyst builtins + the native codegen'd
+  * `pct_decode_unreserved` expression (oracle-expressible over the fixture
+  * escape set via regexp_replace with a backreference); the Scala flavor
+  * backs the sequential oracle. `CanonicalizeSpec` asserts they agree
+  * byte-exactly on every fixture url.
   */
 object Canonicalize {
 
   /** Lowercased host of a url (Column flavor). */
-  def hostOf(url: Column): Column = lower(parse_url(url, lit("HOST")))
+  def hostOf(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
 
-  /** Canonical url (Column flavor) — null if the url has no parseable host. */
+  /** Canonical url (Column flavor) — null if the url has no parseable host.
+    * Decode before slash-normalization (decoded chars are never '/'; the
+    * order is immaterial but must match the Scala flavor). */
   def canonicalUrl(url: Column): Column = {
-    val rawPath = coalesce(parse_url(url, lit("PATH")), lit(""))
-    val path = regexp_replace(regexp_replace(rawPath, "/{2,}", "/"), "/+$", "")
-    when(parse_url(url, lit("HOST")).isNull, lit(null))
+    val rawPath = coalesce(try_parse_url(url, lit("PATH")), lit(""))
+    val decoded = graft.functions.expressions.pct_decode_unreserved(rawPath)
+    val path = regexp_replace(regexp_replace(decoded, "/{2,}", "/"), "/+$", "")
+    when(try_parse_url(url, lit("HOST")).isNull, lit(null))
       .otherwise(concat(lit("https://"), hostOf(url), path))
   }
 
   /** Scheme filter predicate (op 10): keep only http/https urls. */
   def isHttpScheme(url: Column): Column =
-    lower(parse_url(url, lit("PROTOCOL"))).isin("http", "https")
+    lower(try_parse_url(url, lit("PROTOCOL"))).isin("http", "https")
 
   /** 64-bit key of the canonical url (op 9) — Spark xxhash64, seed 42. */
   def urlHash(canonical: Column): Column = xxhash64(canonical)
@@ -59,7 +69,8 @@ object Canonicalize {
     val scheme = Option(uri.getScheme).map(_.toLowerCase).getOrElse("")
     if (scheme != "http" && scheme != "https") return None
     val host = Option(uri.getHost).map(_.toLowerCase).getOrElse(return None)
-    val rawPath = Option(uri.getRawPath).getOrElse("")
+    val rawPath = graft.functions.NativeOps
+      .pctDecodeUnreservedScala(Option(uri.getRawPath).getOrElse(""))
     val path = rawPath.replaceAll("/{2,}", "/").replaceAll("/+$", "")
     Some("https://" + host + path)
   }

@@ -47,6 +47,15 @@ object Constants {
   /** Suffix appended to alias rows (canonicalization fodder, FIXTURES.md B1). */
   val AliasSuffix: String = "?utm_source=feed&utm_campaign=x#frag"
 
+  /** %-escape every digit of a doc id ("%31%38" for 18) — the escaped-alias
+    * fixture rows (FIXTURES.md B10, doc_id % 11 == 7): gratuitously-escaped
+    * spellings of an article url that canonicalization's guarded unreserved
+    * decode must collapse onto the plain spelling. Digits escape as
+    * "%3<digit>" ('0'..'9' = 0x30..0x39), which the DuckDB oracle mirrors
+    * with a single backreference regexp. */
+  def escapeDigits(docId: Long): String =
+    docId.toString.flatMap(c => s"%3$c")
+
   /** Ticker-symbol universe for the entity-extraction fixture (FIXTURES.md
     * B9): article doc_id carries 1 + (doc_id % 3) tickers, the j-th being
     * Tickers((doc_id + 7·j) % 12) — 7·j is injective mod 12 for j ∈ 0..2,
@@ -60,8 +69,10 @@ object Constants {
     (0L to docId % 3).map(j => Tickers(((docId + 7 * j) % 12).toInt))
 
   /** Fixture layout version — bump to invalidate cached generated fixtures.
-    * v3: article pages carry an `article:tickers` meta (entity extraction). */
-  val FixtureVersion: Int = 3
+    * v3: article pages carry an `article:tickers` meta (entity extraction).
+    * v4: %-escaped alias rows (doc_id % 11 == 7) exercise the guarded
+    * unreserved percent-decode in canonicalization. */
+  val FixtureVersion: Int = 4
 
   /** Root for generated fixtures / crawl state. Overridable for tests. */
   def workDir: String = sys.env.getOrElse("GRAFT_WORK_DIR", "/tmp/graft")

@@ -101,6 +101,15 @@ object Fixtures {
           val aliasTs = Timestamp.from(Constants.EPOCH.plusSeconds(docId * 60 + 30))
           Seq(Page(url + Constants.AliasSuffix, aliasTs, html, text, lang))
         } else Nil
+      // Escaped-alias rows (B10): the same article under a gratuitously
+      // %-escaped path — canonicalization's guarded unreserved decode must
+      // collapse it onto the plain spelling (SURVEY §2 ops 7/41).
+      val escAlias =
+        if (docId % 11 == 7) {
+          val escTs = Timestamp.from(Constants.EPOCH.plusSeconds(docId * 60 + 45))
+          Seq(Page(s"https://$host/articles/${Constants.escapeDigits(docId)}",
+            escTs, html, text, lang))
+        } else Nil
       val recapture =
         if (docId % 7 == 3) {
           val text2 = text + " updated"
@@ -109,7 +118,7 @@ object Fixtures {
             Parsers.renderArticle(family, s"Doc $docId", source, text2, published, tickers),
             text2, lang))
         } else Nil
-      base +: (alias ++ recapture)
+      base +: (alias ++ escAlias ++ recapture)
     }
 
     // Listing (site-root) rows (B2): one per host, linking to that host's

@@ -131,6 +131,27 @@ object expressions {
     override def prettyName: String = "shingles3"
   }
 
+  /** Guarded percent-decoding for URL canonicalization: decode a %XX escape
+    * ONLY when the decoded octet is an RFC 3986 unreserved character
+    * (ALPHA / DIGIT / '-' / '.' / '_' / '~'); every other escape — and any
+    * malformed '%' — passes through verbatim. This is what production
+    * canonicalizers do (gratuitously-escaped URLs must dedup against their
+    * plain spelling) while preserving idempotence P1: a decoded char is
+    * never '%', and surviving escapes decode to non-unreserved octets, so a
+    * second pass is the identity. Notably '+' is NOT touched (URLDecoder's
+    * '+'→' ' is the non-idempotent trap this guards against). */
+  case class PctDecodeUnreserved(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.pctDecodeUnreserved(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.pctDecodeUnreserved($x)")
+    override protected def withNewChildInternal(newChild: Expression): PctDecodeUnreserved =
+      copy(child = newChild)
+    override def prettyName: String = "pct_decode_unreserved"
+  }
+
   // ---- Column-facing API --------------------------------------------------
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -144,6 +165,8 @@ object expressions {
   def minhash_sig(c: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
   def shingles3(c: Column): Column = Bridge.column(Shingles3(Bridge.expression(c)))
+  def pct_decode_unreserved(c: Column): Column =
+    Bridge.column(PctDecodeUnreserved(Bridge.expression(c)))
 
   /** Register all native functions for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -155,6 +178,7 @@ object expressions {
     Bridge.registerFunction(spark, "minhash_sig", es =>
       MinHashSig(es(0), es(1).eval().asInstanceOf[Number].intValue()))
     Bridge.registerFunction(spark, "shingles3", es => Shingles3(es.head))
+    Bridge.registerFunction(spark, "pct_decode_unreserved", es => PctDecodeUnreserved(es.head))
   }
 }
 
@@ -297,6 +321,57 @@ object NativeOps {
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  private def hexVal(b: Byte): Int = {
+    if (b >= '0' && b <= '9') b - '0'
+    else if (b >= 'A' && b <= 'F') b - 'A' + 10
+    else if (b >= 'a' && b <= 'f') b - 'a' + 10
+    else -1
+  }
+
+  private def isUnreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') || (v >= '0' && v <= '9') ||
+      v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** Guarded %XX decode (see [[expressions.PctDecodeUnreserved]]). Byte-level
+    * scan: unreserved octets are all ASCII, multi-byte UTF-8 sequences never
+    * contain '%' (0x25), so the transform is UTF-8-safe. Returns the input
+    * object itself when nothing decodes (the overwhelmingly common case —
+    * no copy on the hot path). */
+  def pctDecodeUnreserved(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    var i = 0
+    var changed = false
+    while (i < n && !changed) {
+      if (b(i) == '%' && i + 2 < n) {
+        val hi = hexVal(b(i + 1)); val lo = hexVal(b(i + 2))
+        if (hi >= 0 && lo >= 0 && isUnreserved((hi << 4) | lo)) changed = true
+      }
+      i += 1
+    }
+    if (!changed) return s
+    val out = new Array[Byte](n)
+    var w = 0
+    i = 0
+    while (i < n) {
+      var decoded = false
+      if (b(i) == '%' && i + 2 < n) {
+        val hi = hexVal(b(i + 1)); val lo = hexVal(b(i + 2))
+        if (hi >= 0 && lo >= 0 && isUnreserved((hi << 4) | lo)) {
+          out(w) = ((hi << 4) | lo).toByte; w += 1; i += 3; decoded = true
+        }
+      }
+      if (!decoded) { out(w) = b(i); w += 1; i += 1 }
+    }
+    UTF8String.fromBytes(out, 0, w)
+  }
+
+  /** String twin of [[pctDecodeUnreserved]] for the pure-Scala
+    * canonicalization flavor (sequential oracle, fixture generator) —
+    * CoreSpec pins byte-agreement between the two. */
+  def pctDecodeUnreservedScala(s: String): String =
+    pctDecodeUnreserved(UTF8String.fromString(s)).toString
 
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L

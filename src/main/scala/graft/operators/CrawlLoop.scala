@@ -61,7 +61,7 @@ object CrawlLoop {
       .select(graft.core.Canonicalize.canonicalUrl(col("url")).as("url"))
       .filter(col("url").isNotNull)
       .distinct()
-      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("host", try_parse_url(col("url"), lit("HOST")))
       .withColumn("discovered_ts", lit(Constants.EpochTs))
       .select("url", "host", "discovered_ts")
 

@@ -131,7 +131,7 @@ object Scheduler {
       .filter(col("url").isNotNull)
       .groupBy("url")
       .agg(max("discovered_ts").as("discovered_ts"))
-      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("host", try_parse_url(col("url"), lit("HOST")))
   }
 
   /** Scheduling-stage outputs (pre-fetch). `cached` holds the shared cached
@@ -363,7 +363,7 @@ object Scheduler {
       .filter(col("url").isNotNull)
       .groupBy("url")
       .agg(max("discovered_ts").as("discovered_ts"))
-      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("host", try_parse_url(col("url"), lit("HOST")))
 
     // ---- articles (op 4) with global fetch_order (op 29) -------------------
     // Small batches (the politeness-bounded norm) use a single-partition

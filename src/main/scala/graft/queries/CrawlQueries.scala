@@ -35,6 +35,11 @@ object CrawlQueries {
       |         text, lang, source, doc_id
       |    FROM documents WHERE doc_id % 5 = 0
       |  UNION ALL
+      |  SELECT 'https://' || source || '.example.com/articles/' || regexp_replace(CAST(doc_id AS VARCHAR), '([0-9])', '%3\1', 'g'),
+      |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) + to_seconds(45),
+      |         text, lang, source, doc_id
+      |    FROM documents WHERE doc_id % 11 = 7
+      |  UNION ALL
       |  SELECT 'https://' || source || '.example.com/articles/' || doc_id,
       |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) + to_seconds(7200),
       |         text || ' updated', lang, source, doc_id
@@ -45,8 +50,10 @@ object CrawlQueries {
       |    FROM documents
       |),
       |canon AS (
+      |  -- mirror of Canonicalize: drop query/fragment, guarded %-decode
+      |  -- (fixture escapes are all digit escapes %30-%39), trim slashes
       |  SELECT pages.url AS raw_url,
-      |         rtrim(split_part(split_part(pages.url, '#', 1), '?', 1), '/') AS url,
+      |         rtrim(regexp_replace(split_part(split_part(pages.url, '#', 1), '?', 1), '%3([0-9])', '\1', 'g'), '/') AS url,
       |         split_part(split_part(pages.url, '://', 2), '/', 1) AS host,
       |         warc_ts, text, lang
       |    FROM pages
@@ -150,7 +157,7 @@ object CrawlQueries {
     // driver's hash compare verifies byte-identity per url (north_rule).
     "q07_parse_extract" -> ((s, dir) =>
       latestCaptures(s, dir)
-        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("host", try_parse_url(col("url"), lit("HOST")))
         .withColumn("text_extracted", extractUdf(col("host"), col("html")))
         .filter(col("text_extracted") =!= "")
         .select(col("url"), col("text_extracted").as("text"))),
@@ -225,7 +232,7 @@ object CrawlQueries {
       latestCaptures(s, dir)
         .filter(col("url").contains("/articles/"))
         .withColumn("published_raw", raw)
-        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("host", try_parse_url(col("url"), lit("HOST")))
         .join(familyDim, Seq("host"))
         .withColumn("published_ts",
           when(col("family") === 0, to_timestamp(col("published_raw"), fmt(0).get))
@@ -453,7 +460,7 @@ object CrawlQueries {
     "q15_published_dates" ->
       s"""$PagesCte,
          |art AS (
-         |  SELECT DISTINCT rtrim(split_part(split_part(p.url, '#', 1), '?', 1), '/') AS url,
+         |  SELECT DISTINCT rtrim(regexp_replace(split_part(split_part(p.url, '#', 1), '?', 1), '%3([0-9])', '\\1', 'g'), '/') AS url,
          |         p.source || '.example.com' AS host, p.doc_id
          |    FROM pages p WHERE p.doc_id IS NOT NULL
          |),

@@ -51,6 +51,31 @@ class CoreSpec extends AnyFunSuite {
     assert(viaCol === clean)
   }
 
+  test("canonicalize: escaped-alias rows collapse via the guarded %-decode") {
+    val clean = "https://src3.example.com/articles/18"
+    val esc = s"https://src3.example.com/articles/${Constants.escapeDigits(18L)}"
+    assert(esc.endsWith("/%31%38"))
+    assert(Canonicalize.canonicalScala(esc) === Some(clean))
+    val viaCol = Seq(esc, "https://h.example.com/a%72ticles/%7E1")
+      .toDF("url").select(Canonicalize.canonicalUrl($"url")).as[String].collect()
+    assert(viaCol(0) === clean)
+    // letters and '~' decode too (unreserved set, both hex cases)
+    assert(viaCol(1) === "https://h.example.com/articles/~1")
+    // reserved / non-unreserved escapes survive verbatim: '/' %2F would
+    // change the path structure, %20 (space) and %25 ('%') are not
+    // unreserved.
+    assert(Canonicalize.canonicalScala("https://h.example.com/a%2Fb%20c%25d") ===
+      Some("https://h.example.com/a%2Fb%20c%25d"))
+    // malformed escapes: both flavors REJECT the url (None / NULL) rather
+    // than crash — try_parse_url on the Column side (web-scale crawls carry
+    // garbage urls; strict parse_url would kill the job), java.net.URI on
+    // the Scala side. The flavors agree.
+    assert(Canonicalize.canonicalScala("https://h.example.com/a%3zz") === None)
+    val mal = Seq("https://h.example.com/a%3zz").toDF("url")
+      .select(Canonicalize.canonicalUrl($"url")).collect().head
+    assert(mal.isNullAt(0))
+  }
+
   test("canonicalize: idempotent (P1), slash-collapsing, scheme filter") {
     assert(Canonicalize.canonicalScala("https://A.example.com//x///y/") ===
       Some("https://a.example.com/x/y"))
@@ -140,9 +165,9 @@ class CoreSpec extends AnyFunSuite {
   test("fixtures: expected shape at sf0.001") {
     val fixDir = Fixtures.ensure(spark, TestSpark.Sf0001)
     val pages = spark.read.parquet(s"$fixDir/pages.parquet")
-    // 500 docs + 100 aliases (doc_id%5==0) + 71 recaptures (doc_id%7==3)
-    // + 20 listing roots
-    assert(pages.count() === 691L)
+    // 500 docs + 100 aliases (doc_id%5==0) + 45 escaped aliases
+    // (doc_id%11==7) + 71 recaptures (doc_id%7==3) + 20 listing roots
+    assert(pages.count() === 736L)
     assert(spark.read.parquet(s"$fixDir/seeds.parquet").count() === 40L)
     assert(spark.read.parquet(s"$fixDir/robots.parquet").count() === 20L)
     val media = spark.read.parquet(s"$fixDir/media.parquet")
