@@ -171,6 +171,24 @@ object PipelineQueries {
          |SELECT min(url) AS keeper_url, count(*) AS n_copies
          |  FROM pages GROUP BY text""".stripMargin,
 
+    // Valid because banding recall is exhaustively 1.0 on this fixture
+    // (MlSpec pins got == truth at sf0.01) and exact verification makes
+    // precision 1.0 unconditionally — so the LSH output EQUALS the
+    // all-pairs J>=0.95 join over identical-token-set representatives,
+    // which IS oracle-expressible. (The signature/banding hashes themselves
+    // never appear in the output.)
+    "q31_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ts
+        |    FROM documents),
+        |reps AS (SELECT min(doc_id) AS rep, ts FROM toks GROUP BY ts)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT a.rep AS a, b.rep AS b,
+        |         round(len(list_intersect(a.ts, b.ts)) * 1.0
+        |               / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+        |    FROM reps a JOIN reps b ON a.rep < b.rep) AS p
+        | WHERE jaccard >= 0.95""".stripMargin,
+
     "q33_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT doc_id, lang,

@@ -131,6 +131,30 @@ class MlSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall too low (got ${got.size} of ${truth.size})")
   }
 
+  test("minhash+LSH pairs == exact all-pairs truth on sf0.01 (q31 oracle precondition)") {
+    // q31's DuckDB oracle is the all-pairs J>=0.95 join over token-set
+    // representatives — valid iff banding recall is EXHAUSTIVELY 1.0 on the
+    // driver's correctness sf. Exact verification already pins precision
+    // 1.0, so set equality == recall 1.0. If banding ever misses a pair
+    // here, this fails BEFORE the driver's correctness gate does.
+    val docs = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+    val got = Dedup.minhashPairs(docs, threshold = 0.95)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val reps = docs
+      .select($"doc_id", array_sort(array_distinct(split($"text", " "))).as("ts"))
+      .withColumn("setkey", xxhash64(concat_ws(" ", $"ts")))
+      .groupBy("setkey").agg(min("doc_id").as("rep"), first("ts").as("ts"))
+    val l = reps.select($"rep".as("a"), $"ts".as("ts_a"))
+    val r = reps.select($"rep".as("b"), $"ts".as("ts_b"))
+    val truth = l.join(r, $"a" < $"b")
+      .withColumn("j", round(Dedup.jaccard($"ts_a", $"ts_b"), 4))
+      .filter($"j" >= 0.95)
+      .select($"a", $"b", $"j").as[(Long, Long, Double)].collect().toSet
+    assert(truth.nonEmpty, "fixture must exercise the operator")
+    assert(got === truth,
+      s"banding recall < 1.0 on sf0.01 (got ${got.size}, truth ${truth.size}) — q31 oracle invalid")
+  }
+
   test("simhash banding finds EXACTLY the hamming<=3 pairs (pigeonhole)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet").limit(200)
     val got = Dedup.simhashPairs(docs, maxDist = 3)
