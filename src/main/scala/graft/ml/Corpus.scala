@@ -70,15 +70,40 @@ object Corpus {
       case _ => ()
     }
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** See object doc. `checkpointDir = None` (default) truncates per-round
+    * lineage with memory-backed `localCheckpoint` — fastest, and fine in
+    * local mode or for jobs short enough to simply re-run, but NOT
+    * fault-tolerant: on a real cluster an executor loss mid-iteration kills
+    * the job (lineage is gone, no recompute path). `checkpointDir =
+    * Some(dfsPath)` is the cluster deployment mode: each round's label
+    * table commits to storage and re-reads from it, so recovery replays
+    * from the last committed round. Outputs are identical (CorpusSpec mode
+    * parity); superseded round dirs are deleted as the loop advances, the
+    * FINAL round's files back the returned frame — the caller owns the
+    * directory's lifecycle. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    def persistRound(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case Some(root) =>
+        val path = s"$root/$name"
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
+    def releaseRound(df: DataFrame, name: String): Unit = checkpointDir match {
+      case Some(root) => graft.operators.Checkpoints.deleteRecursively(s"$root/$name")
+      case None => freeCheckpoint(df)
+    }
     val e = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
     // Symmetric closure once; propagation then only needs one direction.
-    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val sym = persistRound(
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      "sym")
+    var labels = persistRound(
+      sym.select(col("src").as("id")).distinct().withColumn("label", col("id")),
+      "labels_r0")
+    var labelsName = "labels_r0"
     var converged = false
     var iter = 0
     try {
@@ -94,24 +119,30 @@ object Corpus {
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("h"))
         // Compress: label ← label(label). h(x) ≤ x invariantly, so hh ≤ h.
         val pmap = hooked.select(col("id").as("hid"), col("h").as("hh"))
-        val next = hooked
-          .join(pmap, col("h") === col("hid"))
-          .select(col("id"), col("old"), least(col("h"), col("hh")).as("label"))
-          .localCheckpoint(true) // truncate lineage: constant plan per round
+        val nextName = s"labels_r${iter + 1}"
+        val next = persistRound(
+          hooked
+            .join(pmap, col("h") === col("hid"))
+            .select(col("id"), col("old"), least(col("h"), col("hh")).as("label")),
+          nextName) // truncate lineage: constant plan per round
         val nChanged = next.filter(col("label") < col("old")).count()
-        freeCheckpoint(labels) // next is materialized — the old copy can go
+        releaseRound(labels, labelsName) // next is materialized — old copy can go
         labels = next.select("id", "label")
+        labelsName = nextName
         converged = nChanged == 0
         iter += 1
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds")
     } catch {
       // On any mid-loop failure nothing downstream will consume the frames:
-      // release the edge table and the live label checkpoint too.
+      // release the edge table and the live label checkpoint too. (In
+      // storage mode the dirs are left for crash forensics/recovery — the
+      // caller owns the directory.)
       case t: Throwable =>
-        freeCheckpoint(sym); freeCheckpoint(labels); throw t
+        if (checkpointDir.isEmpty) { freeCheckpoint(sym); freeCheckpoint(labels) }
+        throw t
     }
-    freeCheckpoint(sym) // only the final label table is consumed downstream
+    releaseRound(sym, "sym") // only the final label table is consumed downstream
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("rep"), col("cluster_size"))

@@ -167,6 +167,59 @@ object Checkpoints {
     spark.read.parquet(paths: _*)
   }
 
+  // ------------------------------------------------------------------
+  // Seen-set compaction (round 4). The seen table is append-only — O(k)
+  // file sources per batch read, O(k²) cumulative over a run. At a
+  // 10^10-URL crawl's batch count that is the slow leak: every K batches
+  // the committed deltas are folded into a snapshot `seen_compact/c<k>`
+  // and the deltas it covers are released. Crash-safe without touching the
+  // manifest protocol: the parquet _SUCCESS marker is the compaction's
+  // commit point, a torn write is simply ignored by readers, and re-running
+  // the compaction overwrites it. Readers pinned at upTo ∈ [k-K, k)
+  // (e.g. the rerun of a killed batch) still resolve: the PREVIOUS
+  // compaction and the last K deltas are always retained.
+  // ------------------------------------------------------------------
+
+  private def compactionIds(dir: String): Seq[Long] = {
+    val cp = Paths.get(dir, "seen_compact")
+    if (!Files.isDirectory(cp)) return Nil
+    scala.util.Using.resource(Files.list(cp)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("c") && Files.exists(Paths.get(dir, "seen_compact", s, "_SUCCESS")) =>
+          s.stripPrefix("c").toLong }
+        .toSeq
+    }
+  }
+
+  /** Effective seen rows up to batch `upTo`: the newest committed
+    * compaction at or below `upTo`, plus the deltas after it. Falls back to
+    * the plain delta union (pre-compaction dirs read unchanged). */
+  def readSeen(spark: SparkSession, dir: String, upTo: Long): DataFrame = {
+    val base = compactionIds(dir).filter(_ <= upTo).sorted.lastOption
+    base match {
+      case Some(j) =>
+        val deltas = ((j + 1) to upTo).map(k => s"$dir/seen/b$k")
+          .filter(p => Files.exists(Paths.get(p)))
+        spark.read.parquet(s"$dir/seen_compact/c$j" +: deltas: _*)
+      case None => readAppends(spark, dir, "seen", upTo)
+    }
+  }
+
+  /** Fold the effective seen set at batch k into `seen_compact/c<k>`, then
+    * release deltas (and compactions) no reader can still need: any live
+    * reader has upTo ≥ k-1 ≥ k-every, so deltas ≤ k-every (covered by the
+    * PREVIOUS compaction) and compactions < k-every are dead. Call after
+    * commitManifest(k). */
+  def compactSeen(spark: SparkSession, dir: String, k: Long, every: Int): Unit = {
+    val effective = readSeen(spark, dir, k)
+    effective.write.mode(SaveMode.Overwrite).parquet(s"$dir/seen_compact/c$k")
+    for (i <- 1L to (k - every))
+      deleteRecursively(s"$dir/seen/b$i")
+    for (j <- compactionIds(dir) if j < k - every)
+      deleteRecursively(s"$dir/seen_compact/c$j")
+  }
+
   def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 

@@ -65,10 +65,11 @@ object CrawlLoop {
       .withColumn("discovered_ts", lit(Constants.EpochTs))
       .select("url", "host", "discovered_ts")
 
-  /** Committed seen rows up to batch k (empty frame when k == 0). */
+  /** Committed seen rows up to batch k (empty frame when k == 0); reads
+    * the newest compacted snapshot + trailing deltas when compaction ran. */
   def seenUpTo(spark: SparkSession, dir: String, k: Long): DataFrame =
     if (k == 0) Checkpoints.emptyFrame(spark, SeenSchema)
-    else Checkpoints.readAppends(spark, dir, "seen", k)
+    else Checkpoints.readSeen(spark, dir, k)
 
   /** Run (or resume) a crawl over the fixtures of `sfDir`; returns the state
     * dir holding articles / seen / fetch_log / host_log / snapshots. */
@@ -150,6 +151,13 @@ object CrawlLoop {
       scheduledTotal += nScheduled
       fetchedTotal += nFetched
       parsedTotal += nParsed
+      // Post-commit seen compaction (op 5 scale hygiene): bounded file
+      // sources per batch read; crash-safe independently of the manifest
+      // (a torn compaction is invisible; a killed-then-rerun batch k
+      // re-triggers it and overwrites).
+      if (cfg.seenCompactEvery > 0 && k % cfg.seenCompactEvery == 0)
+        timed(s"b$k compactSeen")(
+          Checkpoints.compactSeen(spark, dir, k, cfg.seenCompactEvery))
       r.cached.foreach(_.unpersist())
 
       // Re-read committed state (truncates lineage across batches).

@@ -49,6 +49,13 @@ final case class CrawlConfig(
       * (> 0 overrides the Σbudgets-derived per-run bound — see CrawlLoop).
       * Output-invariant either way; this is a physical-plan knob. */
     scheduledBoundOverride: Long = -1L,
+    /** Fold the append-only seen deltas into a compacted snapshot every K
+      * batches (0 = off). Keeps the per-batch seen read at O(K) file
+      * sources instead of O(batches) — the O(k²) cumulative-read leak a
+      * 10^10-URL crawl's batch count would otherwise hit. Output-invariant
+      * (Checkpoints.compactSeen; parity + resume pinned in
+      * CrawlParitySpec). */
+    seenCompactEvery: Int = 8,
     /** State/checkpoint namespace under Constants.workDir/state/. */
     runTag: String = "default")
 

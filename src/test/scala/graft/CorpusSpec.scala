@@ -54,6 +54,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 40L))
   }
 
+  test("connectedComponents: storage-backed checkpoint mode == localCheckpoint mode") {
+    // The cluster deployment shape: per-round label tables commit to a
+    // reliable path (executor loss replays from the last committed round)
+    // instead of memory-backed localCheckpoint. Same labels, and superseded
+    // round dirs are released as the loop advances.
+    val rnd = new scala.util.Random(4242)
+    val edges = Seq.fill(90)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val viaStorage = Corpus.connectedComponents(edges.toDF("a", "b"),
+      checkpointDir = Some(ckpt))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaLocal = Corpus.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaStorage === viaLocal)
+    // Only the final round's label table remains (sym + superseded rounds
+    // deleted); the returned frame stays readable from it.
+    import scala.jdk.CollectionConverters._
+    val left = scala.util.Using.resource(java.nio.file.Files.list(java.nio.file.Paths.get(ckpt)))(
+      _.iterator().asScala.map(_.getFileName.toString).toSeq)
+    assert(left.count(_.startsWith("labels_r")) === 1, s"round dirs leaked: $left")
+    assert(!left.contains("sym"), s"sym edge table not released: $left")
+  }
+
   test("connectedComponents output is invariant to the input partitioning") {
     // The north-rule determinism story: the labels are a pure function of
     // the edge SET, so physical layout must not matter.

@@ -210,6 +210,47 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sa === sb)
   }
 
+  test("seen compaction: aggressive K=2 folds deltas, outputs identical, resume works") {
+    val cfg = cfgBase.copy(runTag = "compact2", seenCompactEvery = 2)
+    // Interrupt mid-run so resume crosses a compaction boundary, then finish.
+    CrawlLoop.run(spark, TestSpark.Sf0001, cfg.copy(maxBatches = 3), fresh = true)
+    val run = CrawlLoop.run(spark, TestSpark.Sf0001, cfg, fresh = false)
+    val base = CrawlLoop.run(spark, TestSpark.Sf0001,
+      cfgBase.copy(runTag = "parity"), fresh = false) // committed broadcast run
+
+    val a = CrawlLoop.articles(spark, run.dir)
+      .select("fetch_order", "url", "batch_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val b = CrawlLoop.articles(spark, base.dir)
+      .select("fetch_order", "url", "batch_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a === b)
+    val sa = CrawlLoop.seenUpTo(spark, run.dir, run.batches)
+      .select("url", "status").as[(String, String)].collect()
+    val sb = CrawlLoop.seenUpTo(spark, base.dir, base.batches)
+      .select("url", "status").as[(String, String)].collect()
+    assert(sa.length === sa.map(_._1).distinct.length, "compaction duplicated seen rows")
+    assert(sa.toSet === sb.toSet)
+
+    // The leak is actually closed: delta dirs are bounded by ~K (+ the
+    // trailing uncompacted batches), not O(batches), and a compacted
+    // snapshot exists with a _SUCCESS commit marker.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def list(sub: String): Seq[String] = {
+      val p = Paths.get(run.dir, sub)
+      if (!Files.isDirectory(p)) Nil
+      else scala.util.Using.resource(Files.list(p))(_.iterator().asScala.map(_.getFileName.toString).toSeq)
+    }
+    assert(run.batches >= 4, "fixture run too short to exercise compaction")
+    val deltas = list("seen")
+    assert(deltas.length <= 4,
+      s"seen deltas not released: $deltas (batches=${run.batches})")
+    val compactions = list("seen_compact")
+    assert(compactions.nonEmpty && compactions.length <= 2,
+      s"unexpected compaction set: $compactions")
+  }
+
   test("bucket-count invariance: numBuckets does not change outputs") {
     val r2 = CrawlLoop.run(spark, TestSpark.Sf0001,
       cfgBase.copy(runTag = "buckets2", numBuckets = 2, maxBatches = 3), fresh = true)
