@@ -15,8 +15,11 @@ import java.util.Locale
   * (extract), so `extract(host, render(...)) == text` holds byte-exactly by
   * construction, and the distributed pipeline must reproduce it.
   *
-  * SIX host families with genuinely divergent structure (FIXTURES.md B1;
-  * family of a host is frozen in [[FixtureConstants]]):
+  * EIGHT extractor families with genuinely divergent structure
+  * (FIXTURES.md B1; family of a fixture host — 0-5 — is frozen in
+  * [[FixtureConstants]]; 6/7 are the round-4 adversarial-structure pair,
+  * dispatched via [[extractFamily]] and exercised by
+  * CoreSpec/ParserRobustnessSpec):
   *   0 reuters-style     — body inside a marked <div>
   *   1 prnewswire-style  — body inside a marked <p>
   *   2 bloomberg-style   — body inside <section><span>
@@ -26,6 +29,11 @@ import java.util.Locale
   *   4 segmented         — body split into char-tri-chunks across
   *                         <span data-seg="i"> nodes; extraction rejoins
   *   5 entity-encoded    — '&' → &amp; then ' ' → &#32;; extraction decodes
+  *   6 nested-misleading — article div CONTAINS lead/promo divs; extraction
+  *                         must depth-match the outer close (the first
+  *                         "</div>" is a trap) and strip the inner divs
+  *   7 mixed-encoding    — non-ASCII / control chars as hex NCRs, ASCII
+  *                         raw; extraction decodes &#x…; and &amp;
   *
   * Every article page also carries a published-date <meta> whose FORMAT is
   * family-specific (ISO-ish, RFC-1123-ish with weekday, US slashes, epoch
@@ -61,9 +69,11 @@ object Parsers {
     DateFormats.map(_.map(p =>
       DateTimeFormatter.ofPattern(p, Locale.US).withZone(java.time.ZoneOffset.UTC)))
 
-  /** Render the published instant in the family's wire format. */
+  /** Render the published instant in the family's wire format (the date
+    * wire-format space has 6 variants; extractor families beyond 5 reuse
+    * them cyclically). */
   def formatPublished(family: Int, published: Instant): String =
-    dateFormatters(family) match {
+    dateFormatters(family % dateFormatters.length) match {
       case Some(f) => f.format(published)
       case None => published.getEpochSecond.toString
     }
@@ -122,6 +132,62 @@ object Parsers {
     s.replace("&#32;", " ").replace("&amp;", "&")
 
   // ------------------------------------------------------------------
+  // Mixed encoding (family 7): printable ASCII stays raw, '&' and every
+  // non-printable/non-ASCII UTF-16 unit becomes an uppercase hex NCR.
+  // Decoding is a single left-to-right scan ("&amp;" matched before
+  // "&#x…;", so a literal "&#x41;" in the body round-trips via
+  // "&amp;#x41;"); malformed references pass through verbatim (adversarial
+  // bytes degrade deterministically, never throw).
+  // ------------------------------------------------------------------
+
+  private[core] def ncrEncode(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case c if c < 0x20 || c > 0x7e => b.append(f"&#x${c.toInt}%X;")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private[core] def ncrDecode(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&' && s.startsWith("&amp;", i)) { b.append('&'); i += 5 }
+      else if (s.charAt(i) == '&' && s.startsWith("&#x", i)) {
+        val sc = s.indexOf(';', i + 3)
+        val hexOk = sc > i + 3 && sc - (i + 3) <= 4 &&
+          (i + 3 until sc).forall(j => Character.digit(s.charAt(j), 16) >= 0)
+        if (hexOk) { b.append(Integer.parseInt(s.substring(i + 3, sc), 16).toChar); i = sc + 1 }
+        else { b.append(s.charAt(i)); i += 1 }
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  // ------------------------------------------------------------------
+  // Nested misleading markup (family 6): the article div CONTAINS inner
+  // divs (lead + promo), so extraction must depth-match the outer close —
+  // a naive scan-to-first-"</div>" cuts at the lead and fabricates text.
+  // ------------------------------------------------------------------
+
+  /** Index of the matching `</div>` for a div whose opening tag ends just
+    * before `from`; -1 when unbalanced (truncated/corrupt page). */
+  private def matchingDivClose(s: String, from: Int): Int = {
+    var depth = 1
+    var i = from
+    while (depth > 0) {
+      val open = s.indexOf("<div", i)
+      val close = s.indexOf("</div>", i)
+      if (close < 0) return -1
+      if (open >= 0 && open < close) { depth += 1; i = open + 4 }
+      else { depth -= 1; if (depth == 0) return close; i = close + 6 }
+    }
+    -1
+  }
+
+  // ------------------------------------------------------------------
   // Segmented body (family 4): char-based tri-chunking, byte-exact rejoin.
   // ------------------------------------------------------------------
 
@@ -176,8 +242,16 @@ object Parsers {
           .map { case (seg, i) => s"""<span data-seg="$i">$seg</span>""" }.mkString
         s"""<html>$h<body><div id="story-body">$segs</div>""" +
           s"""<aside>related: $source</aside></body></html>"""
-      case _ =>
+      case 5 =>
         s"""<html>$h<body><div class="entity-body">${entityEncode(body)}</div>""" +
+          s"""</body></html>"""
+      case 6 =>
+        s"""<html>$h<body><div data-role="article">""" +
+          s"""<div class="lead">Summary: $title</div>$body""" +
+          s"""<div class="promo">more from $source</div></div>""" +
+          s"""<div class="comments">0 comments</div></body></html>"""
+      case _ =>
+        s"""<html>$h<body><div class="mixed-body">${ncrEncode(body)}</div>""" +
           s"""</body></html>"""
     }
     page.getBytes(StandardCharsets.UTF_8)
@@ -225,11 +299,22 @@ object Parsers {
 
   /** Extract article text from page bytes for a host; "" when the page has
     * no article body (e.g. listing pages). THE byte-identity contract. */
-  def extract(host: String, html: Array[Byte]): String = {
+  def extract(host: String, html: Array[Byte]): String =
+    extractFamily(FixtureConstants.familyOf(host), html)
+
+  /** Number of extractor families ([[renderArticle]]/[[extractFamily]]). */
+  val NumFamilies: Int = 8
+
+  /** Family-explicit extraction — the per-site parser kernels themselves.
+    * Hosts outside the fixture dim dispatch here through
+    * `FixtureConstants.familyOf`; families 6/7 (nested misleading markup,
+    * mixed-encoding NCRs) are the adversarial-structure pair exercised by
+    * CoreSpec/ParserRobustnessSpec. */
+  def extractFamily(family: Int, html: Array[Byte]): String = {
     if (html == null) return ""
     val s = new String(html, StandardCharsets.UTF_8)
-    FixtureConstants.familyOf(host) match {
-      case f if f <= 2 =>
+    family match {
+      case f if f >= 0 && f <= 2 =>
         val (start, end) = markers(f)
         between(s, start, end).getOrElse("")
       case 3 =>
@@ -245,9 +330,31 @@ object Parsers {
             // part ends with the closing </span>.
             parts.iterator.drop(1).map(_.stripSuffix("</span>")).mkString
         }
-      case _ =>
+      case 5 =>
         between(s, """<div class="entity-body">""", """</div>""")
           .map(entityDecode).getOrElse("")
+      case 6 =>
+        // Depth-match the article div's close (inner divs make the first
+        // "</div>" a trap), then strip the depth-matched lead prefix and
+        // the promo suffix. Any structural miss degrades to "".
+        val open = """<div data-role="article">"""
+        val i = s.indexOf(open)
+        if (i < 0) return ""
+        val from = i + open.length
+        val close = matchingDivClose(s, from)
+        if (close < 0) return ""
+        val inner = s.substring(from, close)
+        val lead = """<div class="lead">"""
+        if (!inner.startsWith(lead)) return ""
+        val leadClose = matchingDivClose(inner, lead.length)
+        if (leadClose < 0) return ""
+        val afterLead = inner.substring(leadClose + "</div>".length)
+        val promoAt = afterLead.lastIndexOf("""<div class="promo">""")
+        if (promoAt < 0 || !afterLead.endsWith("</div>")) return ""
+        afterLead.substring(0, promoAt)
+      case _ =>
+        between(s, """<div class="mixed-body">""", """</div>""")
+          .map(ncrDecode).getOrElse("")
     }
   }
 

@@ -106,6 +106,32 @@ class CoreSpec extends AnyFunSuite {
       assert(Parsers.extract(h.host, html) === body,
         s"family ${h.family}, body <$body>")
     }
+    // Families 6/7 (nested misleading markup, mixed-encoding NCRs) have no
+    // fixture host yet — byte-identity via the family-explicit kernel,
+    // including non-ASCII bodies that family 7 NCR-encodes on the wire.
+    val extra = bodies ++ Seq("的 是 了 在", "café & crème brûlée", "tab\there\nnewline")
+    for (f <- 6 to 7; body <- extra) {
+      val html = Parsers.renderArticle(f, "Doc 7", "srcX", body)
+      assert(Parsers.extractFamily(f, html) === body, s"family $f, body <$body>")
+    }
+    assert(Parsers.NumFamilies === 8)
+  }
+
+  test("parsers: family 6 nested markup defeats a naive first-close scan") {
+    // The misleading part: the FIRST </div> after the article open belongs
+    // to the inner lead div — a marker-pair scan (the family 0-2 kernel
+    // shape) fabricates the lead text instead of the body.
+    val body = "real body words"
+    val html = Parsers.renderArticle(6, "Doc 9", "srcX", body)
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    val open = """<div data-role="article">"""
+    val naive = s.substring(s.indexOf(open) + open.length,
+      s.indexOf("</div>", s.indexOf(open)))
+    assert(naive !== body, "fixture no longer exercises the nesting trap")
+    assert(Parsers.extractFamily(6, html) === body)
+    // Misleading inner markers elsewhere in the page must not confuse it:
+    // a comments div AFTER the article close is ignored.
+    assert(s.contains("""<div class="comments">"""))
   }
 
   test("parsers: published-date meta round-trips through every family format") {

@@ -28,17 +28,19 @@ class ParserRobustnessSpec extends AnyFunSuite {
   private val words = Vector("alpha", "beta", "gamma", "delta", "data", "spark",
     "crawl", "index", "feed", "quote", "press", "wire")
 
-  private val genArticle: Gen[(String, String, Array[Byte])] = for {
-    family <- Gen.choose(0, 5)
+  // All 8 extractor families (6/7 have no fixture host — extraction goes
+  // through the family-explicit kernel, which is what host dispatch calls).
+  private val genArticle: Gen[(Int, String, Array[Byte])] = for {
+    family <- Gen.choose(0, Parsers.NumFamilies - 1)
     nWords <- Gen.choose(1, 40)
     ws <- Gen.listOfN(nWords, Gen.oneOf(words))
     docId <- Gen.choose(0L, 5000L)
   } yield {
-    val host = hostsByFamily(family)
+    val source = hostsByFamily.get(family).map(_.split('.')(0)).getOrElse("srcX")
     val body = ws.mkString(" ")
-    val html = Parsers.renderArticle(family, s"Doc $docId", host.split('.')(0), body,
+    val html = Parsers.renderArticle(family, s"Doc $docId", source, body,
       Constants.EPOCH.plusSeconds(docId * 60), Constants.tickersOf(docId))
-    (host, body, html)
+    (family, body, html)
   }
 
   private def check(p: Prop): Unit = {
@@ -48,35 +50,35 @@ class ParserRobustnessSpec extends AnyFunSuite {
   }
 
   test("P3: untouched render still extracts byte-identically") {
-    check(Prop.forAll(genArticle) { case (host, body, html) =>
-      Parsers.extract(host, html) == body
+    check(Prop.forAll(genArticle) { case (family, body, html) =>
+      Parsers.extractFamily(family, html) == body
     })
   }
 
   test("P1+P2: truncation never throws and never fabricates text") {
     val gen = for {
-      (host, body, html) <- genArticle
+      (family, body, html) <- genArticle
       cut <- Gen.choose(0, html.length)
-    } yield (host, body, html.take(cut))
-    check(Prop.forAll(gen) { case (host, body, cut) =>
-      val got = Parsers.extract(host, cut) // must not throw
-      Parsers.extractLinks(cut)            // must not throw
+    } yield (family, body, html.take(cut))
+    check(Prop.forAll(gen) { case (family, body, cut) =>
+      val got = Parsers.extractFamily(family, cut) // must not throw
+      Parsers.extractLinks(cut)                    // must not throw
       got == "" || got == body
     })
   }
 
   test("P1: random byte corruption never throws (extract + links)") {
     val gen = for {
-      (host, _, html) <- genArticle
+      (family, _, html) <- genArticle
       nFlips <- Gen.choose(1, 8)
       flips <- Gen.listOfN(nFlips, Gen.zip(Gen.choose(0, html.length - 1), Gen.choose(0, 255)))
     } yield {
       val mutated = html.clone()
       flips.foreach { case (i, b) => mutated(i) = b.toByte }
-      (host, mutated)
+      (family, mutated)
     }
-    check(Prop.forAll(gen) { case (host, mutated) =>
-      val s = Parsers.extract(host, mutated)
+    check(Prop.forAll(gen) { case (family, mutated) =>
+      val s = Parsers.extractFamily(family, mutated)
       Parsers.extractLinks(mutated)
       s != null
     })
