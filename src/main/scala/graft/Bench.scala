@@ -73,21 +73,38 @@ object Bench {
       graft.queries.CrawlQueries.primeCrawl(sfDir, run.dir)
     }
 
+    // Variance hardening (round-3 verdict): a heavy entry's first wall can
+    // carry a 10x host-contention spike or the JVM's one-off janino codegen
+    // compilation — BENCH_r03 recorded q50 at 65.6 s vs 4-7 s on every
+    // re-measure, indistinguishable from a real regression in the emitted
+    // number. Entries slower than 2 s are re-run once; the headline
+    // "queries" map carries the MIN, and "query_walls" carries every wall
+    // so a reader can audit the spread. (The crawl keeps its single run —
+    // it has its own per-phase trace via SPARK_GRAFT_CRAWL_TRACE, as
+    // q46/q50's CC rounds do via SPARK_GRAFT_CORPUS_TRACE.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
-        val s0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-        name -> (System.nanoTime() - s0) / 1e9
+        def once(): Double = {
+          val s0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+          (System.nanoTime() - s0) / 1e9
+        }
+        val w1 = once()
+        name -> (if (w1 > 2.0) Seq(w1, once()) else Seq(w1))
       }
     val crawlSec = crawlJson.map(_._1)
-    val qs = (results ++ crawlSec.map("crawl_e2e" -> _))
+    val qs = (results.map { case (k, ws) => k -> ws.min } ++ crawlSec.map("crawl_e2e" -> _))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + crawlSec.getOrElse(0.0)
+    val walls = results
+      .map { case (k, ws) => "\"" + k + "\":" + ws.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum + crawlSec.getOrElse(0.0)
 
     def benchLine(scaling: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_walls":$walls,""" +
         s""""sf":"$sfDir","cpus":$cpus""" +
         crawlJson.map("," + _._2).getOrElse("") +
         scaling + "}"

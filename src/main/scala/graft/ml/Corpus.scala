@@ -64,6 +64,20 @@ object Corpus {
     * RDD sits behind the LogicalRDD leaf). Superseded label tables would
     * otherwise accumulate one corpus-sized cached copy per round until the
     * ContextCleaner happens to GC them. */
+  /** SPARK_GRAFT_CORPUS_TRACE=1 → per-round CC wall times on stderr (the
+    * q46/q50 analogue of CrawlLoop's crawl trace: lets a bench reader
+    * attribute a slow wall to specific rounds instead of guessing between
+    * host contention and a plan regression). */
+  private val trace = sys.env.get("SPARK_GRAFT_CORPUS_TRACE").contains("1")
+  private def timed[A](name: String)(f: => A): A =
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[corpus-trace] $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
   private def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
@@ -107,7 +121,7 @@ object Corpus {
     var converged = false
     var iter = 0
     try {
-      while (!converged && iter < maxIter) {
+      while (!converged && iter < maxIter) timed(s"cc round ${iter + 1}") {
         // Hook: candidate label = min over own + incoming neighbor labels.
         val fromNeighbors = sym
           .join(labels.withColumnRenamed("id", "src"), Seq("src"))
@@ -242,7 +256,7 @@ object Corpus {
     // release the corpus-sized cache before returning — the returned frame
     // is self-contained.
     val shingled = Dedup.shingleFrame(docs).persist()
-    try {
+    try timed("curate pipeline") {
       val q = TextAnalysis.quality(docs).select(col("doc_id"), col("n_tokens"))
       val contaminated = decontaminateFrom(shingled, evalPred).select("doc_id")
       val dupLosers =

@@ -104,9 +104,10 @@ object Checkpoints {
   }
 
   /** (scheduled, fetched, parsed, articles) of batch k, summed from the
-    * just-written (tiny) host_log + fetch_log deltas — replaces dedicated
-    * counting jobs over the scheduling and parse pipelines. Call between
-    * writeState and commitManifest. */
+    * just-written (tiny) host_log + fetch_log deltas. Since round 4 the
+    * LIVE loop gets these from observe() metrics collected by the write
+    * jobs themselves (CrawlLoop — zero extra jobs); this read-back path
+    * remains for resume-time recovery and pre-upgrade state dirs. */
   def batchCounts(spark: SparkSession, dir: String, k: Long): (Long, Long, Long, Long) = {
     import org.apache.spark.sql.functions.sum
     val flog = spark.read.parquet(s"$dir/fetch_log/b$k")

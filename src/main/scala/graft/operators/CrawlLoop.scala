@@ -134,14 +134,30 @@ object CrawlLoop {
       val newShards = BloomSeen.mergeShards(seenShards,
         BloomSeen.buildShards(r.seenDelta.select("url_hash")))
 
+      // Batch counters ride the write jobs as observe() metrics (op 21's
+      // mechanism): the fetch_log/host_log write actions collect them as a
+      // side effect, so the loop issues ZERO dedicated counting jobs per
+      // batch — part of the serial per-batch floor attack (BENCH.md §4).
+      val fetchObs = org.apache.spark.sql.Observation(s"${cfg.runTag}_fetch_b$k")
+      val hostObs = org.apache.spark.sql.Observation(s"${cfg.runTag}_host_b$k")
+      val fetchLogObserved = r.fetchLog.observe(fetchObs,
+        sum(col("urls_fetched")).as("fetched"),
+        sum(col("urls_parsed")).as("parsed"),
+        sum(col("urls_article")).as("articles"))
+      val hostLogObserved = r.hostLog.observe(hostObs,
+        sum(col("urls_scheduled")).as("scheduled"))
+
       timed(s"b$k writeState")(Checkpoints.writeState(spark, dir, k,
         r.frontier, r.seenDelta, newShards,
-        r.articles, r.fetchLog, r.hostLog,
+        r.articles, fetchLogObserved, hostLogObserved,
         compact = cfg.compactState))
-      // Counters come from the just-written host_log/fetch_log deltas (two
-      // tiny file reads instead of dedicated agg jobs over the scheduling
-      // and parse pipelines).
-      val (nScheduled, nFetched, nParsed, nArticles) = Checkpoints.batchCounts(spark, dir, k)
+      // The writes are complete, so the observations resolve immediately;
+      // an empty batch sums to NULL → 0.
+      def obsLong(o: org.apache.spark.sql.Observation, key: String): Long =
+        o.get.get(key) match { case Some(v: Number) => v.longValue(); case _ => 0L }
+      val (nScheduled, nFetched, nParsed, nArticles) =
+        (obsLong(hostObs, "scheduled"), obsLong(fetchObs, "fetched"),
+          obsLong(fetchObs, "parsed"), obsLong(fetchObs, "articles"))
       Checkpoints.commitManifest(dir,
         Checkpoints.Manifest(k, articleCount + nArticles,
           nScheduled, nFetched, nParsed,
