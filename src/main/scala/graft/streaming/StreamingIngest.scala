@@ -92,6 +92,29 @@ object StreamingIngest {
       .withWatermark("warc_ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  private val linksUdf = udf((html: Array[Byte]) => graft.core.Parsers.extractLinks(html))
+
+  /** Streaming link-extraction frontier growth (op 48's streaming flavor —
+    * the round-3 gap): listing pages arriving on the live feed yield new
+    * frontier candidates (url, host, url_hash, discovered_ts),
+    * canonicalized and first-seen-deduped within the watermark horizon
+    * (same two-tier split as [[dedupStream]]: this is the in-flight guard;
+    * the durable seen-set tier stays with the batch store). Article pages
+    * contribute nothing (extractLinks yields no links for them), so the
+    * stage composes directly onto the raw feed; downstream the candidates
+    * enter the SAME scheduling algebra the batch loop uses. */
+  def frontierGrowthStream(pages: DataFrame, horizon: String = "48 hours"): DataFrame =
+    pages
+      .select(explode(linksUdf(col("html"))).as("raw_link"),
+        col("warc_ts").as("discovered_ts"))
+      .filter(Canonicalize.isHttpScheme(col("raw_link")))
+      .select(Canonicalize.canonicalUrl(col("raw_link")).as("url"), col("discovered_ts"))
+      .filter(col("url").isNotNull)
+      .withColumn("host", Canonicalize.hostOf(col("url")))
+      .withColumn("url_hash", Canonicalize.urlHash(col("url")))
+      .withWatermark("discovered_ts", horizon)
+      .dropDuplicatesWithinWatermark("url_hash")
+
   final case class HostEvent(host: String, warcTsSec: Long)
   final case class HostState(seen: Long, lastTsSec: Long)
   final case class HostUpdate(host: String, seen: Long, lastTsSec: Long)

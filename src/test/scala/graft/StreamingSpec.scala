@@ -54,6 +54,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows > 0)
   }
 
+  test("streaming frontier growth == batch link extraction (op 48 streaming flavor)") {
+    val stream = StreamingIngest.pagesStream(spark, pagesDir)
+    StreamingIngest.drainToMemory(spark,
+      StreamingIngest.frontierGrowthStream(stream), "frontier_growth",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("frontier_growth")
+      .select($"url", $"host").as[(String, String)].collect().toSet
+
+    // Batch truth: canonical links of every listing page, first-seen distinct.
+    val linksUdf = udf((html: Array[Byte]) => graft.core.Parsers.extractLinks(html))
+    val exp = spark.read.parquet(pagesDir)
+      .select(explode(linksUdf($"html")).as("raw"))
+      .select(graft.core.Canonicalize.canonicalUrl($"raw").as("url"))
+      .filter($"url".isNotNull)
+      .distinct()
+      .withColumn("host", graft.core.Canonicalize.hostOf($"url"))
+      .as[(String, String)].collect().toSet
+    assert(exp.nonEmpty)
+    assert(got === exp)
+    // Every candidate is scheduling-ready: canonical (idempotent) + hashed.
+    val hashes = spark.table("frontier_growth").select($"url", $"url_hash")
+      .as[(String, Long)].collect()
+    for ((u, h) <- hashes)
+      assert(graft.core.Canonicalize.canonicalScala(u) === Some(u), s"non-canonical $u")
+    assert(hashes.map(_._2).distinct.length === hashes.length)
+  }
+
   test("streaming dedup emits exactly one row per canonical url") {
     val stream = StreamingIngest.pagesStream(spark, pagesDir)
     StreamingIngest.drainToMemory(spark,
