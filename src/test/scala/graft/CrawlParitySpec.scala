@@ -251,6 +251,47 @@ class CrawlParitySpec extends AnyFunSuite {
       s"unexpected compaction set: $compactions")
   }
 
+  test("garbage urls in the pages feed never kill the crawl (web-scale robustness)") {
+    // Real crawl tables carry malformed urls (bad escapes, junk schemes,
+    // nulls). try_parse_url semantics mean they canonicalize to NULL and
+    // drop out; strict parse_url would throw and kill the job. The clean
+    // rows must still crawl normally.
+    import graft.core.{Constants, Parsers}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-garbage-fix").toString
+    val host = "g0.test.example"
+    val clean = (0 until 4).map { i =>
+      val text = s"clean body $host $i"
+      (s"https://$host/articles/$i",
+        java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(60L * (i + 1))),
+        Parsers.renderArticle(0, s"G$i", host, text, Constants.EPOCH.plusSeconds(60L * (i + 1))),
+        text, "en")
+    }
+    val junkHtml = "<html><body>junk</body></html>".getBytes("UTF-8")
+    val junk = Seq(
+      ("https://bad.example.com/a%3zz", java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(90)), junkHtml, "j", "en"),
+      ("ftp://not-http.example.com/x", java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(91)), junkHtml, "j", "en"),
+      ("not a url at all", java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(92)), junkHtml, "j", "en"),
+      ("https://", java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(93)), junkHtml, "j", "en"),
+      (null: String, java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(94)), junkHtml, "j", "en"))
+    (clean ++ junk).toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/pages.parquet")
+    (Seq(s"https://$host/articles/0", "https://bad.example.com/a%3zz", "nope://x")
+      ).toDF("url").write.mode("overwrite").parquet(s"$tmp/seeds.parquet")
+    Seq((host, Seq("/private/"), 0.0)).toDF("host", "disallow", "crawl_delay")
+      .write.mode("overwrite").parquet(s"$tmp/robots.parquet")
+    Seq((host, 1.0)).toDF("host", "weight")
+      .write.mode("overwrite").parquet(s"$tmp/source_weights.parquet")
+    Seq((host, 10)).toDF("host", "budget")
+      .write.mode("overwrite").parquet(s"$tmp/budgets.parquet")
+
+    val run = CrawlLoop.runWithFixtures(spark, tmp,
+      cfgBase.copy(runTag = "garbage_parity"), fresh = true)
+    val got = CrawlLoop.articles(spark, run.dir)
+      .select($"url").as[String].collect().toSet
+    assert(got === (0 until 4).map(i => s"https://$host/articles/$i").toSet,
+      "clean articles crawl; garbage rows drop without killing the job")
+  }
+
   test("bucket-count invariance: numBuckets does not change outputs") {
     val r2 = CrawlLoop.run(spark, TestSpark.Sf0001,
       cfgBase.copy(runTag = "buckets2", numBuckets = 2, maxBatches = 3), fresh = true)

@@ -215,6 +215,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions stay inside whole-stage codegen (no fallback)") {
+    // shingles3 / pct_decode_unreserved / minhash_sig are hot-path kernels;
+    // if one regressed to CodegenFallback (the lambda-HOF trap, BENCH.md
+    // §5) it would run interpreted at ~16x cost. Pin: the projection
+    // evaluating them sits under a WholeStageCodegen node.
+    withStaticPlans {
+      import graft.functions.expressions._
+      // spark.range (a real leaf operator), not a local Seq: Catalyst folds
+      // projections over LocalRelation at optimization time, which would
+      // bypass codegen entirely and vacuously pass/fail this pin.
+      val df = spark.range(50)
+        .select(concat_ws(" ", $"id".cast("string"), lit("w1 w2 w3")).as("text"),
+          concat(lit("/a%4"), ($"id" % 10).cast("string"), lit("/x")).as("path"))
+        .select(
+          shingles3($"text").as("sh"),
+          pct_decode_unreserved($"path").as("p"),
+          minhash_sig(split($"text", " "), 8).as("sig"))
+      val plan = df.queryExecution.executedPlan
+      val codegenContainsProject = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+            if w.collect { case p: org.apache.spark.sql.execution.ProjectExec => p }.nonEmpty => w
+      }
+      assert(codegenContainsProject.nonEmpty,
+        s"native-expression projection fell out of whole-stage codegen:\n$plan")
+      assert(df.collect().length === 50) // and it actually executes compiled
+    }
+  }
+
   test("q35 brute-force knn: no global window; partial/final top-k agg") {
     withStaticPlans {
       val vecs = (1L to 60L)
