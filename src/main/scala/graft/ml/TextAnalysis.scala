@@ -60,6 +60,42 @@ object TextAnalysis {
       round(nonAlnum.cast("double") / nChars, 4).as("punct_ratio"))
   }
 
+  /** Repetition quality signals (the Gopher-family filters: Rae et al.
+    * 2021 §A1.1 — repeated content is the strongest single predictor of
+    * low-quality web text): per document,
+    *   top_token_frac   — occurrences of the most frequent token / tokens,
+    *   uniq_token_frac  — distinct tokens / tokens,
+    *   dup_3gram_frac   — 1 − distinct word-3-grams / total word-3-grams
+    *                      (0.0 below 3 tokens).
+    * Plan shape at 100 TB: the token stats go explode → two-level hash agg
+    * (map-side combine collapses each doc's token stream before any
+    * shuffle, same shape as Corpus.topTokens); the 3-gram distinct count
+    * reuses the native `shingles3` kernel (already-distinct array, so it
+    * is a size(), not another aggregation). No windows, no UDFs, no HOF
+    * lambdas. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), max("c").as("top_tok"), count(lit(1)).as("n_uniq"))
+    val grams = docs.select(col("doc_id"),
+      size(Dedup.shingles3(col("text"))).as("n_3g_uniq"),
+      (size(toks(col("text"))) - 2).as("n_3g"))
+    counts
+      .join(grams, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 4).as("top_token_frac"),
+        round(col("n_uniq").cast("double") / col("n_tokens"), 4).as("uniq_token_frac"),
+        round(
+          when(col("n_3g") >= 1,
+            lit(1.0) - col("n_3g_uniq").cast("double") / col("n_3g"))
+            .otherwise(0.0), 4).as("dup_3gram_frac"))
+  }
+
   /** BPE-ish token regex: letter runs, digit runs, or single non-space. */
   val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 

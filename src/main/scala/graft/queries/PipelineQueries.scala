@@ -159,6 +159,10 @@ object PipelineQueries {
     // corpus vocabulary head: per-lang top-10 tokens.
     "q49_top_tokens" -> ((s, dir) => Corpus.topTokens(docs(s, dir), k = 10)),
 
+    // repetition quality signals (Gopher-family filter): top-token /
+    // unique-token / duplicate-3-gram fractions per document.
+    "q51_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
@@ -308,6 +312,27 @@ object PipelineQueries {
         |       CAST((((doc_id * 48271 + 11) % 1000) + 1000) % 1000 AS INT) AS bucket
         |  FROM documents
         | WHERE (((doc_id * 48271 + 11) % 1000) + 1000) % 1000 < 200""".stripMargin,
+
+    "q51_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |               CAST(max(c) AS BIGINT) AS top_tok,
+        |               CAST(count(*) AS BIGINT) AS n_uniq
+        |          FROM c GROUP BY doc_id),
+        |sh AS (SELECT doc_id,
+        |         len(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS n_3g_uniq,
+        |         len(tk) - 2 AS n_3g
+        |    FROM t)
+        |SELECT a.doc_id, a.n_tokens,
+        |       round(top_tok * 1.0 / n_tokens, 4) AS top_token_frac,
+        |       round(n_uniq * 1.0 / n_tokens, 4) AS uniq_token_frac,
+        |       round(CASE WHEN s.n_3g >= 1
+        |                  THEN 1.0 - s.n_3g_uniq * 1.0 / s.n_3g
+        |                  ELSE 0.0 END, 4) AS dup_3gram_frac
+        |  FROM agg a JOIN sh s USING (doc_id)""".stripMargin,
 
     "q49_top_tokens" ->
       """WITH c AS (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents),

@@ -109,6 +109,25 @@ class MlSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("repetition signals match hand truth (Gopher-family filter)") {
+    val docs = Seq(
+      (1L, "a a a a"),          // top=4/4, uniq=1/4, 3grams: {a a a} of 2 → dup 0.5
+      (2L, "a b c d"),          // top=1/4, uniq=4/4, 3grams: {abc,bcd} of 2 → dup 0
+      (3L, "x y x y x y"),      // top=3/6, uniq=2/6, 3grams: {xyx,yxy} of 4 → dup 0.5
+      (4L, "p q"),              // <3 tokens → dup 0.0
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.repetition(docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((4L, 1.0, 0.25, 0.5)))
+    assert(got(2L) === ((4L, 0.25, 1.0, 0.0)))
+    assert(got(3L) === ((6L, 0.5, round2(2.0 / 6), 0.5)))
+    assert(got(4L) === ((2L, 0.5, 1.0, 0.0)))
+    assert(got(5L) === ((1L, 1.0, 1.0, 0.0)))
+  }
+  private def round2(x: Double): Double = math.round(x * 10000).toDouble / 10000
+
   test("minhash+LSH pairs: perfect precision, high recall vs brute force (sf0.001)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val got = Dedup.minhashPairs(docs, threshold = 0.95)
