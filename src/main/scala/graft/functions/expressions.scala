@@ -108,27 +108,32 @@ object expressions {
     override def prettyName: String = "minhash_sig"
   }
 
-  /** Distinct word 3-gram shingles of a string, first-occurrence order —
+  /** Distinct word n-gram shingles of a string, first-occurrence order —
     * the CPU kernel under the ngram-Jaccard / decontamination / clustering
-    * / curation family (q33/q46/q47/q50) and the pipeline scaling ladder.
-    * Native codegen'd successor of the round-1 Scala UDF (same upgrade
-    * minhash_sig got in round 3): tokenization runs over the raw UTF-8
-    * bytes (' ' is ASCII-safe in UTF-8, so no String decode), each shingle
-    * is a zero-copy slice of one shared byte array (tokens split on single
-    * spaces are CONTIGUOUS with their separators, so "t0 t1 t2" is a byte
-    * range of the input), and the whole thing stays inside whole-stage
-    * codegen. Split semantics are exactly Java's `String.split(' ')`:
-    * consecutive spaces yield empty tokens, trailing empty tokens drop. */
-  case class Shingles3(child: Expression)
+    * / curation family (q33/q46/q47/q50/q52) and the pipeline scaling
+    * ladder. Native codegen'd successor of the round-1 Scala UDF (same
+    * upgrade minhash_sig got in round 3): tokenization runs over the raw
+    * UTF-8 bytes (' ' is ASCII-safe in UTF-8, so no String decode), each
+    * shingle is a zero-copy slice of one shared byte array (tokens split
+    * on single spaces are CONTIGUOUS with their separators, so
+    * "t0 … t(n-1)" is a byte range of the input), and the whole thing
+    * stays inside whole-stage codegen. Split semantics are exactly Java's
+    * `String.split(' ')`: consecutive spaces yield empty tokens, trailing
+    * empty tokens drop. n is a plan-time constant (like MinHashSig's
+    * numHashes): 3 for the near-dup family, 8+ for benchmark
+    * decontamination (the industry norm — long n-grams make contamination
+    * matches precise). */
+  case class ShinglesN(child: Expression, n: Int)
       extends UnaryExpression {
+    require(n >= 1, "shingle width must be >= 1")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      NativeOps.shingles3(v.asInstanceOf[UTF8String])
+      NativeOps.shinglesN(v.asInstanceOf[UTF8String], n)
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.shingles3($x)")
-    override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.shinglesN($x, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShinglesN =
       copy(child = newChild)
-    override def prettyName: String = "shingles3"
+    override def prettyName: String = "shingles_n"
   }
 
   /** Guarded percent-decoding for URL canonicalization: decode a %XX escape
@@ -164,7 +169,9 @@ object expressions {
   def simhash(c: Column): Column = Bridge.column(SimHash(Bridge.expression(c)))
   def minhash_sig(c: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
-  def shingles3(c: Column): Column = Bridge.column(Shingles3(Bridge.expression(c)))
+  def shingles3(c: Column): Column = shingles_n(c, 3)
+  def shingles_n(c: Column, n: Int): Column =
+    Bridge.column(ShinglesN(Bridge.expression(c), n))
   def pct_decode_unreserved(c: Column): Column =
     Bridge.column(PctDecodeUnreserved(Bridge.expression(c)))
 
@@ -177,7 +184,9 @@ object expressions {
     Bridge.registerFunction(spark, "simhash", es => SimHash(es.head))
     Bridge.registerFunction(spark, "minhash_sig", es =>
       MinHashSig(es(0), es(1).eval().asInstanceOf[Number].intValue()))
-    Bridge.registerFunction(spark, "shingles3", es => Shingles3(es.head))
+    Bridge.registerFunction(spark, "shingles3", es => ShinglesN(es.head, 3))
+    Bridge.registerFunction(spark, "shingles_n", es =>
+      ShinglesN(es(0), es(1).eval().asInstanceOf[Number].intValue()))
     Bridge.registerFunction(spark, "pct_decode_unreserved", es => PctDecodeUnreserved(es.head))
   }
 }
@@ -279,18 +288,18 @@ object NativeOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
-  /** Distinct word 3-gram shingles, first-occurrence order (see
-    * [[expressions.Shingles3]]). One byte-array copy of the input; every
+  /** Distinct word n-gram shingles, first-occurrence order (see
+    * [[expressions.ShinglesN]]). One byte-array copy of the input; every
     * shingle is a zero-copy UTF8String view over it: with split-on-' '
     * semantics adjacent tokens are separated by exactly one space, so the
-    * 3-gram "t(i) t(i+1) t(i+2)" IS the byte range
-    * [start(i), end(i+2)) of the input. Dedup via LinkedHashSet keeps the
-    * UDF predecessor's first-occurrence order (consumed as a set
+    * n-gram "t(i) … t(i+n-1)" IS the byte range
+    * [start(i), end(i+n-1)) of the input. Dedup via LinkedHashSet keeps
+    * the UDF predecessor's first-occurrence order (consumed as a set
     * downstream, but order-stable outputs keep every artifact
     * deterministic). */
-  def shingles3(s: UTF8String): ArrayData = {
+  def shinglesN(s: UTF8String, n: Int): ArrayData = {
     val b = s.getBytes
-    val n = b.length
+    val nb = b.length
     // Token boundaries, Java String.split(' ') semantics: a token per
     // separator gap (empty tokens between consecutive spaces included),
     // trailing empty tokens removed.
@@ -298,8 +307,8 @@ object NativeOps {
     val ends = new java.util.ArrayList[Integer]()
     var i = 0
     var tokStart = 0
-    while (i <= n) {
-      if (i == n || b(i) == ' ') {
+    while (i <= nb) {
+      if (i == nb || b(i) == ' ') {
         starts.add(tokStart); ends.add(i)
         tokStart = i + 1
       }
@@ -307,12 +316,12 @@ object NativeOps {
     }
     var m = starts.size()
     while (m > 0 && ends.get(m - 1) - starts.get(m - 1) == 0) m -= 1 // drop trailing empties
-    if (m < 3)
+    if (m < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var k = 0
-    while (k + 2 < m) {
-      seen.add(UTF8String.fromBytes(b, starts.get(k), ends.get(k + 2) - starts.get(k)))
+    while (k + n - 1 < m) {
+      seen.add(UTF8String.fromBytes(b, starts.get(k), ends.get(k + n - 1) - starts.get(k)))
       k += 1
     }
     val out = new Array[Any](seen.size())

@@ -170,7 +170,7 @@ object Corpus {
     connectedComponents(Dedup.ngramJaccardPairs(docs, threshold))
 
   /** Benchmark decontamination: which corpus documents share at least
-    * `minOverlap` distinct word 3-grams with the eval set?
+    * `minOverlap` distinct word n-grams with the eval set?
     *
     * `evalPred` marks the eval/benchmark rows inside `docs` (they are
     * excluded from the output); returns (doc_id, n_overlap) with
@@ -181,12 +181,18 @@ object Corpus {
     * join, so the join key space is the eval vocabulary, not the corpus.
     * No forced broadcast — eval sets are small, AQE broadcasts from
     * measured size (same policy as the minhash attach joins).
+    *
+    * `n` is the shingle width: 3 matches the near-dup family's grain; 8+
+    * is the industry decontamination norm (long n-grams make a
+    * contamination match precise — an 8-token verbatim overlap is
+    * benchmark text, not a common phrase).
     */
   def decontaminate(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
-      minOverlap: Long = 1L): DataFrame =
+      minOverlap: Long = 1L, n: Int = 3): DataFrame =
     decontaminateFrom(
       docs.repartition(col("doc_id")) // parallelize the shingle kernel (cf. Dedup)
-        .select(col("doc_id"), Dedup.shingles3(col("text")).as("sh")),
+        .select(col("doc_id"),
+          graft.functions.expressions.shingles_n(col("text"), n).as("sh")),
       evalPred, minOverlap)
 
   /** [[decontaminate]] over a precomputed shingle frame — any frame with

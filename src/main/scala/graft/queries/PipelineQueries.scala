@@ -163,6 +163,11 @@ object PipelineQueries {
     // unique-token / duplicate-3-gram fractions per document.
     "q51_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
 
+    // 8-gram decontamination (the industry-standard long-n-gram variant;
+    // wider eval slice so the precise matcher still fires on the fixture).
+    "q52_decontaminate_8gram" -> ((s, dir) =>
+      Corpus.decontaminate(docs(s, dir), col("doc_id") % 5 === 0, n = 8)),
+
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
@@ -312,6 +317,19 @@ object PipelineQueries {
         |       CAST((((doc_id * 48271 + 11) % 1000) + 1000) % 1000 AS INT) AS bucket
         |  FROM documents
         | WHERE (((doc_id * 48271 + 11) % 1000) + 1000) % 1000 < 200""".stripMargin,
+
+    "q52_decontaminate_8gram" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(tk)-7),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+        |                     tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS s
+        |  FROM t),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |  FROM (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0) AS c
+        |  JOIN ev USING (s)
+        | GROUP BY c.doc_id""".stripMargin,
 
     "q51_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

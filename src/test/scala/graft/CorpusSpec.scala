@@ -132,6 +132,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("8-gram decontaminate fires only on long verbatim overlap (precision of wide n)") {
+    // Docs 1 and 2 share a 3-gram phrase with the eval doc; only doc 1
+    // shares 8 consecutive tokens. Wide-n decontamination must flag doc 1
+    // alone — the precision long n-grams buy over the 3-gram grain.
+    val evalText = (1 to 12).map("e" + _).mkString(" ")
+    val df = Seq(
+      (0L, evalText),                                                // eval (0 % 5 == 0)
+      (1L, "x " + (1 to 9).map("e" + _).mkString(" ") + " y"),       // 8+ verbatim tokens
+      (2L, "e1 e2 e3 " + (1 to 8).map("q" + _).mkString(" ")),       // only a 3-gram
+      (3L, (1 to 11).map("z" + _).mkString(" ")))                    // nothing shared
+      .toDF("doc_id", "text")
+    val wide = Corpus.decontaminate(df, col("doc_id") % 5 === 0, n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(wide === Map(1L -> 2L), s"8-gram: $wide") // e1..e8, e2..e9
+    val narrow = Corpus.decontaminate(df, col("doc_id") % 5 === 0, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(narrow === Set(1L, 2L), "3-gram grain flags the common phrase too")
+  }
+
   test("stratifiedSample is deterministic, key-stable and near the target rate") {
     val df = (0L until 5000L).toDF("doc_id")
       .withColumn("lang", when(col("doc_id") % 3 === 0, "en").otherwise("de"))

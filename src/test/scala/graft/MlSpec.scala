@@ -100,13 +100,25 @@ class MlSpec extends AnyFunSuite {
     for (c <- cases) assert(got(c) === ref(c), s"shingles diverge on '$c'")
     // driver-side kernel == codegen path
     import org.apache.spark.unsafe.types.UTF8String
-    val driver = graft.functions.NativeOps.shingles3(UTF8String.fromString(cases(1)))
+    val driver = graft.functions.NativeOps.shinglesN(UTF8String.fromString(cases(1)), 3)
     assert((0 until driver.numElements()).map(driver.getUTF8String(_).toString)
       === got(cases(1)))
     // NULL text → NULL array (documented unary-expression semantics)
     val nullRow = Seq((1L, null: String)).toDF("id", "text")
       .select(graft.ml.Dedup.shingles3($"text")).collect().head
     assert(nullRow.isNullAt(0))
+
+    // Generalized widths (shingles_n): n=1 = distinct tokens in order,
+    // n=2 bigrams, n=8 (the decontamination grain), n > tokens = empty.
+    import graft.functions.expressions.shingles_n
+    val t = "a b c a b c d e f"
+    val byN = Seq(1, 2, 8, 10).map { n =>
+      n -> Seq(t).toDF("text").select(shingles_n($"text", n)).as[Seq[String]].head()
+    }.toMap
+    assert(byN(1) === Seq("a", "b", "c", "d", "e", "f"))
+    assert(byN(2) === Seq("a b", "b c", "c a", "c d", "d e", "e f"))
+    assert(byN(8) === Seq("a b c a b c d e", "b c a b c d e f"))
+    assert(byN(10) === Seq.empty)
   }
 
   test("repetition signals match hand truth (Gopher-family filter)") {
