@@ -96,6 +96,38 @@ object TextAnalysis {
             .otherwise(0.0), 4).as("dup_3gram_frac"))
   }
 
+  /** PII patterns (Dolma/C4-family scrubbing), written in the common
+    * subset of Java regex (Spark) and RE2 (DuckDB) so the oracle runs the
+    * SAME patterns: character classes, bounded repetition and `\b` only —
+    * no lookaround (RE2 has none). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** PII detection + redaction (the pre-training scrub every public
+    * web-text pipeline runs — C4 removed pages, Dolma masks spans; this
+    * masks): emails → `<EMAIL>`, IPv4 → `<IP>`, phone numbers →
+    * `<PHONE>`, plus per-kind match counts.
+    *
+    * Scrub order is load-bearing: emails first (an address can contain
+    * digit runs that the looser phone/IP patterns would shred), then IPs,
+    * then phones; the replacement tokens contain no scrubbable substrings,
+    * so the pass is idempotent (pinned in SearchSpec). All six regex ops
+    * are codegen'd builtins over one projection — no shuffle, no UDF;
+    * at 100 TB this is a pure map stage that pipelines into whatever
+    * follows. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_email"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ip"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phone"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"))
+
   /** BPE-ish token regex: letter runs, digit runs, or single non-space. */
   val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Fixtures
 import graft.functions.expressions.rolling_hash
-import graft.ml.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ml.{Corpus, Dedup, Multimodal, Search, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (task brief): dedup family, similarity
   * search, text analysis, multimodal plumbing. Oracle SQL runs over the
@@ -168,11 +168,41 @@ object PipelineQueries {
     "q52_decontaminate_8gram" -> ((s, dir) =>
       Corpus.decontaminate(docs(s, dir), col("doc_id") % 5 === 0, n = 8)),
 
+    // BM25 ranked keyword retrieval (the indexing engine's search half);
+    // full matching relation so float noise at a rank cut can't flip
+    // membership — top-k is bm25TopK, plan-pinned in SearchSpec.
+    "q53_bm25" -> ((s, dir) =>
+      Search.bm25Scores(docs(s, dir), Bm25QueryTerms)),
+
+    // PII detection + redaction (emails/IPv4/phones → tokens + counts)
+    // over fixture text with deterministically injected PII spans.
+    "q54_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(piiDocs(s, dir))),
+
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
       Corpus.curate(docs(s, dir), col("doc_id") % 37 === 0))
   )
+
+  /** q53's query — mid-frequency fixture vocabulary so df varies by term. */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "merge", "vector")
+
+  /** The documents table with PII spans injected as a pure function of
+    * doc_id (the word-soup fixture contains none) — mirrored
+    * character-for-character in the q54 oracle's CTE. */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" mail user"), col("doc_id").cast("string"),
+          lit("@news-example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" src 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0."), (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" tel +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))).as("text"))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -351,6 +381,44 @@ object PipelineQueries {
         |                  THEN 1.0 - s.n_3g_uniq * 1.0 / s.n_3g
         |                  ELSE 0.0 END, 4) AS dup_3gram_frac
         |  FROM agg a JOIN sh s USING (doc_id)""".stripMargin,
+
+    // Constants and query terms interpolated from Search.K1/Search.B/
+    // Bm25QueryTerms — engine and oracle cannot drift; parenthesization
+    // mirrors Search.scoresRaw left-assoc chains so per-term doubles are
+    // bit-identical (only the sum's addition order differs; 4 dp absorbs).
+    "q53_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+         |SELECT doc_id,
+         |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+         |                 / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))), 4) AS bm25
+         |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+         | GROUP BY doc_id""".stripMargin,
+
+    // PII injection CTE mirrors piiDocs character-for-character; the regex
+    // patterns are interpolated from the SAME Scala vals the engine
+    // compiles (written in the Java-regex ∩ RE2 subset — see TextAnalysis).
+    "q54_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@news-example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' src 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS n_email,
+         |       len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS n_ip,
+         |       len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS n_phone,
+         |       regexp_replace(regexp_replace(regexp_replace(text,
+         |         '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |         '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |         '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text
+         |  FROM p""".stripMargin,
 
     "q49_top_tokens" ->
       """WITH c AS (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents),

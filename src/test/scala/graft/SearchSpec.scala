@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Search, TextAnalysis}
+
+/** BM25 ranked retrieval vs a hand-computed truth + top-k plan shape, and
+  * PII scrubbing vs hand truth (order sensitivity, idempotence, no false
+  * fires on clean text). */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark merge spark table"),      // tf(spark)=2, tf(merge)=1, dl=4
+    (2L, "spark row row row row row"),    // tf(spark)=1, dl=6
+    (3L, "merge merge merge"),            // tf(merge)=3, dl=3
+    (4L, "table scan filter group sort"), // no query term, dl=5
+    (5L, "vector"))                       // tf(vector)=1, dl=1
+    .toDF("doc_id", "text")
+
+  /** Scalar BM25 reference, straight from the formula. */
+  private def bm25Ref(tf: Double, df: Double, dl: Double,
+      n: Double, avgdl: Double): Double = {
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    idf * tf * (Search.K1 + 1) /
+      (tf + Search.K1 * ((1 - Search.B) + Search.B * dl / avgdl))
+  }
+
+  test("bm25Scores matches the scalar formula on a hand corpus") {
+    val n = 5.0
+    val avgdl = (4 + 6 + 3 + 5 + 1) / 5.0
+    // df: spark in {1,2}, merge in {1,3}, vector in {5}
+    val truth = Map(
+      1L -> (bm25Ref(2, 2, 4, n, avgdl) + bm25Ref(1, 2, 4, n, avgdl)),
+      2L -> bm25Ref(1, 2, 6, n, avgdl),
+      3L -> bm25Ref(3, 2, 3, n, avgdl),
+      5L -> bm25Ref(1, 1, 1, n, avgdl))
+    val got = Search.bm25Scores(corpus, Seq("spark", "merge", "vector"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === truth.keySet, "doc 4 has no query term and must be absent")
+    for ((id, s) <- truth)
+      assert(math.abs(got(id) - s) < 5e-5, s"doc $id: got ${got(id)}, want $s")
+    // higher tf of the same term on the same length ranks higher; the
+    // rarer term (vector, df=1) out-idfs the common ones at equal tf/dl.
+    assert(got(3L) > got(2L))
+  }
+
+  test("bm25TopK == scores sorted desc (doc_id tiebreak) and plans as TakeOrderedAndProject") {
+    // AQE's AdaptiveSparkPlanExec hides children from collect — pin the
+    // static plan (same pattern as PlanShapeSpec.withStaticPlans).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      bm25TopKBody()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def bm25TopKBody(): Unit = {
+    val top2 = Search.bm25TopK(corpus, Seq("spark", "merge", "vector"), 2)
+    val want = Search.bm25Scores(corpus, Seq("spark", "merge", "vector"))
+      .as[(Long, Double)].collect().sortBy { case (id, s) => (-s, id) }.take(2).toSeq
+    assert(top2.as[(Long, Double)].collect().toSeq === want)
+    val plan = top2.queryExecution.executedPlan
+    assert(plan.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"top-k should be partial top-k, not a global sort:\n$plan")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"no window in the top-k plan:\n$plan")
+  }
+
+  test("piiScrub masks emails/IPs/phones with counts; idempotent; clean text untouched") {
+    val rows = Seq(
+      (1L, "write to bob.smith@corp-mail.io or +1-555-0042 from 10.0.0.7 now"),
+      (2L, "plain words only no pii here"),
+      (3L, "two mails a@b.co c.d@e-f.org one ip 192.168.1.255"),
+      (4L, "version v1.2 is not 1.2.3.4000 an ip but 1.2.3.4 is"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(rows)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 1, 1, 1,
+      "write to <EMAIL> or <PHONE> from <IP> now")))
+    assert(got(1) === ((2L, 0, 0, 0, "plain words only no pii here")))
+    assert(got(2) === ((3L, 2, 1, 0, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+    // 1.2.3.4000: the last octet exceeds 3 digits, so \b\d{1,3}\b cannot
+    // close — only the genuine dotted quad is masked.
+    assert(got(3) === ((4L, 0, 1, 0,
+      "version v1.2 is not 1.2.3.4000 an ip but <IP> is")))
+    // idempotence: replacement tokens contain nothing scrubbable.
+    val twice = TextAnalysis.piiScrub(
+      TextAnalysis.piiScrub(rows).select($"doc_id", $"clean_text".as("text")))
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(twice.map(r => (r._1, r._5)).toSeq === got.map(r => (r._1, r._5)).toSeq)
+    assert(twice.forall(r => r._2 == 0 && r._3 == 0 && r._4 == 0))
+  }
+}
