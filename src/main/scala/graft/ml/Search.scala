@@ -74,4 +74,20 @@ object Search {
       .orderBy(col("bm25_raw").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
+
+  /** Exact phrase search: documents containing `phrase` as consecutive
+    * whitespace tokens. A phrase of n words IS a word n-gram, so this
+    * reuses the native `shingles_n` kernel at width n(phrase):
+    * scan → codegen'd array_contains filter — a pure map stage, no
+    * shuffle, no UDF; column pruning keeps the scan at (doc_id, text).
+    * (Multi-space runs in the phrase would never match the kernel's
+    * split(' ') token grain — normalize the needle, not the corpus.) */
+  def phraseDocs(docs: DataFrame, phrase: String): DataFrame = {
+    val n = phrase.split(' ').count(_.nonEmpty)
+    require(n >= 1, "phrase must contain at least one token")
+    docs
+      .filter(array_contains(
+        graft.functions.expressions.shingles_n(col("text"), n), phrase))
+      .select(col("doc_id"))
+  }
 }

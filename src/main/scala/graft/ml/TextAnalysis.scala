@@ -96,6 +96,31 @@ object TextAnalysis {
             .otherwise(0.0), 4).as("dup_3gram_frac"))
   }
 
+  /** CCNet-style LM quality proxy (Wenzek et al. 2020 use LM perplexity
+    * to rank web text; the unigram model is its oracle-expressible
+    * degenerate case): per document, the mean corpus-unigram log-prob
+    * `sum(k_t * ln(c_t / N)) / sum(k_t)` over its tokens — word-soup and
+    * rare-token pages score low, fluent/common text scores high.
+    *
+    * Plan shape at 100 TB: per-doc token counts collapse in a two-level
+    * hash agg (map-side combine — the shuffle carries (doc, tok, k), not
+    * the token stream); the unigram table is vocabulary-sized and joins
+    * on the token key (AQE broadcasts from measured size, no forced
+    * broadcast); the corpus total is a 1-row broadcast cross join. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toksE = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val dt = toksE.groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("k"))
+    val freq = toksE.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+    val total = freq.agg(sum("c").as("n_total"))
+    dt.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum("k").cast("long").as("n_tokens"),
+        round(sum(col("k") * log(col("c") / col("n_total"))) / sum("k"), 4)
+          .as("mean_logp"))
+  }
+
   /** PII patterns (Dolma/C4-family scrubbing), written in the common
     * subset of Java regex (Spark) and RE2 (DuckDB) so the oracle runs the
     * SAME patterns: character classes, bounded repetition and `\b` only —

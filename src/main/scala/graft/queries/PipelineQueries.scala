@@ -178,6 +178,12 @@ object PipelineQueries {
     // over fixture text with deterministically injected PII spans.
     "q54_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(piiDocs(s, dir))),
 
+    // CCNet-style LM quality proxy: mean corpus-unigram log-prob per doc.
+    "q55_lm_quality" -> ((s, dir) => TextAnalysis.unigramLogProb(docs(s, dir))),
+
+    // exact phrase search over the shingles_n kernel (phrase = n-gram).
+    "q56_phrase_search" -> ((s, dir) => Search.phraseDocs(docs(s, dir), PhraseNeedle)),
+
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
@@ -186,6 +192,9 @@ object PipelineQueries {
 
   /** q53's query — mid-frequency fixture vocabulary so df varies by term. */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "merge", "vector")
+
+  /** q56's phrase — occurs in a handful of sf0.01 fixture docs. */
+  val PhraseNeedle: String = "row column sort"
 
   /** The documents table with PII spans injected as a pure function of
     * doc_id (the word-soup fixture contains none) — mirrored
@@ -400,6 +409,26 @@ object PipelineQueries {
          |                 / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))), 4) AS bm25
          |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
          | GROUP BY doc_id""".stripMargin,
+
+    // Mirrors unigramLogProb clause-for-clause: per-(doc, tok) counts,
+    // vocabulary table, 1-row total; division after both sums (4 dp
+    // absorbs the sums' addition-order noise).
+    "q55_lm_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS k FROM tok GROUP BY doc_id, tok),
+        |f AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n_total FROM f)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |       round(sum(k * ln(c / n_total)) / sum(k), 4) AS mean_logp
+        |  FROM dt JOIN f USING (tok) CROSS JOIN tot
+        | GROUP BY doc_id""".stripMargin,
+
+    // Phrase interpolated from PhraseNeedle (3 tokens → 3-gram containment).
+    "q56_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents)
+         |SELECT doc_id FROM t
+         | WHERE list_contains(list_transform(generate_series(1, len(tk)-2),
+         |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), '${PhraseNeedle}')""".stripMargin,
 
     // PII injection CTE mirrors piiDocs character-for-character; the regex
     // patterns are interpolated from the SAME Scala vals the engine

@@ -71,6 +71,42 @@ class SearchSpec extends AnyFunSuite {
     }.isEmpty, s"no window in the top-k plan:\n$plan")
   }
 
+  test("unigramLogProb matches the scalar formula; common text outranks rare text") {
+    val rows = Seq(
+      (1L, "a a b"),   // common tokens
+      (2L, "a b c"),
+      (3L, "z z z"))   // z is rarer than a → lower mean log-prob than doc 1
+      .toDF("doc_id", "text")
+    // corpus counts: a=3, b=2, c=1, z=3; N=9
+    def lp(c: Double) = math.log(c / 9.0)
+    val truth = Map(
+      1L -> (3L, (2 * lp(3) + lp(2)) / 3.0),
+      2L -> (3L, (lp(3) + lp(2) + lp(1)) / 3.0),
+      3L -> (3L, lp(3)))
+    val got = TextAnalysis.unigramLogProb(rows)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === truth.keySet)
+    for ((id, (n, m)) <- truth) {
+      assert(got(id)._1 === n)
+      assert(math.abs(got(id)._2 - m) < 5e-5, s"doc $id: got ${got(id)._2}, want $m")
+    }
+    assert(got(1L)._2 > got(2L)._2, "doc with rarer tokens scores lower")
+  }
+
+  test("phraseDocs: consecutive-token containment only, width = phrase length") {
+    val rows = Seq(
+      (1L, "x row column sort y"), // phrase present
+      (2L, "row column x sort"),   // tokens present, not consecutive
+      (3L, "row column"),          // shorter than the phrase
+      (4L, "sort column row"))     // reversed
+      .toDF("doc_id", "text")
+    assert(graft.ml.Search.phraseDocs(rows, "row column sort")
+      .as[Long].collect().toSet === Set(1L))
+    // single-word phrase degrades to token containment
+    assert(graft.ml.Search.phraseDocs(rows, "sort")
+      .as[Long].collect().toSet === Set(1L, 2L, 4L))
+  }
+
   test("piiScrub masks emails/IPs/phones with counts; idempotent; clean text untouched") {
     val rows = Seq(
       (1L, "write to bob.smith@corp-mail.io or +1-555-0042 from 10.0.0.7 now"),
