@@ -33,17 +33,12 @@ object Search {
   val K1: Double = 1.2
   val B: Double = 0.75
 
-  /** (doc_id, bm25_raw) for every document sharing >= 1 term with the
-    * query — raw double scores, for callers that sort or threshold. */
-  private def scoresRaw(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
-    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
-    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(queryTerms.map(t => t: Any): _*))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+  /** The BM25 sum over prepared frames — tf (doc_id, term, tf), df
+    * (term, df), lens (doc_id, dl), stats (1 row: n_docs, avgdl). Shared
+    * by the inline path and the persisted-index path so the formula
+    * exists exactly once. */
+  private def scoreFrames(tf: DataFrame, df: DataFrame, lens: DataFrame,
+      stats: DataFrame): DataFrame = {
     // Parenthesization mirrors the oracle SQL exactly (left-assoc chains)
     // so the double arithmetic is bit-identical per term; only the final
     // sum's addition order differs, absorbed by the 4-dp output rounding.
@@ -56,6 +51,20 @@ object Search {
       .select(col("doc_id"), s.as("s"))
       .groupBy("doc_id")
       .agg(sum("s").as("bm25_raw"))
+  }
+
+  /** (doc_id, bm25_raw) for every document sharing >= 1 term with the
+    * query — raw double scores, for callers that sort or threshold. */
+  private def scoresRaw(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(queryTerms.map(t => t: Any): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    scoreFrames(tf, df, lens, stats)
   }
 
   /** BM25 scores for ALL matching documents, rounded to 4 dp — the
@@ -74,6 +83,59 @@ object Search {
       .orderBy(col("bm25_raw").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
+
+  /** Builds and persists the inverted index — the index-once/query-many
+    * deployment split a news-indexing engine actually runs (same shape as
+    * the IVF model in [[Similarity.saveIvfModel]]). Four parquet tables
+    * under `path`:
+    *   postings/ (term, doc_id, tf)  — repartitioned + sorted by term, so
+    *     parquet row-group min/max stats prune a query-term read down to
+    *     a handful of row groups (the `term IN (...)` predicate pushes to
+    *     the scan; at 100 TB this is the difference between reading the
+    *     index and reading a vocabulary-sized slice of it). NOT
+    *     `partitionBy("term")`: a web-scale vocabulary would mean
+    *     millions of directories.
+    *   dfreq/ (term, df)             — document frequencies, precomputed
+    *     once at build time instead of per query.
+    *   lens/ (doc_id, dl), stats/ (1 row) — the normalization inputs.
+    * A `_INDEX_COMMITTED` marker is written LAST — readers treat its
+    * absence as "no index" (the per-table _SUCCESS files only cover one
+    * table each). */
+  def saveIndex(docs: DataFrame, path: String): Unit = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfreq")
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+    lens.write.mode("overwrite").parquet(s"$path/lens")
+    lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_INDEX_COMMITTED"))
+  }
+
+  /** True iff `path` holds a fully committed index. */
+  def indexCommitted(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_INDEX_COMMITTED"))
+
+  /** BM25 over a persisted index — no corpus scan: the query-term filter
+    * pushes into the postings/dfreq parquet scans (row-group pruning via
+    * the build-time sort), lens joins on doc_id for the matched docs
+    * only, stats is one row. Result == [[bm25Scores]] over the indexed
+    * corpus (pinned in SearchSpec). */
+  def bm25ScoresFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val inQuery = col("term").isin(queryTerms.map(t => t: Any): _*)
+    val tf = spark.read.parquet(s"$path/postings").filter(inQuery)
+    val df = spark.read.parquet(s"$path/dfreq").filter(inQuery)
+    val lens = spark.read.parquet(s"$path/lens")
+    val stats = spark.read.parquet(s"$path/stats")
+    scoreFrames(tf, df, lens, stats)
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
+  }
 
   /** Exact phrase search: documents containing `phrase` as consecutive
     * whitespace tokens. A phrase of n words IS a word n-gram, so this

@@ -184,6 +184,38 @@ object PipelineQueries {
     // exact phrase search over the shingles_n kernel (phrase = n-gram).
     "q56_phrase_search" -> ((s, dir) => Search.phraseDocs(docs(s, dir), PhraseNeedle)),
 
+    // BM25 over the PERSISTED inverted index (index-once/query-many, the
+    // deployment split q45 demonstrates for IVF). First run builds+commits
+    // the index under the work dir (fingerprint-keyed, stale siblings
+    // evicted after commit); later runs only read. Result == q53.
+    "q57_bm25_indexed" -> ((s, dir) => {
+      val base = s"bm25idx_${java.nio.file.Paths.get(dir).getFileName}"
+      val modelsDir = java.nio.file.Paths.get(s"${graft.core.Constants.workDir}/models")
+      val path = s"$modelsDir/${base}_${dirFingerprint(s"$dir/documents.parquet")}"
+      def evictSiblings(): Unit =
+        if (java.nio.file.Files.isDirectory(modelsDir)) {
+          val stream = java.nio.file.Files.list(modelsDir)
+          try stream.toArray.map(_.toString).filter { p =>
+            val n = java.nio.file.Paths.get(p).getFileName.toString
+            (n == base || n.startsWith(base + "_")) && p != path
+          }.foreach { p =>
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+          } finally stream.close()
+        }
+      def buildCommitEvict(): Unit = {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+        Search.saveIndex(docs(s, dir), path)
+        evictSiblings()
+      }
+      if (!Search.indexCommitted(path)) buildCommitEvict()
+      try Search.bm25ScoresFromIndex(s, path, Bm25QueryTerms)
+      catch { // half-deleted/corrupt index dir: rebuild in place (cf. q45)
+        case _: Exception =>
+          buildCommitEvict()
+          Search.bm25ScoresFromIndex(s, path, Bm25QueryTerms)
+      }
+    }),
+
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
@@ -195,6 +227,22 @@ object PipelineQueries {
 
   /** q56's phrase — occurs in a handful of sf0.01 fixture docs. */
   val PhraseNeedle: String = "row column sort"
+
+  /** Shared by q53 (inline) and q57 (persisted index) — same relation. */
+  private val Bm25OracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+       |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+       |        GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+       |SELECT doc_id,
+       |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+       |                 / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))), 4) AS bm25
+       |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+       | GROUP BY doc_id""".stripMargin
 
   /** The documents table with PII spans injected as a pure function of
     * doc_id (the word-soup fixture contains none) — mirrored
@@ -395,20 +443,12 @@ object PipelineQueries {
     // Bm25QueryTerms — engine and oracle cannot drift; parenthesization
     // mirrors Search.scoresRaw left-assoc chains so per-term doubles are
     // bit-identical (only the sum's addition order differs; 4 dp absorbs).
-    "q53_bm25" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
-         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
-         |        GROUP BY doc_id, term),
-         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
-         |SELECT doc_id,
-         |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
-         |                 / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))), 4) AS bm25
-         |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
-         | GROUP BY doc_id""".stripMargin,
+    "q53_bm25" -> Bm25OracleSql,
+
+    // The persisted-index path must produce the SAME relation (the index
+    // stores the identical tf/df/dl/stats doubles, parquet-roundtripped
+    // losslessly), so it shares q53's oracle.
+    "q57_bm25_indexed" -> Bm25OracleSql,
 
     // Mirrors unigramLogProb clause-for-clause: per-(doc, tok) counts,
     // vocabulary table, 1-row total; division after both sums (4 dp

@@ -71,6 +71,32 @@ class SearchSpec extends AnyFunSuite {
     }.isEmpty, s"no window in the top-k plan:\n$plan")
   }
 
+  test("persisted index == inline bm25; query-term filter pushes into the postings scan") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
+    Search.saveIndex(corpus, dir)
+    assert(Search.indexCommitted(dir), "_INDEX_COMMITTED written last")
+    val q = Seq("spark", "merge", "vector")
+    val fromIdx = Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap
+    val inline = Search.bm25Scores(corpus, q).as[(Long, Double)].collect().toMap
+    assert(fromIdx === inline, "index path must reproduce the inline relation exactly")
+    // plan pin (static plans — AQE hides children from collect): the
+    // term IN (...) predicate reaches the postings parquet scan, so a
+    // query reads row groups, not the index.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = Search.bm25ScoresFromIndex(spark, dir, q)
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.metadata("Location").contains("postings") => s
+        }
+      assert(scans.nonEmpty, "postings scan present")
+      assert(scans.head.metadata("PushedFilters").contains("In(term"),
+        s"term filter not pushed: ${scans.head.metadata("PushedFilters")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("unigramLogProb matches the scalar formula; common text outranks rare text") {
     val rows = Seq(
       (1L, "a a b"),   // common tokens
