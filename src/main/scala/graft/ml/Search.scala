@@ -84,55 +84,125 @@ object Search {
       .limit(k)
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
 
-  /** Builds and persists the inverted index — the index-once/query-many
-    * deployment split a news-indexing engine actually runs (same shape as
-    * the IVF model in [[Similarity.saveIvfModel]]). Four parquet tables
-    * under `path`:
-    *   postings/ (term, doc_id, tf)  — repartitioned + sorted by term, so
-    *     parquet row-group min/max stats prune a query-term read down to
-    *     a handful of row groups (the `term IN (...)` predicate pushes to
-    *     the scan; at 100 TB this is the difference between reading the
-    *     index and reading a vocabulary-sized slice of it). NOT
-    *     `partitionBy("term")`: a web-scale vocabulary would mean
-    *     millions of directories.
-    *   dfreq/ (term, df)             — document frequencies, precomputed
-    *     once at build time instead of per query.
-    *   lens/ (doc_id, dl), stats/ (1 row) — the normalization inputs.
-    * A `_INDEX_COMMITTED` marker is written LAST — readers treat its
-    * absence as "no index" (the per-table _SUCCESS files only cover one
-    * table each). */
+  /** Persisted inverted index, Lucene-style segment model — the
+    * index-once/query-many deployment split a news-indexing engine
+    * actually runs, PLUS O(new docs) incremental maintenance
+    * ([[updateIndex]]). Layout under `path`:
+    *   postings/seg=K/ (term, doc_id, tf) — each segment repartitioned +
+    *     sorted by term, so parquet row-group min/max stats prune a
+    *     query-term read down to a handful of row groups (the
+    *     `term IN (...)` predicate pushes to the scan; at 100 TB this is
+    *     the difference between reading a vocabulary-sized slice and
+    *     reading the index). NOT `partitionBy("term")`: a web-scale
+    *     vocabulary would mean millions of directories.
+    *   lens/seg=K/ (doc_id, dl) — per-doc lengths, segmented like
+    *     postings (appends never rewrite).
+    *   dfreq_vN/ (term, df), stats_vN/ (1 row: n_docs, avgdl) —
+    *     corpus-GLOBAL tables, versioned: each update writes the merged
+    *     generation N and the manifest points at it.
+    *   _INDEX_COMMITTED — the manifest, written LAST via atomic rename:
+    *     `{"segs":[0..K],"v":N}`. Readers consult ONLY the manifest (a
+    *     crashed update's orphan seg / dfreq dirs are invisible until
+    *     committed; per-table _SUCCESS files cover one table each). */
   def saveIndex(docs: DataFrame, path: String): Unit = {
+    writeSegment(docs, path, seg = 0)
+    writeGlobals(docs.sparkSession, path, segs = Seq(0), v = 0)
+    commitManifest(path, segs = Seq(0), v = 0)
+  }
+
+  /** Incremental maintenance: append `newDocs` as a new segment and
+    * remerge ONLY the vocabulary-sized df table and the 1-row stats —
+    * existing postings segments are never rewritten, so an update costs
+    * O(new docs + vocabulary), not O(index). Contract: `newDocs` doc_ids
+    * are NEW (an upsert of a changed doc is delete+insert — the crawl
+    * layer's latest-capture-wins dedup upstream guarantees this here).
+    * Equivalent to indexing the union from scratch (pinned in
+    * SearchSpec). */
+  def updateIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame): Unit = {
+    val m = readManifest(path)
+    val seg = m.segs.max + 1
+    writeSegment(newDocs, path, seg)
+    writeGlobals(spark, path, m.segs :+ seg, m.v + 1)
+    commitManifest(path, m.segs :+ seg, m.v + 1)
+    // old generations are superseded and unreferenced — best-effort GC
+    // AFTER the new manifest commits (cf. the q45/q57 eviction ordering).
+    for (old <- 0 until (m.v + 1); t <- Seq("dfreq", "stats"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/${t}_v$old"))
+  }
+
+  private def writeSegment(docs: DataFrame, path: String, seg: Int): Unit = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
     tf.repartition(col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      .write.mode("overwrite").parquet(s"$path/dfreq")
-    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
-    lens.write.mode("overwrite").parquet(s"$path/lens")
-    lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_INDEX_COMMITTED"))
+      .write.mode("overwrite").parquet(s"$path/postings/seg=$seg")
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/lens/seg=$seg")
+  }
+
+  /** Re-derives the global df/stats generation `v` from the committed
+    * lens/postings segments — vocabulary-sized + 1-row work. */
+  private def writeGlobals(spark: org.apache.spark.sql.SparkSession,
+      path: String, segs: Seq[Int], v: Int): Unit = {
+    readSegs(spark, path, "postings", segs)
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfreq_v$v")
+    readSegs(spark, path, "lens", segs)
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats_v$v")
+  }
+
+  private def readSegs(spark: org.apache.spark.sql.SparkSession, path: String,
+      table: String, segs: Seq[Int]): DataFrame =
+    spark.read.parquet(segs.map(k => s"$path/$table/seg=$k"): _*)
+
+  private case class Manifest(segs: Seq[Int], v: Int)
+
+  private def manifestPath(path: String) =
+    java.nio.file.Paths.get(path, "_INDEX_COMMITTED")
+
+  private def commitManifest(path: String, segs: Seq[Int], v: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(path, s"_INDEX_COMMITTED.tmp$v")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"segs":[${segs.mkString(",")}],"v":$v}""")
+    java.nio.file.Files.move(tmp, manifestPath(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readManifest(path: String): Manifest = {
+    val s = java.nio.file.Files.readString(manifestPath(path))
+    val segs = "\"segs\":\\[([0-9,]*)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalStateException(s"bad index manifest: $s"))
+      .split(',').toSeq.map(_.trim.toInt)
+    val v = "\"v\":([0-9]+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"bad index manifest: $s"))
+    Manifest(segs, v)
   }
 
   /** True iff `path` holds a fully committed index. */
   def indexCommitted(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_INDEX_COMMITTED"))
+    java.nio.file.Files.exists(manifestPath(path))
 
   /** BM25 over a persisted index — no corpus scan: the query-term filter
-    * pushes into the postings/dfreq parquet scans (row-group pruning via
-    * the build-time sort), lens joins on doc_id for the matched docs
-    * only, stats is one row. Result == [[bm25Scores]] over the indexed
-    * corpus (pinned in SearchSpec). */
+    * pushes into every postings-segment parquet scan (row-group pruning
+    * via the build-time sort), dfreq is pre-merged and
+    * vocabulary-sized, lens joins on doc_id, stats is one row. Reads
+    * ONLY the manifest's committed segments/generation. Result ==
+    * [[bm25Scores]] over the indexed corpus (pinned in SearchSpec). */
   def bm25ScoresFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queryTerms: Seq[String]): DataFrame = {
+    val m = readManifest(path)
     val inQuery = col("term").isin(queryTerms.map(t => t: Any): _*)
-    val tf = spark.read.parquet(s"$path/postings").filter(inQuery)
-    val df = spark.read.parquet(s"$path/dfreq").filter(inQuery)
-    val lens = spark.read.parquet(s"$path/lens")
-    val stats = spark.read.parquet(s"$path/stats")
+    val tf = readSegs(spark, path, "postings", m.segs).filter(inQuery)
+    val df = spark.read.parquet(s"$path/dfreq_v${m.v}").filter(inQuery)
+    val lens = readSegs(spark, path, "lens", m.segs)
+    val stats = spark.read.parquet(s"$path/stats_v${m.v}")
     scoreFrames(tf, df, lens, stats)
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
   }

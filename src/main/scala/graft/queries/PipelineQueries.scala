@@ -216,6 +216,19 @@ object PipelineQueries {
       }
     }),
 
+    // Incremental index maintenance end-to-end: index the even half,
+    // APPEND the odd half as a segment (O(new docs) + vocab-sized df
+    // remerge), query the merged index — must equal the q53 relation.
+    // Rebuilt every run (cheap) so the update path is always exercised.
+    "q58_bm25_incremental" -> ((s, dir) => {
+      val path = s"${graft.core.Constants.workDir}/models/bm25inc_" +
+        s"${java.nio.file.Paths.get(dir).getFileName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      Search.saveIndex(docs(s, dir).filter(col("doc_id") % 2 === 0), path)
+      Search.updateIndex(s, path, docs(s, dir).filter(col("doc_id") % 2 =!= 0))
+      Search.bm25ScoresFromIndex(s, path, Bm25QueryTerms)
+    }),
+
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
@@ -447,8 +460,10 @@ object PipelineQueries {
 
     // The persisted-index path must produce the SAME relation (the index
     // stores the identical tf/df/dl/stats doubles, parquet-roundtripped
-    // losslessly), so it shares q53's oracle.
+    // losslessly), so it shares q53's oracle — as does the incremental
+    // build (globals remerged over all committed segments).
     "q57_bm25_indexed" -> Bm25OracleSql,
+    "q58_bm25_incremental" -> Bm25OracleSql,
 
     // Mirrors unigramLogProb clause-for-clause: per-(doc, tok) counts,
     // vocabulary table, 1-row total; division after both sums (4 dp

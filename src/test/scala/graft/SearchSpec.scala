@@ -97,6 +97,38 @@ class SearchSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("updateIndex: segment append == from-scratch index of the union; orphans invisible") {
+    val q = Seq("spark", "merge", "vector")
+    val a = corpus.filter($"doc_id" <= 3)
+    val b = corpus.filter($"doc_id" > 3)
+    val dir = java.nio.file.Files.createTempDirectory("bm25upd").toString + "/idx"
+    Search.saveIndex(a, dir)
+    // pre-update: the index answers for the indexed slice only, with
+    // slice-local df/stats (docs 4,5 unknown to it).
+    val pre = Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap
+    assert(pre.keySet === Set(1L, 2L, 3L))
+    Search.updateIndex(spark, dir, b)
+    val updated = Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap
+    // == indexing the union from scratch (df/stats remerged globally,
+    // so even the old docs' scores shift to the union's idf/avgdl)...
+    val scratchDir = java.nio.file.Files.createTempDirectory("bm25scr").toString + "/idx"
+    Search.saveIndex(corpus, scratchDir)
+    assert(updated === Search.bm25ScoresFromIndex(spark, scratchDir, q)
+      .as[(Long, Double)].collect().toMap)
+    // ...and == the inline relation.
+    assert(updated === Search.bm25Scores(corpus, q)
+      .as[(Long, Double)].collect().toMap)
+    // a crashed update's orphan segment (present on disk, absent from the
+    // manifest) is invisible to readers.
+    val orphan = new java.io.File(s"$dir/postings/seg=9")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$dir/postings/seg=0"), orphan)
+    assert(Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap === updated, "orphan segment leaked into the read")
+  }
+
   test("unigramLogProb matches the scalar formula; common text outranks rare text") {
     val rows = Seq(
       (1L, "a a b"),   // common tokens
