@@ -207,6 +207,67 @@ object Search {
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
   }
 
+  /** Compaction — the Lucene merge step that completes the segment
+    * lifecycle: folds every committed segment into ONE freshly sorted
+    * postings/lens segment (restoring maximal row-group pruning after
+    * many small appends) and commits a new generation. Readers are never
+    * disturbed: the old segments stay valid until the manifest swap, and
+    * are GC'd only after commit. The indexed relation is unchanged
+    * (pinned in SearchSpec). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val m = readManifest(path)
+    val seg = m.segs.max + 1
+    readSegs(spark, path, "postings", m.segs)
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings/seg=$seg")
+    readSegs(spark, path, "lens", m.segs)
+      .write.mode("overwrite").parquet(s"$path/lens/seg=$seg")
+    writeGlobals(spark, path, Seq(seg), m.v + 1)
+    commitManifest(path, Seq(seg), m.v + 1)
+    for (old <- m.segs; t <- Seq("postings", "lens"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/$t/seg=$old"))
+    for (t <- Seq("dfreq", "stats"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/${t}_v${m.v}"))
+  }
+
+  /** Search-result snippets: for documents containing `term`, the token
+    * window [pos-window, pos+window] around its FIRST occurrence — what
+    * a news-search result page renders under each hit. Pure codegen'd
+    * Column algebra (split / array_position / slice / array_join) — a
+    * map stage with a filter, no shuffle. */
+  def snippets(docs: DataFrame, term: String, window: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pos = array_position(toks, term) // 1-based; 0 when absent
+    val start = greatest(lit(1L), pos - window)
+    docs
+      .select(col("doc_id"), pos.as("pos"),
+        array_join(slice(toks, start, pos + lit(window.toLong) - start + 1), " ")
+          .as("snippet"))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("snippet"))
+  }
+
+  /** Related terms by co-occurrence: the terms appearing in the most
+    * documents that also contain `seed` (document-frequency grain —
+    * each doc votes once per term) — query-suggestion's simplest
+    * useful form. Plan: the seed filter prunes the corpus FIRST, the
+    * per-doc distinct explode feeds a two-level hash agg, and top-k is
+    * orderBy+limit = TakeOrderedAndProject (ties broken term-asc for
+    * determinism). */
+  def cooccurringTerms(docs: DataFrame, seed: String, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .filter(array_contains(toks, seed))
+      .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .filter(col("term") =!= seed)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("term"))
+      .limit(k)
+  }
+
   /** Exact phrase search: documents containing `phrase` as consecutive
     * whitespace tokens. A phrase of n words IS a word n-gram, so this
     * reuses the native `shingles_n` kernel at width n(phrase):

@@ -229,6 +229,12 @@ object PipelineQueries {
       Search.bm25ScoresFromIndex(s, path, Bm25QueryTerms)
     }),
 
+    // search-result snippets: ±3-token window around the first 'spark'.
+    "q59_snippets" -> ((s, dir) => Search.snippets(docs(s, dir), "spark", window = 3)),
+
+    // related terms: top-15 co-occurring terms for the seed 'spark'.
+    "q60_cooccurrence" -> ((s, dir) => Search.cooccurringTerms(docs(s, dir), "spark", k = 15)),
+
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
@@ -464,6 +470,26 @@ object PipelineQueries {
     // build (globals remerged over all committed segments).
     "q57_bm25_indexed" -> Bm25OracleSql,
     "q58_bm25_incremental" -> Bm25OracleSql,
+
+    // DuckDB list_slice is 1-based inclusive with end clamping ==
+    // Spark slice(toks, start, pos+3-start+1); list_position returns 0
+    // when absent == Spark array_position (both verified).
+    "q59_snippets" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |p AS (SELECT doc_id, tk, list_position(tk, 'spark') AS pos FROM t)
+        |SELECT doc_id,
+        |       array_to_string(list_slice(tk, greatest(1, pos - 3), pos + 3), ' ') AS snippet
+        |  FROM p WHERE pos > 0""".stripMargin,
+
+    "q60_cooccurrence" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |co AS (SELECT doc_id, unnest(list_distinct(tk)) AS term
+        |         FROM t WHERE list_contains(tk, 'spark'))
+        |SELECT term, count(*) AS n_docs
+        |  FROM co WHERE term <> 'spark'
+        | GROUP BY term
+        | ORDER BY n_docs DESC, term
+        | LIMIT 15""".stripMargin,
 
     // Mirrors unigramLogProb clause-for-clause: per-(doc, tok) counts,
     // vocabulary table, 1-row total; division after both sums (4 dp

@@ -129,6 +129,51 @@ class SearchSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap === updated, "orphan segment leaked into the read")
   }
 
+  test("compactIndex: one segment, same relation, fresh generation") {
+    val q = Seq("spark", "merge", "vector")
+    val dir = java.nio.file.Files.createTempDirectory("bm25cmp").toString + "/idx"
+    Search.saveIndex(corpus.filter($"doc_id" <= 2), dir)
+    Search.updateIndex(spark, dir, corpus.filter($"doc_id" > 2 && $"doc_id" <= 4))
+    Search.updateIndex(spark, dir, corpus.filter($"doc_id" > 4))
+    val before = Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap
+    Search.compactIndex(spark, dir)
+    assert(Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap === before, "relation changed by compaction")
+    // exactly one live segment; superseded segment dirs GC'd
+    val segs = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSeq
+    assert(segs === Seq("seg=3"), s"live segments: $segs")
+  }
+
+  test("snippets: clamped first-occurrence window; absent term filtered") {
+    val rows = Seq(
+      (1L, "a b c spark d e f g"),   // interior: full ±3 window
+      (2L, "spark x y z w"),         // at start: clamps left
+      (3L, "p q r s spark"),         // at end: clamps right
+      (4L, "spark a spark b"),       // first occurrence wins
+      (5L, "no match here"))
+      .toDF("doc_id", "text")
+    val got = graft.ml.Search.snippets(rows, "spark", window = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "a b c spark d e f",
+      2L -> "spark x y z",
+      3L -> "q r s spark",
+      4L -> "spark a spark b"))
+  }
+
+  test("cooccurringTerms: doc-frequency grain, seed excluded, deterministic ties") {
+    val rows = Seq(
+      (1L, "spark a b b"),  // b counts ONCE for doc 1 (distinct grain)
+      (2L, "spark a c"),
+      (3L, "a b c d"))      // no seed → ignored
+      .toDF("doc_id", "text")
+    val got = graft.ml.Search.cooccurringTerms(rows, "spark", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L), ("b", 1L))) // b before c: term-asc tiebreak
+  }
+
   test("unigramLogProb matches the scalar formula; common text outranks rare text") {
     val rows = Seq(
       (1L, "a a b"),   // common tokens
