@@ -104,10 +104,10 @@ object Search {
     *     `{"segs":[0..K],"v":N}`. Readers consult ONLY the manifest (a
     *     crashed update's orphan seg / dfreq dirs are invisible until
     *     committed; per-table _SUCCESS files cover one table each). */
-  def saveIndex(docs: DataFrame, path: String): Unit = {
+  def saveIndex(docs: DataFrame, path: String, epoch: Long = -1L): Unit = {
     writeSegment(docs, path, seg = 0)
     writeGlobals(docs.sparkSession, path, segs = Seq(0), v = 0)
-    commitManifest(path, segs = Seq(0), v = 0)
+    commitManifest(path, segs = Seq(0), v = 0, epoch)
   }
 
   /** Incremental maintenance: append `newDocs` as a new segment and
@@ -119,12 +119,12 @@ object Search {
     * Equivalent to indexing the union from scratch (pinned in
     * SearchSpec). */
   def updateIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDocs: DataFrame): Unit = {
+      newDocs: DataFrame, epoch: Long = -1L): Unit = {
     val m = readManifest(path)
     val seg = m.segs.max + 1
     writeSegment(newDocs, path, seg)
     writeGlobals(spark, path, m.segs :+ seg, m.v + 1)
-    commitManifest(path, m.segs :+ seg, m.v + 1)
+    commitManifest(path, m.segs :+ seg, m.v + 1, epoch)
     // old generations are superseded and unreferenced — best-effort GC
     // AFTER the new manifest commits (cf. the q45/q57 eviction ordering).
     for (old <- 0 until (m.v + 1); t <- Seq("dfreq", "stats"))
@@ -159,15 +159,16 @@ object Search {
       table: String, segs: Seq[Int]): DataFrame =
     spark.read.parquet(segs.map(k => s"$path/$table/seg=$k"): _*)
 
-  private case class Manifest(segs: Seq[Int], v: Int)
+  private case class Manifest(segs: Seq[Int], v: Int, epoch: Long)
 
   private def manifestPath(path: String) =
     java.nio.file.Paths.get(path, "_INDEX_COMMITTED")
 
-  private def commitManifest(path: String, segs: Seq[Int], v: Int): Unit = {
+  private def commitManifest(path: String, segs: Seq[Int], v: Int,
+      epoch: Long): Unit = {
     val tmp = java.nio.file.Paths.get(path, s"_INDEX_COMMITTED.tmp$v")
     java.nio.file.Files.writeString(tmp,
-      s"""{"segs":[${segs.mkString(",")}],"v":$v}""")
+      s"""{"segs":[${segs.mkString(",")}],"v":$v,"epoch":$epoch}""")
     java.nio.file.Files.move(tmp, manifestPath(path),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -182,12 +183,34 @@ object Search {
     val v = "\"v\":([0-9]+)".r.findFirstMatchIn(s)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(s"bad index manifest: $s"))
-    Manifest(segs, v)
+    // epoch absent in pre-epoch manifests → -1 (no batch committed)
+    val epoch = "\"epoch\":(-?[0-9]+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    Manifest(segs, v, epoch)
   }
 
   /** True iff `path` holds a fully committed index. */
   def indexCommitted(path: String): Boolean =
     java.nio.file.Files.exists(manifestPath(path))
+
+  /** The streaming epoch recorded by the last manifest commit (-1 if
+    * none) — the idempotence guard for [[indexBatch]] replays. */
+  def indexEpoch(path: String): Long =
+    if (indexCommitted(path)) readManifest(path).epoch else -1L
+
+  /** Fold one streaming micro-batch into the index, exactly once: a
+    * foreachBatch retry re-delivers a batch id the manifest already
+    * committed (commit-then-crash-before-checkpoint), and the epoch
+    * guard makes the replay a no-op — without it the segment would be
+    * appended twice. Returns true iff the batch was applied. */
+  def indexBatch(batch: DataFrame, path: String, epochId: Long): Boolean = {
+    if (indexCommitted(path)) {
+      if (epochId <= readManifest(path).epoch) false // replayed epoch
+      else if (batch.isEmpty) false
+      else { updateIndex(batch.sparkSession, path, batch, epochId); true }
+    } else if (batch.isEmpty) false
+    else { saveIndex(batch, path, epochId); true }
+  }
 
   /** BM25 over a persisted index — no corpus scan: the query-term filter
     * pushes into every postings-segment parquet scan (row-group pruning
@@ -223,7 +246,7 @@ object Search {
     readSegs(spark, path, "lens", m.segs)
       .write.mode("overwrite").parquet(s"$path/lens/seg=$seg")
     writeGlobals(spark, path, Seq(seg), m.v + 1)
-    commitManifest(path, Seq(seg), m.v + 1)
+    commitManifest(path, Seq(seg), m.v + 1, m.epoch)
     for (old <- m.segs; t <- Seq("postings", "lens"))
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$path/$t/seg=$old"))

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.core.Canonicalize
@@ -139,6 +139,22 @@ object StreamingIngest {
           HostUpdate(host, next.seen, next.lastTsSec)
       }
   }
+
+  /** Live indexing — the reference's actual deployment loop (poll feeds
+    * → dedup → index articles → searchable): every micro-batch of
+    * deduped documents folds into the persisted inverted index via
+    * [[graft.ml.Search.indexBatch]] (segment append, manifest commit).
+    * Compose after [[docDedupStream]] so each text indexes once within
+    * the watermark horizon. Exactly-once across foreachBatch retries:
+    * the manifest records the committed epoch, so a replayed batch id
+    * (commit-then-crash-before-checkpoint) is a no-op — see indexBatch.
+    * `docs` must carry (doc_id, text). */
+  def liveIndexStream(docs: DataFrame, indexPath: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.ml.Search.indexBatch(batch, indexPath, epochId): Unit
+      }
 
   /** Drain a streaming frame through a named memory sink; returns the sink
     * table name. Update mode suits the stateful/windowed queries here. */

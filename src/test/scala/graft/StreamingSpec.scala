@@ -114,6 +114,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size.toLong === batchKeepers)
   }
 
+  test("live indexing: streamed deduped docs == batch index; replayed epoch is a no-op") {
+    import graft.ml.Search
+    val idx = java.nio.file.Files.createTempDirectory("liveidx").toString + "/idx"
+    // poll → dedup → index: the deduped stream's (text_hash, text) is the
+    // live index's (doc_id, text) — one indexed doc per distinct text.
+    val docs = StreamingIngest.docDedupStream(
+      StreamingIngest.pagesStream(spark, pagesDir))
+      .select($"text_hash".as("doc_id"), coalesce($"text", lit("")).as("text"))
+    val q = StreamingIngest.liveIndexStream(docs, idx).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(Search.indexCommitted(idx), "stream committed the index")
+    // the live index answers == a from-scratch batch index of the same
+    // deduped corpus (df/stats globally remerged across stream segments).
+    val batchDocs = spark.read.parquet(pagesDir)
+      .select(xxhash64(coalesce($"text", lit("\u0000<null>"))).as("doc_id"),
+        coalesce($"text", lit("")).as("text"))
+      .groupBy("doc_id").agg(first("text").as("text"))
+    val terms = Seq("the", "a", "of")
+    val live = Search.bm25ScoresFromIndex(spark, idx, terms)
+      .as[(Long, Double)].collect().toMap
+    assert(live.nonEmpty)
+    assert(live === Search.bm25Scores(batchDocs, terms)
+      .as[(Long, Double)].collect().toMap)
+    // replay guard: re-delivering an epoch the manifest already committed
+    // (foreachBatch retry after commit-then-crash) must not re-append.
+    val committed = Search.indexEpoch(idx)
+    assert(committed >= 0)
+    val replay = batchDocs.limit(3)
+    assert(!Search.indexBatch(replay, idx, committed), "stale epoch applied")
+    assert(Search.bm25ScoresFromIndex(spark, idx, terms)
+      .as[(Long, Double)].collect().toMap === live, "replay mutated the index")
+    // a genuinely new epoch still applies (with fresh doc_ids).
+    val fresh = Seq((Long.MaxValue, "the of a")).toDF("doc_id", "text")
+    assert(Search.indexBatch(fresh, idx, committed + 1))
+    assert(Search.bm25ScoresFromIndex(spark, idx, terms).count() === (live.size + 1).toLong)
+  }
+
   test("streaming→batch seen-set handoff: folded survivors dedup the batch tier") {
     // The two-tier design's seam (round-3 worklist item 7): the streaming
     // dedup is the IN-FLIGHT tier; its survivors are folded into the durable
