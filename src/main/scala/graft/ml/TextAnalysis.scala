@@ -96,6 +96,29 @@ object TextAnalysis {
             .otherwise(0.0), 4).as("dup_3gram_frac"))
   }
 
+  /** Lexicon sentiment — the financial-news consumer's classic first
+    * analysis (Loughran–McDonald-style word lists; the fixture vocabulary
+    * stands in for the LM lexicon): per document, positive/negative hit
+    * counts at the token grain and the normalized polarity
+    * `(n_pos - n_neg) / n_tokens`, labeled by sign. Pure codegen'd
+    * Column algebra (size-of-filtered-array, no explode, no shuffle) —
+    * at 100 TB a map stage that pipelines into the scan. */
+  def sentiment(docs: DataFrame,
+      positive: Seq[String] = Seq("fast", "big", "value"),
+      negative: Seq[String] = Seq("slow", "small", "error")): DataFrame = {
+    val t = toks(col("text"))
+    val nPos = size(filter(t, x => x.isin(positive.map(w => w: Any): _*)))
+    val nNeg = size(filter(t, x => x.isin(negative.map(w => w: Any): _*)))
+    val polarity = round((nPos - nNeg).cast("double") / size(t), 4)
+    docs.select(
+      col("doc_id"),
+      nPos.as("n_pos"),
+      nNeg.as("n_neg"),
+      polarity.as("polarity"),
+      when(nPos > nNeg, "pos").when(nNeg > nPos, "neg")
+        .otherwise("neutral").as("label"))
+  }
+
   /** CCNet-style LM quality proxy (Wenzek et al. 2020 use LM perplexity
     * to rank web text; the unigram model is its oracle-expressible
     * degenerate case): per document, the mean corpus-unigram log-prob

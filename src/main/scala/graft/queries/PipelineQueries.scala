@@ -235,6 +235,9 @@ object PipelineQueries {
     // related terms: top-15 co-occurring terms for the seed 'spark'.
     "q60_cooccurrence" -> ((s, dir) => Search.cooccurringTerms(docs(s, dir), "spark", k = 15)),
 
+    // lexicon sentiment (financial-news polarity) per document.
+    "q61_sentiment" -> ((s, dir) => TextAnalysis.sentiment(docs(s, dir))),
+
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
@@ -480,6 +483,19 @@ object PipelineQueries {
         |SELECT doc_id,
         |       array_to_string(list_slice(tk, greatest(1, pos - 3), pos + 3), ' ') AS snippet
         |  FROM p WHERE pos > 0""".stripMargin,
+
+    "q61_sentiment" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, len(tk) AS n,
+        |        len(list_filter(tk, x -> x IN ('fast','big','value'))) AS n_pos,
+        |        len(list_filter(tk, x -> x IN ('slow','small','error'))) AS n_neg
+        |   FROM t)
+        |SELECT doc_id, n_pos, n_neg,
+        |       round((n_pos - n_neg) * 1.0 / n, 4) AS polarity,
+        |       CASE WHEN n_pos > n_neg THEN 'pos'
+        |            WHEN n_neg > n_pos THEN 'neg'
+        |            ELSE 'neutral' END AS label
+        |  FROM c""".stripMargin,
 
     "q60_cooccurrence" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

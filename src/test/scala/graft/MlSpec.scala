@@ -121,6 +121,22 @@ class MlSpec extends AnyFunSuite {
     assert(byN(10) === Seq.empty)
   }
 
+  test("lexicon sentiment matches hand truth (counts, polarity, label)") {
+    val docs = Seq(
+      (1L, "fast big value win"),       // 3 pos, 0 neg → 0.75 pos
+      (2L, "slow slow error x y z"),    // 0 pos, 3 neg → -0.5 neg
+      (3L, "fast slow a b"),            // 1-1 → 0.0 neutral
+      (4L, "nothing scored here"))      // 0-0 → neutral
+      .toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.sentiment(docs)
+      .as[(Long, Int, Int, Double, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3, 0, 0.75, "pos"),
+      (2L, 0, 3, -0.5, "neg"),
+      (3L, 1, 1, 0.0, "neutral"),
+      (4L, 0, 0, 0.0, "neutral")))
+  }
+
   test("repetition signals match hand truth (Gopher-family filter)") {
     val docs = Seq(
       (1L, "a a a a"),          // top=4/4, uniq=1/4, 3grams: {a a a} of 2 → dup 0.5
