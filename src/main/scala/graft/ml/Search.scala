@@ -123,10 +123,15 @@ object Search {
     val m = readManifest(path)
     val seg = m.segs.max + 1
     writeSegment(newDocs, path, seg)
-    writeGlobals(spark, path, m.segs :+ seg, m.v + 1)
+    writeGlobalsIncremental(spark, path, m, seg)
     commitManifest(path, m.segs :+ seg, m.v + 1, epoch)
-    // old generations are superseded and unreferenced — best-effort GC
-    // AFTER the new manifest commits (cf. the q45/q57 eviction ordering).
+    // Superseded generations GC'd AFTER the new manifest commits (cf. the
+    // q45/q57 eviction ordering). GC is IMMEDIATE: correct for the
+    // single-writer deployment here (a reader that planned against the
+    // old manifest must run before the next update); a multi-session
+    // deployment with long-running concurrent readers should delay this
+    // loop by a grace period or pin generations — same class of trade as
+    // the documented localCheckpoint one in Corpus.connectedComponents.
     for (old <- 0 until (m.v + 1); t <- Seq("dfreq", "stats"))
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$path/${t}_v$old"))
@@ -143,16 +148,48 @@ object Search {
       .write.mode("overwrite").parquet(s"$path/lens/seg=$seg")
   }
 
-  /** Re-derives the global df/stats generation `v` from the committed
-    * lens/postings segments — vocabulary-sized + 1-row work. */
+  /** Full re-derivation of the global df/stats generation `v` from the
+    * given segments (save/compact path — reads everything it writes
+    * anyway). stats carries `sum_dl` alongside the derived `avgdl` so the
+    * incremental path can fold it without rescanning lens segments. */
   private def writeGlobals(spark: org.apache.spark.sql.SparkSession,
       path: String, segs: Seq[Int], v: Int): Unit = {
     readSegs(spark, path, "postings", segs)
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
       .write.mode("overwrite").parquet(s"$path/dfreq_v$v")
     readSegs(spark, path, "lens", segs)
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"),
+        (col("sum_dl") / col("n_docs")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$path/stats_v$v")
+  }
+
+  /** Incremental globals for [[updateIndex]] — the cost contract the
+    * docstring promises: merge the PREVIOUS generation's vocabulary-sized
+    * dfreq with the new segment's df (union + sum per term) and fold the
+    * 1-row stats (counts and length-sums add; avgdl re-derived), never
+    * rescanning existing postings/lens segments. Falls back to the full
+    * recompute for a pre-`sum_dl` stats generation. */
+  private def writeGlobalsIncremental(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: Manifest, newSeg: Int): Unit = {
+    val prevStats = spark.read.parquet(s"$path/stats_v${m.v}")
+    if (!prevStats.columns.contains("sum_dl")) {
+      writeGlobals(spark, path, m.segs :+ newSeg, m.v + 1); return
+    }
+    val newDf = readSegs(spark, path, "postings", Seq(newSeg))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    spark.read.parquet(s"$path/dfreq_v${m.v}")
+      .unionByName(newDf)
+      .groupBy("term").agg(sum("df").as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfreq_v${m.v + 1}")
+    val newStats = readSegs(spark, path, "lens", Seq(newSeg))
+      .agg(count(lit(1)).cast("double").as("n_docs"), sum("dl").as("sum_dl"))
+    prevStats.select(col("n_docs"), col("sum_dl"))
+      .unionByName(newStats)
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"),
+        (col("sum_dl") / col("n_docs")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats_v${m.v + 1}")
   }
 
   private def readSegs(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -199,13 +236,24 @@ object Search {
     if (indexCommitted(path)) readManifest(path).epoch else -1L
 
   /** Fold one streaming micro-batch into the index, exactly once: a
-    * foreachBatch retry re-delivers a batch id the manifest already
+    * foreachBatch retry re-delivers THE batch id the manifest already
     * committed (commit-then-crash-before-checkpoint), and the epoch
-    * guard makes the replay a no-op — without it the segment would be
-    * appended twice. Returns true iff the batch was applied. */
+    * guard makes that replay a no-op — without it the segment would be
+    * appended twice. An epoch BELOW the committed one is not a retry —
+    * it means a fresh/foreign checkpoint was pointed at a live index
+    * (epochIds restart at 0), and silently skipping would drop every
+    * batch up to the old high-water mark; that is an error the operator
+    * must resolve (new indexPath, or restore the checkpoint). Returns
+    * true iff the batch was applied. */
   def indexBatch(batch: DataFrame, path: String, epochId: Long): Boolean = {
     if (indexCommitted(path)) {
-      if (epochId <= readManifest(path).epoch) false // replayed epoch
+      val committed = readManifest(path).epoch
+      if (epochId == committed) false // retry of the committed epoch
+      else if (epochId < committed)
+        throw new IllegalStateException(
+          s"epoch regression: batch $epochId <= committed $committed at $path — " +
+            "a fresh stream checkpoint is writing to an existing index; " +
+            "use a new indexPath or restore the original checkpoint")
       else if (batch.isEmpty) false
       else { updateIndex(batch.sparkSession, path, batch, epochId); true }
     } else if (batch.isEmpty) false
@@ -233,10 +281,12 @@ object Search {
   /** Compaction — the Lucene merge step that completes the segment
     * lifecycle: folds every committed segment into ONE freshly sorted
     * postings/lens segment (restoring maximal row-group pruning after
-    * many small appends) and commits a new generation. Readers are never
-    * disturbed: the old segments stay valid until the manifest swap, and
-    * are GC'd only after commit. The indexed relation is unchanged
-    * (pinned in SearchSpec). */
+    * many small appends) and commits a new generation. The old segments
+    * stay valid until the manifest swap and are GC'd only after commit —
+    * immediately, which is safe for the single-writer deployment here;
+    * concurrent long-running readers in a multi-session deployment need
+    * a GC grace period (see updateIndex). The indexed relation is
+    * unchanged (pinned in SearchSpec). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val m = readManifest(path)
     val seg = m.segs.max + 1
@@ -297,13 +347,15 @@ object Search {
     * scan → codegen'd array_contains filter — a pure map stage, no
     * shuffle, no UDF; column pruning keeps the scan at (doc_id, text).
     * (Multi-space runs in the phrase would never match the kernel's
-    * split(' ') token grain — normalize the needle, not the corpus.) */
+    * split(' ') token grain — so the needle IS normalized here: extra
+    * whitespace in `phrase` collapses before matching.) */
   def phraseDocs(docs: DataFrame, phrase: String): DataFrame = {
-    val n = phrase.split(' ').count(_.nonEmpty)
-    require(n >= 1, "phrase must contain at least one token")
+    val tokens = phrase.split(' ').filter(_.nonEmpty)
+    require(tokens.nonEmpty, "phrase must contain at least one token")
+    val needle = tokens.mkString(" ")
     docs
       .filter(array_contains(
-        graft.functions.expressions.shingles_n(col("text"), n), phrase))
+        graft.functions.expressions.shingles_n(col("text"), tokens.length), needle))
       .select(col("doc_id"))
   }
 }

@@ -100,9 +100,13 @@ object TextAnalysis {
     * analysis (Loughran–McDonald-style word lists; the fixture vocabulary
     * stands in for the LM lexicon): per document, positive/negative hit
     * counts at the token grain and the normalized polarity
-    * `(n_pos - n_neg) / n_tokens`, labeled by sign. Pure codegen'd
-    * Column algebra (size-of-filtered-array, no explode, no shuffle) —
-    * at 100 TB a map stage that pipelines into the scan. */
+    * `(n_pos - n_neg) / n_tokens`, labeled by sign. Builtin Column
+    * algebra, no explode, no shuffle — a map stage that pipelines into
+    * the scan. NOTE the two `filter` lambdas are higher-order functions
+    * and evaluate INTERPRETED (the round-2 finding; same trade as
+    * quality/langId's marker scans): acceptable for two short lexicon
+    * passes per row; the native-Expression upgrade path (the
+    * shingles_n/minhash_sig pattern) exists if this becomes hot. */
   def sentiment(docs: DataFrame,
       positive: Seq[String] = Seq("fast", "big", "value"),
       negative: Seq[String] = Seq("slow", "small", "error")): DataFrame = {

@@ -36,6 +36,44 @@ object PipelineQueries {
     Integer.toHexString(scala.util.hashing.MurmurHash3.arrayHash(entries))
   }
 
+  /** Fingerprint-keyed artifact cache under the work dir — the ONE
+    * definition of the q45/q57 pattern. The artifact lives at
+    * `models/<base>_<fingerprint(inputFile)>`, so a regenerated input
+    * under the same basename rebuilds instead of silently reusing a
+    * stale artifact. On a miss, `build(path)` writes it and commits
+    * last via its own marker (checked by `committed`); THEN superseded
+    * same-base siblings are evicted — build-then-evict, because
+    * deleting first would race a concurrent session (e.g. Verify and
+    * Bench sharing GRAFT_WORK_DIR) mid-`load` on the evicted path. A
+    * `load` hitting a half-deleted or corrupt dir rebuilds in place
+    * once. First run pays the build inside the query; later runs only
+    * load — the documented timing asymmetry of the train-once/
+    * probe-many deployment shape being demonstrated. */
+  private def workdirCached[T](base: String, inputFile: String)(
+      committed: String => Boolean)(build: String => Unit)(
+      load: String => T): T = {
+    val modelsDir = java.nio.file.Paths.get(s"${graft.core.Constants.workDir}/models")
+    val path = s"$modelsDir/${base}_${dirFingerprint(inputFile)}"
+    def evictSiblings(): Unit =
+      if (java.nio.file.Files.isDirectory(modelsDir)) {
+        val stream = java.nio.file.Files.list(modelsDir)
+        try stream.toArray.map(_.toString).filter { p =>
+          val n = java.nio.file.Paths.get(p).getFileName.toString
+          (n == base || n.startsWith(base + "_")) && p != path
+        }.foreach { p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+        } finally stream.close()
+      }
+    def buildCommitEvict(): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      build(path)
+      evictSiblings()
+    }
+    if (!committed(path)) buildCommitEvict()
+    try load(path)
+    catch { case _: Exception => buildCommitEvict(); load(path) }
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup by full text over pages (alias rows form the dup groups).
     "q30_dedup_exact" -> ((s, dir) =>
@@ -81,39 +119,12 @@ object PipelineQueries {
     // matches q43 (rows-only; model-vs-memory parity pinned in MlSpec).
     "q45_knn_ivf_model" -> ((s, dir) => {
       val e = emb(s, dir)
-      // Cache key = sf basename + input fingerprint: a regenerated or
-      // different embeddings table under the same basename retrains instead
-      // of silently probing a stale quantizer. (First run trains+writes
-      // inside the query; later runs only load — documented timing
-      // asymmetry, the deployment shape being demonstrated.)
-      val base = s"ivf_${java.nio.file.Paths.get(dir).getFileName}"
-      val modelsDir = java.nio.file.Paths.get(s"${graft.core.Constants.workDir}/models")
-      val path = s"$modelsDir/${base}_${dirFingerprint(s"$dir/embeddings.parquet")}"
-      // Superseded-sibling eviction runs only AFTER the new model's
-      // _SUCCESS is committed (train-then-evict): deleting first would race
-      // a concurrent session (e.g. Verify and Bench sharing GRAFT_WORK_DIR)
-      // that is mid-load on the evicted path. A load hitting a half-deleted
-      // or corrupt dir falls back to retraining in place.
-      def evictSiblings(): Unit =
-        if (java.nio.file.Files.isDirectory(modelsDir)) {
-          val stream = java.nio.file.Files.list(modelsDir)
-          try stream.toArray.map(_.toString).filter { p =>
-            val n = java.nio.file.Paths.get(p).getFileName.toString
-            (n == base || n.startsWith(base + "_")) && p != path
-          }.foreach { p =>
-            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
-          } finally stream.close()
-        }
-      def trainCommitEvict(): Array[Array[Float]] = {
-        val m = Similarity.saveIvfModel(s, e, path) // parquet commit writes _SUCCESS
-        evictSiblings()
-        m
-      }
-      val cents =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-          try Similarity.loadIvfModel(s, path)
-          catch { case _: Exception => trainCommitEvict() }
-        else trainCommitEvict()
+      val cents = workdirCached(
+        s"ivf_${java.nio.file.Paths.get(dir).getFileName}",
+        s"$dir/embeddings.parquet")(
+        p => java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))(
+        p => { Similarity.saveIvfModel(s, e, p); () })( // parquet commit writes _SUCCESS
+        p => Similarity.loadIvfModel(s, p))
       Similarity.knnIvfModel(s, e.filter(col("vec_id") % 50 === 0), e, k = 5, cents)
     }),
 
@@ -188,33 +199,13 @@ object PipelineQueries {
     // deployment split q45 demonstrates for IVF). First run builds+commits
     // the index under the work dir (fingerprint-keyed, stale siblings
     // evicted after commit); later runs only read. Result == q53.
-    "q57_bm25_indexed" -> ((s, dir) => {
-      val base = s"bm25idx_${java.nio.file.Paths.get(dir).getFileName}"
-      val modelsDir = java.nio.file.Paths.get(s"${graft.core.Constants.workDir}/models")
-      val path = s"$modelsDir/${base}_${dirFingerprint(s"$dir/documents.parquet")}"
-      def evictSiblings(): Unit =
-        if (java.nio.file.Files.isDirectory(modelsDir)) {
-          val stream = java.nio.file.Files.list(modelsDir)
-          try stream.toArray.map(_.toString).filter { p =>
-            val n = java.nio.file.Paths.get(p).getFileName.toString
-            (n == base || n.startsWith(base + "_")) && p != path
-          }.foreach { p =>
-            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
-          } finally stream.close()
-        }
-      def buildCommitEvict(): Unit = {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
-        Search.saveIndex(docs(s, dir), path)
-        evictSiblings()
-      }
-      if (!Search.indexCommitted(path)) buildCommitEvict()
-      try Search.bm25ScoresFromIndex(s, path, Bm25QueryTerms)
-      catch { // half-deleted/corrupt index dir: rebuild in place (cf. q45)
-        case _: Exception =>
-          buildCommitEvict()
-          Search.bm25ScoresFromIndex(s, path, Bm25QueryTerms)
-      }
-    }),
+    "q57_bm25_indexed" -> ((s, dir) =>
+      workdirCached(
+        s"bm25idx_${java.nio.file.Paths.get(dir).getFileName}",
+        s"$dir/documents.parquet")(
+        Search.indexCommitted)(
+        p => Search.saveIndex(docs(s, dir), p))(
+        p => Search.bm25ScoresFromIndex(s, p, Bm25QueryTerms))),
 
     // Incremental index maintenance end-to-end: index the even half,
     // APPEND the odd half as a segment (O(new docs) + vocab-sized df

@@ -208,6 +208,10 @@ class SearchSpec extends AnyFunSuite {
     // single-word phrase degrades to token containment
     assert(graft.ml.Search.phraseDocs(rows, "sort")
       .as[Long].collect().toSet === Set(1L, 2L, 4L))
+    // the needle normalizes: extra whitespace collapses before matching
+    // (the corpus kernel's split(' ') grain would otherwise never match).
+    assert(graft.ml.Search.phraseDocs(rows, "  row  column   sort ")
+      .as[Long].collect().toSet === Set(1L))
   }
 
   test("piiScrub masks emails/IPs/phones with counts; idempotent; clean text untouched") {

@@ -145,6 +145,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(!Search.indexBatch(replay, idx, committed), "stale epoch applied")
     assert(Search.bm25ScoresFromIndex(spark, idx, terms)
       .as[(Long, Double)].collect().toMap === live, "replay mutated the index")
+    // an epoch REGRESSION (fresh checkpoint pointed at a live index:
+    // epochIds restart at 0) is an error, not a silent skip — skipping
+    // would drop every batch up to the old high-water mark.
+    if (committed > 0)
+      intercept[IllegalStateException] {
+        Search.indexBatch(replay, idx, committed - 1)
+      }
     // a genuinely new epoch still applies (with fresh doc_ids).
     val fresh = Seq((Long.MaxValue, "the of a")).toDF("doc_id", "text")
     assert(Search.indexBatch(fresh, idx, committed + 1))
