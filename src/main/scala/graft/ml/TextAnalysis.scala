@@ -109,18 +109,18 @@ object TextAnalysis {
     * shingles_n/minhash_sig pattern) exists if this becomes hot. */
   def sentiment(docs: DataFrame,
       positive: Seq[String] = Seq("fast", "big", "value"),
-      negative: Seq[String] = Seq("slow", "small", "error")): DataFrame = {
+      negative: Seq[String] = Seq("slow", "small", "error"),
+      keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val t = toks(col("text"))
     val nPos = size(filter(t, x => x.isin(positive.map(w => w: Any): _*)))
     val nNeg = size(filter(t, x => x.isin(negative.map(w => w: Any): _*)))
     val polarity = round((nPos - nNeg).cast("double") / size(t), 4)
-    docs.select(
-      col("doc_id"),
+    docs.select(keyCols.map(col) ++ Seq(
       nPos.as("n_pos"),
       nNeg.as("n_neg"),
       polarity.as("polarity"),
       when(nPos > nNeg, "pos").when(nNeg > nPos, "neg")
-        .otherwise("neutral").as("label"))
+        .otherwise("neutral").as("label")): _*)
   }
 
   /** CCNet-style LM quality proxy (Wenzek et al. 2020 use LM perplexity

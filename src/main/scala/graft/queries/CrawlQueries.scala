@@ -103,6 +103,23 @@ object CrawlQueries {
   private val extractUdf = udf((host: String, html: Array[Byte]) => Parsers.extract(host, html))
   private val linksUdf = udf((html: Array[Byte]) => Parsers.extractLinks(html))
 
+  /** q44's ticker extraction (the reference's per-article ticker
+    * attachment): pull the symbols out of the raw html bytes of each
+    * latest capture, explode to (url, ticker) grain — regexp + split +
+    * generator, all codegen'd Catalyst builtins on the post-latest-wins
+    * (bounded) set. Shared by q44 and the q62 composition. */
+  private def tickerRows(s: SparkSession, dir: String): DataFrame = {
+    val raw = regexp_extract(col("html").cast("string"),
+      "property=\"article:tickers\" content=\"([^\"]+)\"", 1)
+    latestCaptures(s, dir)
+      .filter(col("url").contains("/articles/"))
+      .withColumn("ticker_csv", raw)
+      .filter(col("ticker_csv") =!= "")
+      .select(col("url"),
+        explode(split(col("ticker_csv"), ",")).as("ticker"),
+        size(split(col("ticker_csv"), ",")).as("n_tickers"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // op 1: Δ-scan with pushed-down predicate, html never read.
     "q01_pages_scan" -> ((s, dir) =>
@@ -267,16 +284,25 @@ object CrawlQueries {
     // the ticker symbols out of the raw html bytes of each latest capture,
     // explode to (url, ticker) grain — regexp + split + generator, all
     // codegen'd Catalyst builtins on the post-latest-wins (bounded) set.
-    "q44_tickers" -> ((s, dir) => {
-      val raw = regexp_extract(col("html").cast("string"),
-        "property=\"article:tickers\" content=\"([^\"]+)\"", 1)
-      latestCaptures(s, dir)
-        .filter(col("url").contains("/articles/"))
-        .withColumn("ticker_csv", raw)
-        .filter(col("ticker_csv") =!= "")
-        .select(col("url"),
-          explode(split(col("ticker_csv"), ",")).as("ticker"),
-          size(split(col("ticker_csv"), ",")).as("n_tickers"))
+    "q44_tickers" -> ((s, dir) => tickerRows(s, dir)),
+
+    // end-to-end news intelligence (the showcase composition a reference
+    // user runs daily): crawl's latest captures → per-site parser text →
+    // ticker extraction → lexicon sentiment → per-ticker article count +
+    // mean polarity. Every stage is an operator proven above (q07 + q44 +
+    // q61); the join is a bounded equi-join on url.
+    "q62_ticker_sentiment" -> ((s, dir) => {
+      val articles = latestCaptures(s, dir)
+        .withColumn("host", try_parse_url(col("url"), lit("HOST")))
+        .withColumn("text", extractUdf(col("host"), col("html")))
+        .filter(col("text") =!= "")
+        .select(col("url"), col("text"))
+      val sent = graft.ml.TextAnalysis.sentiment(articles, keyCols = Seq("url"))
+      tickerRows(s, dir)
+        .join(sent, Seq("url"))
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n_articles"),
+          round(avg("polarity"), 4).as("mean_polarity"))
     }),
 
     // ops 43/5/29: the full multi-batch crawl with checkpointed state; output
@@ -511,6 +537,36 @@ object CrawlQueries {
          |       (['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA','META','NFLX','INTC','AMD','IBM','ORCL'])[CAST((doc_id + 7*j) % 12 AS INT) + 1] AS ticker,
          |       CAST(doc_id % 3 + 1 AS INT) AS n_tickers
          |  FROM x""".stripMargin,
+
+    // The q07 (latest + extraction) + q44 (doc_id-derived tickers) + q61
+    // (lexicon sentiment) oracle pieces composed — each proven green on
+    // its own entry.
+    "q62_ticker_sentiment" ->
+      s"""$PagesCte,
+         |latest AS (
+         |  SELECT url, text,
+         |         ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, raw_url DESC) AS rn
+         |    FROM canon),
+         |art AS (
+         |  SELECT url, text,
+         |         CAST(regexp_extract(url, 'articles/([0-9]+)', 1) AS BIGINT) AS doc_id
+         |    FROM latest
+         |   WHERE rn = 1 AND text <> '' AND url LIKE '%/articles/%'),
+         |x AS (SELECT url, doc_id,
+         |             unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS j
+         |        FROM art),
+         |tk AS (SELECT url,
+         |              (['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA','META','NFLX','INTC','AMD','IBM','ORCL'])[CAST((doc_id + 7*j) % 12 AS INT) + 1] AS ticker
+         |         FROM x),
+         |sent AS (
+         |  SELECT url,
+         |         round((len(list_filter(string_split(text,' '), t -> t IN ('fast','big','value')))
+         |              - len(list_filter(string_split(text,' '), t -> t IN ('slow','small','error')))) * 1.0
+         |              / len(string_split(text,' ')), 4) AS polarity
+         |    FROM art)
+         |SELECT ticker, count(*) AS n_articles, round(avg(polarity), 4) AS mean_polarity
+         |  FROM tk JOIN sent USING (url)
+         | GROUP BY ticker""".stripMargin,
 
     "q09_link_extract" ->
       s"""WITH ranked AS (
