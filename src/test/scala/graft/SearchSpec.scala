@@ -214,6 +214,42 @@ class SearchSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(1L))
   }
 
+  test("properties over seeded random corpora: scrub idempotence, snippet bounds, phrase == containsSlice") {
+    val rnd = new scala.util.Random(20260817)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "term", "x1", "y2")
+    val pii = Vector("a.b@mail-x.io", "10.1.2.3", "+1-555-1234")
+    def doc(i: Int): String = {
+      val toks = Seq.fill(3 + rnd.nextInt(20))(
+        if (rnd.nextInt(5) == 0) pii(rnd.nextInt(3)) else vocab(rnd.nextInt(vocab.size)))
+      toks.mkString(" ")
+    }
+    val rows = (0 until 200).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+
+    // piiScrub: idempotent, and the clean text never contains a raw hit.
+    val once = TextAnalysis.piiScrub(rows).select($"doc_id", $"clean_text".as("text"))
+    val twice = TextAnalysis.piiScrub(once)
+    val t2 = twice.as[(Long, Int, Int, Int, String)].collect()
+    assert(t2.forall(r => r._2 == 0 && r._3 == 0 && r._4 == 0), "scrub not idempotent")
+    assert(t2.forall(r => !r._5.contains("@mail-x.io") && !r._5.contains("10.1.2.3")))
+
+    // snippets: every snippet contains the term and spans <= 2w+1 tokens.
+    val sn = graft.ml.Search.snippets(rows, "term", window = 3)
+      .as[(Long, String)].collect()
+    assert(sn.forall { case (_, s) => s.split(' ').contains("term") })
+    assert(sn.forall { case (_, s) => s.split(' ').length <= 7 })
+    val expectedHits = rows.as[(Long, String)].collect()
+      .count(_._2.split(' ').contains("term"))
+    assert(sn.length === expectedHits)
+
+    // phraseDocs == Scala containsSlice truth on the same corpus.
+    val phrase = "alpha beta"
+    val truth = rows.as[(Long, String)].collect()
+      .filter(_._2.split(' ').toSeq.containsSlice(phrase.split(' ').toSeq))
+      .map(_._1).toSet
+    assert(graft.ml.Search.phraseDocs(rows, phrase).as[Long].collect().toSet === truth)
+    assert(truth.nonEmpty, "seed must exercise the positive case")
+  }
+
   test("piiScrub masks emails/IPs/phones with counts; idempotent; clean text untouched") {
     val rows = Seq(
       (1L, "write to bob.smith@corp-mail.io or +1-555-0042 from 10.0.0.7 now"),
