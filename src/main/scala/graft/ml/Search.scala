@@ -55,16 +55,71 @@ object Search {
 
   /** (doc_id, bm25_raw) for every document sharing >= 1 term with the
     * query — raw double scores, for callers that sort or threshold. */
-  private def scoresRaw(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
+  private def scoresRaw(docs: DataFrame, queryTerms: Seq[String]): DataFrame =
+    scoresRawTerms(docs,
+      col("term").isin(queryTerms.map(t => t: Any): _*), None)
+
+  /** scoresRaw with the query-term restriction given as either a filter
+    * predicate or a (term)-column frame to semi-join (the
+    * derived-query-terms path, e.g. more-like-this: terms come from a
+    * document, not a literal list — stays fully lazy, no driver
+    * collect). */
+  private def scoresRawTerms(docs: DataFrame,
+      termPred: org.apache.spark.sql.Column,
+      termFrame: Option[DataFrame]): DataFrame = {
     val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(queryTerms.map(t => t: Any): _*))
+    val exploded = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val restricted = termFrame match {
+      case Some(f) => exploded.join(broadcast(f), Seq("term"), "left_semi")
+      case None => exploded.filter(termPred)
+    }
+    val tf = restricted
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     scoreFrames(tf, df, lens, stats)
+  }
+
+  /** Hybrid retrieval — BM25 leg + embedding-cosine leg fused by
+    * reciprocal-rank fusion (Cormack et al. 2009: `Σ 1/(K + rank)`),
+    * formulated as more-like-this for a query document: the BM25 query
+    * is the document's distinct tokens (derived in-plan, no driver
+    * collect) and the vector query is its embedding (1-row broadcast).
+    *
+    * Rank discipline: each leg cuts to its top-N by (4-dp-rounded score
+    * desc, doc_id) — rounding keeps float-association noise out of rank
+    * boundaries (the q53 trade), and the window rank then runs on the
+    * N-bounded set, never the corpus (the q35 no-global-window
+    * discipline; N rows through one window partition is a constant).
+    * The query document itself is excluded from both legs. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, queryDocId: Long,
+      k: Int, topN: Int = 50, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = docs.filter(col("doc_id") === queryDocId)
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+    val bmTop = scoresRawTerms(docs, lit(true), Some(qTerms))
+      .filter(col("doc_id") =!= queryDocId)
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(topN)
+    val bmRank = bmTop.withColumn("r_bm",
+      row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_bm"))
+    val qVec = emb.filter(col("vec_id") === queryDocId).select(col("embedding").as("qe"))
+    val cosTop = emb.filter(col("vec_id") =!= queryDocId)
+      .crossJoin(broadcast(qVec))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.expressions.cosine_sim(col("embedding"), col("qe")), 4).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(topN)
+    val cosRank = cosTop.withColumn("r_cos",
+      row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_cos"))
+    bmRank.join(cosRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_cos")), lit(0.0))).as("rrf_raw"))
+      .orderBy(col("rrf_raw").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), round(col("rrf_raw"), 6).as("rrf"))
   }
 
   /** BM25 scores for ALL matching documents, rounded to 4 dp — the

@@ -229,6 +229,11 @@ object PipelineQueries {
     // lexicon sentiment (financial-news polarity) per document.
     "q61_sentiment" -> ((s, dir) => TextAnalysis.sentiment(docs(s, dir))),
 
+    // hybrid retrieval: BM25 more-like-this + embedding cosine, fused by
+    // reciprocal-rank fusion (query document 7; top-10 of 50-per-leg).
+    "q63_hybrid_search" -> ((s, dir) =>
+      Search.hybridSearch(docs(s, dir), emb(s, dir), queryDocId = 7L, k = 10)),
+
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
@@ -474,6 +479,42 @@ object PipelineQueries {
         |SELECT doc_id,
         |       array_to_string(list_slice(tk, greatest(1, pos - 3), pos + 3), ' ') AS snippet
         |  FROM p WHERE pos > 0""".stripMargin,
+
+    // Mirrors hybridSearch leg-for-leg: BM25 over the query doc's
+    // distinct tokens (constants interpolated as in q53), cosine via
+    // DOUBLE[]-cast list_cosine_similarity (the q35 recipe); each leg
+    // ranks on its 4-dp-rounded score (doc_id tiebreak) so float
+    // association noise cannot move a rank boundary; RRF terms cast to
+    // DOUBLE explicitly (a bare 1.0 is DECIMAL in DuckDB).
+    "q63_hybrid_search" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |qt AS (SELECT DISTINCT unnest(t) AS term FROM tk WHERE doc_id = 7),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |        WHERE term IN (SELECT term FROM qt)
+         |        GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm AS (SELECT doc_id,
+         |              round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+         |                    / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))), 4) AS s
+         |         FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+         |        WHERE doc_id <> 7 GROUP BY doc_id),
+         |bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r_bm
+         |          FROM (SELECT * FROM bm ORDER BY s DESC, doc_id LIMIT 50)),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 7),
+         |cs AS (SELECT vec_id AS doc_id,
+         |              round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS s
+         |         FROM embeddings CROSS JOIN qv WHERE vec_id <> 7),
+         |csr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r_cos
+         |          FROM (SELECT * FROM cs ORDER BY s DESC, doc_id LIMIT 50)),
+         |f AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         |             COALESCE(CAST(1 AS DOUBLE) / (60 + r_bm), CAST(0 AS DOUBLE))
+         |           + COALESCE(CAST(1 AS DOUBLE) / (60 + r_cos), CAST(0 AS DOUBLE)) AS rrf_raw
+         |        FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id)
+         |SELECT doc_id, round(rrf_raw, 6) AS rrf
+         |  FROM f ORDER BY rrf_raw DESC, doc_id LIMIT 10""".stripMargin,
 
     "q61_sentiment" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

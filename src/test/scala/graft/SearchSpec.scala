@@ -174,6 +174,31 @@ class SearchSpec extends AnyFunSuite {
     assert(got === Seq(("a", 2L), ("b", 1L))) // b before c: term-asc tiebreak
   }
 
+  test("hybridSearch fuses the two legs by RRF (hand-computed ranks)") {
+    // Legs disagree by construction: BM25 ranks doc1 > doc2 (doc3 absent);
+    // cosine ranks doc3 > doc2 > doc1. RRF(60): doc1 = 1/61 + 1/63,
+    // doc2 = 1/62 + 1/62, doc3 = 1/61 — fusion puts doc1 barely above
+    // doc2, and the text-absent doc3 last.
+    val d = Seq(
+      (0L, "spark"),            // the query document
+      (1L, "spark spark"),
+      (2L, "spark"),
+      (3L, "other words"))
+      .toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0f, 1f)),        // cos 0      → rank 3
+      (2L, Seq(1f, 1f)),        // cos ~0.707 → rank 2
+      (3L, Seq(1f, 0.1f)))      // cos ~0.995 → rank 1
+      .toDF("vec_id", "embedding")
+    val got = graft.ml.Search.hybridSearch(d, e, queryDocId = 0L, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, BigDecimal(1.0 / 61 + 1.0 / 63).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, BigDecimal(1.0 / 62 + 1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (3L, BigDecimal(1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("unigramLogProb matches the scalar formula; common text outranks rare text") {
     val rows = Seq(
       (1L, "a a b"),   // common tokens
