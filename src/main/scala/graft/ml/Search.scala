@@ -56,25 +56,23 @@ object Search {
   /** (doc_id, bm25_raw) for every document sharing >= 1 term with the
     * query — raw double scores, for callers that sort or threshold. */
   private def scoresRaw(docs: DataFrame, queryTerms: Seq[String]): DataFrame =
-    scoresRawTerms(docs,
-      col("term").isin(queryTerms.map(t => t: Any): _*), None)
+    scoresRawRestricted(docs,
+      _.filter(col("term").isin(queryTerms.map(t => t: Any): _*)))
 
-  /** scoresRaw with the query-term restriction given as either a filter
-    * predicate or a (term)-column frame to semi-join (the
-    * derived-query-terms path, e.g. more-like-this: terms come from a
-    * document, not a literal list — stays fully lazy, no driver
-    * collect). */
-  private def scoresRawTerms(docs: DataFrame,
-      termPred: org.apache.spark.sql.Column,
-      termFrame: Option[DataFrame]): DataFrame = {
+  /** scoresRaw with the query-term restriction given as a (term)-column
+    * frame to semi-join — the derived-query-terms path, e.g.
+    * more-like-this: terms come from a document, not a literal list
+    * (stays fully lazy, no driver collect). */
+  private def scoresRawTerms(docs: DataFrame, termFrame: DataFrame): DataFrame =
+    scoresRawRestricted(docs,
+      _.join(broadcast(termFrame), Seq("term"), "left_semi"))
+
+  private def scoresRawRestricted(docs: DataFrame,
+      restrict: DataFrame => DataFrame): DataFrame = {
     val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-    val exploded = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val restricted = termFrame match {
-      case Some(f) => exploded.join(broadcast(f), Seq("term"), "left_semi")
-      case None => exploded.filter(termPred)
-    }
-    val tf = restricted
+    val tf = restrict(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term")))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -95,25 +93,31 @@ object Search {
     * The query document itself is excluded from both legs. */
   def hybridSearch(docs: DataFrame, emb: DataFrame, queryDocId: Long,
       k: Int, topN: Int = 50, rrfK: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // The per-leg rank discipline in ONE place (it is oracle-coupled —
+    // the q63 SQL mirrors it clause-for-clause): cut to top-N by
+    // (rounded score desc, doc_id), then row_number the bounded set.
+    def topRanked(scored: DataFrame, topN: Int, rankCol: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .orderBy(col("s").desc, col("doc_id")).limit(topN)
+        .withColumn(rankCol,
+          row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+        .select(col("doc_id"), col(rankCol))
+    }
     val qTerms = docs.filter(col("doc_id") === queryDocId)
       .select(explode(array_distinct(split(col("text"), " "))).as("term"))
-    val bmTop = scoresRawTerms(docs, lit(true), Some(qTerms))
-      .filter(col("doc_id") =!= queryDocId)
-      .select(col("doc_id"), round(col("bm25_raw"), 4).as("s"))
-      .orderBy(col("s").desc, col("doc_id")).limit(topN)
-    val bmRank = bmTop.withColumn("r_bm",
-      row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_bm"))
+    val bmRank = topRanked(
+      scoresRawTerms(docs, qTerms)
+        .filter(col("doc_id") =!= queryDocId)
+        .select(col("doc_id"), round(col("bm25_raw"), 4).as("s")),
+      topN, "r_bm")
     val qVec = emb.filter(col("vec_id") === queryDocId).select(col("embedding").as("qe"))
-    val cosTop = emb.filter(col("vec_id") =!= queryDocId)
-      .crossJoin(broadcast(qVec))
-      .select(col("vec_id").as("doc_id"),
-        round(graft.functions.expressions.cosine_sim(col("embedding"), col("qe")), 4).as("s"))
-      .orderBy(col("s").desc, col("doc_id")).limit(topN)
-    val cosRank = cosTop.withColumn("r_cos",
-      row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_cos"))
+    val cosRank = topRanked(
+      emb.filter(col("vec_id") =!= queryDocId)
+        .crossJoin(broadcast(qVec))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.expressions.cosine_sim(col("embedding"), col("qe")), 4).as("s")),
+      topN, "r_cos")
     bmRank.join(cosRank, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         (coalesce(lit(1.0) / (lit(rrfK) + col("r_bm")), lit(0.0)) +
@@ -306,7 +310,7 @@ object Search {
       if (epochId == committed) false // retry of the committed epoch
       else if (epochId < committed)
         throw new IllegalStateException(
-          s"epoch regression: batch $epochId <= committed $committed at $path — " +
+          s"epoch regression: batch $epochId < committed $committed at $path — " +
             "a fresh stream checkpoint is writing to an existing index; " +
             "use a new indexPath or restore the original checkpoint")
       else if (batch.isEmpty) false

@@ -107,11 +107,12 @@ object CrawlQueries {
     * attachment): pull the symbols out of the raw html bytes of each
     * latest capture, explode to (url, ticker) grain — regexp + split +
     * generator, all codegen'd Catalyst builtins on the post-latest-wins
-    * (bounded) set. Shared by q44 and the q62 composition. */
-  private def tickerRows(s: SparkSession, dir: String): DataFrame = {
+    * (bounded) set. Takes the captures frame so q62 can derive both of
+    * its legs from ONE latest-wins computation. */
+  private def tickerRows(caps: DataFrame): DataFrame = {
     val raw = regexp_extract(col("html").cast("string"),
       "property=\"article:tickers\" content=\"([^\"]+)\"", 1)
-    latestCaptures(s, dir)
+    caps
       .filter(col("url").contains("/articles/"))
       .withColumn("ticker_csv", raw)
       .filter(col("ticker_csv") =!= "")
@@ -119,6 +120,15 @@ object CrawlQueries {
         explode(split(col("ticker_csv"), ",")).as("ticker"),
         size(split(col("ticker_csv"), ",")).as("n_tickers"))
   }
+
+  /** q07's parse-extract (latest capture → per-site parser text, empty
+    * extractions dropped) — shared by q07 and the q62 composition. */
+  private def parsedArticles(caps: DataFrame): DataFrame =
+    caps
+      .withColumn("host", try_parse_url(col("url"), lit("HOST")))
+      .withColumn("text", extractUdf(col("host"), col("html")))
+      .filter(col("text") =!= "")
+      .select(col("url"), col("text"))
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // op 1: Δ-scan with pushed-down predicate, html never read.
@@ -172,12 +182,7 @@ object CrawlQueries {
 
     // ops 35/47: whole-corpus parse — output IS the extracted text, so the
     // driver's hash compare verifies byte-identity per url (north_rule).
-    "q07_parse_extract" -> ((s, dir) =>
-      latestCaptures(s, dir)
-        .withColumn("host", try_parse_url(col("url"), lit("HOST")))
-        .withColumn("text_extracted", extractUdf(col("host"), col("html")))
-        .filter(col("text_extracted") =!= "")
-        .select(col("url"), col("text_extracted").as("text"))),
+    "q07_parse_extract" -> ((s, dir) => parsedArticles(latestCaptures(s, dir))),
 
     // op 18: per-host accounting.
     "q08_host_agg" -> ((s, dir) =>
@@ -284,7 +289,7 @@ object CrawlQueries {
     // the ticker symbols out of the raw html bytes of each latest capture,
     // explode to (url, ticker) grain — regexp + split + generator, all
     // codegen'd Catalyst builtins on the post-latest-wins (bounded) set.
-    "q44_tickers" -> ((s, dir) => tickerRows(s, dir)),
+    "q44_tickers" -> ((s, dir) => tickerRows(latestCaptures(s, dir))),
 
     // end-to-end news intelligence (the showcase composition a reference
     // user runs daily): crawl's latest captures → per-site parser text →
@@ -292,13 +297,10 @@ object CrawlQueries {
     // mean polarity. Every stage is an operator proven above (q07 + q44 +
     // q61); the join is a bounded equi-join on url.
     "q62_ticker_sentiment" -> ((s, dir) => {
-      val articles = latestCaptures(s, dir)
-        .withColumn("host", try_parse_url(col("url"), lit("HOST")))
-        .withColumn("text", extractUdf(col("host"), col("html")))
-        .filter(col("text") =!= "")
-        .select(col("url"), col("text"))
-      val sent = graft.ml.TextAnalysis.sentiment(articles, keyCols = Seq("url"))
-      tickerRows(s, dir)
+      val caps = latestCaptures(s, dir) // ONE latest-wins frame, both legs
+      val sent = graft.ml.TextAnalysis.sentiment(
+        parsedArticles(caps), keyCols = Seq("url"))
+      tickerRows(caps)
         .join(sent, Seq("url"))
         .groupBy("ticker")
         .agg(count(lit(1)).as("n_articles"),
