@@ -136,6 +136,36 @@ object expressions {
     override def prettyName: String = "shingles_n"
   }
 
+  /** Count of whitespace tokens of a string that belong to a FIXED plan-time
+    * word set — the lexicon-scan kernel under sentiment (q61/q62), language
+    * ID (q37) and the stopword ratio (q38). Replaces the
+    * `size(filter(split(text,' '), _.isin(words)))` HOF formulation, whose
+    * lambda evaluates INTERPRETED per token (the round-2 finding:
+    * higher-order functions are CodegenFallback); this is a codegen'd
+    * straight-line byte scan — token boundaries on ' ' (split(' ') grain:
+    * empty tokens can never match a non-empty lexicon word, so the count is
+    * identical), each token compared against the lexicon's UTF-8 bytes
+    * without decoding. The lexicon is a plan-time constant (like
+    * MinHashSig.numHashes) and small (3–5 words), so linear membership is
+    * the right structure — no hash set, no allocation per row. */
+  case class TokensInCount(child: Expression, words: Seq[String])
+      extends UnaryExpression {
+    require(words.nonEmpty && words.forall(_.nonEmpty),
+      "lexicon must be non-empty words")
+    @transient private lazy val wordBytes: Array[Array[Byte]] =
+      words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.countTokensIn(v.asInstanceOf[UTF8String], wordBytes)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lexicon", wordBytes, "byte[][]")
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.countTokensIn($x, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): TokensInCount =
+      copy(child = newChild)
+    override def prettyName: String = "tokens_in_count"
+  }
+
   /** Guarded percent-decoding for URL canonicalization: decode a %XX escape
     * ONLY when the decoded octet is an RFC 3986 unreserved character
     * (ALPHA / DIGIT / '-' / '.' / '_' / '~'); every other escape — and any
@@ -174,6 +204,8 @@ object expressions {
     Bridge.column(ShinglesN(Bridge.expression(c), n))
   def pct_decode_unreserved(c: Column): Column =
     Bridge.column(PctDecodeUnreserved(Bridge.expression(c)))
+  def tokens_in_count(c: Column, words: Seq[String]): Column =
+    Bridge.column(TokensInCount(Bridge.expression(c), words))
 
   /** Register all native functions for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -188,6 +220,8 @@ object expressions {
     Bridge.registerFunction(spark, "shingles_n", es =>
       ShinglesN(es(0), es(1).eval().asInstanceOf[Number].intValue()))
     Bridge.registerFunction(spark, "pct_decode_unreserved", es => PctDecodeUnreserved(es.head))
+    Bridge.registerFunction(spark, "tokens_in_count", es =>
+      TokensInCount(es.head, es.tail.map(_.eval().asInstanceOf[UTF8String].toString)))
   }
 }
 
@@ -329,6 +363,40 @@ object NativeOps {
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Lexicon token counter (see [[expressions.TokensInCount]]): one pass
+    * over the UTF-8 bytes, token boundaries at ' ' (split(' ') grain —
+    * empty tokens have length 0 and never match), each token compared
+    * byte-for-byte against the precompiled lexicon. Allocation-free. */
+  def countTokensIn(s: UTF8String, words: Array[Array[Byte]]): Int = {
+    val b = s.getBytes
+    val nb = b.length
+    var count = 0
+    var i = 0
+    var tokStart = 0
+    while (i <= nb) {
+      if (i == nb || b(i) == ' ') {
+        val len = i - tokStart
+        if (len > 0) {
+          var w = 0
+          var matched = false
+          while (w < words.length && !matched) {
+            val wb = words(w)
+            if (wb.length == len) {
+              var j = 0
+              while (j < len && wb(j) == b(tokStart + j)) j += 1
+              matched = j == len
+            }
+            w += 1
+          }
+          if (matched) count += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    count
   }
 
   private def hexVal(b: Byte): Int = {

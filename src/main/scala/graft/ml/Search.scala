@@ -400,6 +400,117 @@ object Search {
       .limit(k)
   }
 
+  /** Boolean retrieval — the third classic search query type (after
+    * ranked q53 and phrase q56): documents containing ALL `must` terms
+    * and NONE of `mustNot`. Postings shape, not a per-row array scan, so
+    * the SAME plan runs over the persisted index
+    * ([[booleanDocsFromIndex]]): distinct-term postings filter to the
+    * query terms BEFORE any aggregation (shuffles carry |q| terms ×
+    * matching docs), the conjunction is a count==|must| group (postings
+    * are distinct per doc, so count == matched-term count), and the
+    * exclusion is a left_anti join on doc_id. */
+  def booleanDocs(docs: DataFrame, must: Seq[String],
+      mustNot: Seq[String]): DataFrame = {
+    val postings = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    booleanFromPostings(postings, must, mustNot)
+  }
+
+  /** [[booleanDocs]] over the persisted index — no corpus scan: both term
+    * filters push into the postings-segment parquet scans (row-group
+    * pruning via the build-time term sort, same as
+    * [[bm25ScoresFromIndex]]). The index's tf table is (doc, term)-unique
+    * by construction, so it IS the distinct-term postings. Result ==
+    * [[booleanDocs]] over the indexed corpus (pinned in SearchSpec). */
+  def booleanDocsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, must: Seq[String], mustNot: Seq[String]): DataFrame = {
+    val m = readManifest(path)
+    booleanFromPostings(
+      readSegs(spark, path, "postings", m.segs), must, mustNot)
+  }
+
+  private def booleanFromPostings(postings: DataFrame, must: Seq[String],
+      mustNot: Seq[String]): DataFrame = {
+    require(must.nonEmpty, "boolean query needs at least one must term")
+    val hits = postings
+      .filter(col("term").isin(must.map(t => t: Any): _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === must.size)
+      .select("doc_id")
+    if (mustNot.isEmpty) hits
+    else hits.join(
+      postings.filter(col("term").isin(mustNot.map(t => t: Any): _*))
+        .select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Faceted search — the result-page facet panel: for documents matching
+    * `term`, hit counts per facet combination (e.g. source × lang).
+    * Term filter prunes the corpus first (a codegen'd array_contains map
+    * stage), then one hash aggregation on the facet grain — cardinality
+    * = the facet-value cross product, tiny next to the corpus. */
+  def searchFacets(docs: DataFrame, term: String,
+      facets: Seq[String]): DataFrame =
+    docs
+      .filter(array_contains(split(col("text"), " "), term))
+      .groupBy(facets.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Trending terms — burst detection over the publish timeline (the
+    * news-analytics "what's spiking today" query): per time bucket, each
+    * term's document frequency against its own all-bucket mean, ranked by
+    * that burst ratio. `bucketOf` maps a document row to its bucket (the
+    * fixture derives it from doc_id — publish time is doc_id-determined;
+    * production passes date_trunc of the publish timestamp).
+    *
+    * Plan shape at 100 TB: per-doc distinct explode → two-level hash agg
+    * on (bucket, term) — map-side combine collapses each partition's
+    * token stream; the per-term total re-aggregates the (bucket, term)
+    * frame (vocabulary-sized); the bucket count is a 1-row broadcast; the
+    * rank window partitions BY BUCKET over min-support-filtered
+    * vocabulary rows, never documents. The burst ratio
+    * `df_bucket * n_buckets / df_total` is integer×integer → one double
+    * division — bit-identical in the oracle (no sum-order noise), so the
+    * rank cut is stable; ties break term-asc. */
+  def trendingTerms(docs: DataFrame, bucketOf: org.apache.spark.sql.Column,
+      k: Int = 5, minDf: Long = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs.select(bucketOf.as("bucket"), col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val bucketDf = perDoc.groupBy("bucket", "term")
+      .agg(count(lit(1)).as("df_bucket"))
+    val totals = bucketDf.groupBy("term").agg(sum("df_bucket").as("df_total"))
+    val nb = bucketDf.select(col("bucket")).distinct()
+      .agg(count(lit(1)).as("n_buckets"))
+    val ratio = (col("df_bucket") * col("n_buckets")).cast("double") / col("df_total")
+    bucketDf
+      .join(totals, Seq("term"))
+      .crossJoin(broadcast(nb))
+      .filter(col("df_bucket") >= minDf)
+      .withColumn("ratio_raw", ratio)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("ratio_raw").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("bucket"), col("term"), col("df_bucket"),
+        round(col("ratio_raw"), 4).as("burst_ratio"), col("rank"))
+  }
+
+  /** Prefix autocomplete — the search-box suggestion query: the top-k
+    * corpus terms starting with `prefix`, ranked by document frequency.
+    * The dictionary derives from distinct-term postings (two-level hash
+    * agg), the prefix filter is a codegen'd startswith on the
+    * vocabulary-sized frame, and top-k is orderBy+limit =
+    * TakeOrderedAndProject. Over a persisted index this is a dfreq-table
+    * scan — vocabulary-sized, no corpus read. */
+  def prefixSuggest(docs: DataFrame, prefix: String, k: Int): DataFrame =
+    docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term").startsWith(prefix))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+
   /** Exact phrase search: documents containing `phrase` as consecutive
     * whitespace tokens. A phrase of n words IS a word n-gram, so this
     * reuses the native `shingles_n` kernel at width n(phrase):

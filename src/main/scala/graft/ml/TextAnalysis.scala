@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * token counting (whitespace + BPE-ish regex), fingerprinting (rolling
   * hash — see graft.functions.expressions.RollingHash).
   *
-  * Everything here is pure builtin Column algebra (codegen'd, zero UDFs) and
-  * mirrored 1:1 in the DuckDB oracle SQL. Ratios are exact small-integer
-  * rationals, rounded to 4 dp on both sides.
+  * Everything here is pure Column algebra (codegen'd, zero UDFs) — builtins
+  * plus the native codegen'd `tokens_in_count` lexicon kernel (the
+  * interpreted-HOF `filter(toks, isin)` scans were upgraded to it; see
+  * [[graft.functions.expressions.TokensInCount]]) — and mirrored 1:1 in the
+  * DuckDB oracle SQL. Ratios are exact small-integer rationals, rounded to
+  * 4 dp on both sides.
   */
 object TextAnalysis {
 
@@ -26,8 +29,13 @@ object TextAnalysis {
 
   private def toks(text: Column): Column = split(text, " ")
 
+  /** Lexicon hit count per document — the native codegen'd
+    * [[graft.functions.expressions.TokensInCount]] kernel (upgraded from
+    * the `size(filter(toks, isin))` HOF formulation, whose lambda ran
+    * interpreted per token — the round-2 CodegenFallback finding; parity
+    * pinned in MlSpec). */
   private def markerScore(text: Column, markers: Seq[String]): Column =
-    size(filter(toks(text), t => t.isin(markers.map(m => lit(m): Any): _*)))
+    graft.functions.expressions.tokens_in_count(text, markers)
 
   /** Language-ID scores + argmax prediction (ties broken by the fixed lang
     * order de < en < es < fr < zh, identical in the oracle SQL). */
@@ -49,7 +57,7 @@ object TextAnalysis {
     val t = toks(col("text"))
     val nTok = size(t)
     val nChars = length(col("text"))
-    val stop = size(filter(t, x => x.isin(Stopwords.map(s => lit(s): Any): _*)))
+    val stop = markerScore(col("text"), Stopwords)
     val nonAlnum = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
     docs.select(
       col("doc_id"),
@@ -100,20 +108,19 @@ object TextAnalysis {
     * analysis (Loughran–McDonald-style word lists; the fixture vocabulary
     * stands in for the LM lexicon): per document, positive/negative hit
     * counts at the token grain and the normalized polarity
-    * `(n_pos - n_neg) / n_tokens`, labeled by sign. Builtin Column
-    * algebra, no explode, no shuffle — a map stage that pipelines into
-    * the scan. NOTE the two `filter` lambdas are higher-order functions
-    * and evaluate INTERPRETED (the round-2 finding; same trade as
-    * quality/langId's marker scans): acceptable for two short lexicon
-    * passes per row; the native-Expression upgrade path (the
-    * shingles_n/minhash_sig pattern) exists if this becomes hot. */
+    * `(n_pos - n_neg) / n_tokens`, labeled by sign. A pure map stage that
+    * pipelines into the scan — no explode, no shuffle; the two lexicon
+    * passes run through the native codegen'd `tokens_in_count` kernel
+    * (upgraded this round from interpreted HOF `filter` lambdas — the
+    * round-2 CodegenFallback finding; same upgrade path shingles_n and
+    * minhash_sig took; parity pinned in MlSpec). */
   def sentiment(docs: DataFrame,
       positive: Seq[String] = Seq("fast", "big", "value"),
       negative: Seq[String] = Seq("slow", "small", "error"),
       keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val t = toks(col("text"))
-    val nPos = size(filter(t, x => x.isin(positive.map(w => w: Any): _*)))
-    val nNeg = size(filter(t, x => x.isin(negative.map(w => w: Any): _*)))
+    val nPos = markerScore(col("text"), positive)
+    val nNeg = markerScore(col("text"), negative)
     val polarity = round((nPos - nNeg).cast("double") / size(t), 4)
     docs.select(keyCols.map(col) ++ Seq(
       nPos.as("n_pos"),

@@ -307,6 +307,22 @@ object CrawlQueries {
           round(avg("polarity"), 4).as("mean_polarity"))
     }),
 
+    // ticker co-mention graph (the financial-news knowledge-graph
+    // primitive: "which symbols move together in coverage"): for each
+    // article's ticker set, every unordered pair, counted across
+    // articles. The pair join is a self-equi-join on url over the
+    // (url, ticker) grain — per-article ticker sets are bounded (≤ a few
+    // symbols), so the per-url expansion is constant-bounded and the
+    // output is |tickers|² edges at most, tiny next to the corpus.
+    "q67_ticker_comention" -> ((s, dir) => {
+      val tr = tickerRows(latestCaptures(s, dir)).select("url", "ticker")
+      tr.toDF("url", "t1")
+        .join(tr.toDF("url", "t2"), Seq("url"))
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_articles"))
+    }),
+
     // ops 43/5/29: the full multi-batch crawl with checkpointed state; output
     // is the canonically-ordered article log. Oracle: the sequential crawler
     // (ScalaTest golden parity) — iterative state is not DuckDB-expressible.
@@ -569,6 +585,28 @@ object CrawlQueries {
          |SELECT ticker, count(*) AS n_articles, round(avg(polarity), 4) AS mean_polarity
          |  FROM tk JOIN sent USING (url)
          | GROUP BY ticker""".stripMargin,
+
+    // Pairs over the proven q44 ticker relation (same CTEs), self-joined
+    // on url with t1 < t2 — the unordered co-mention edge list.
+    "q67_ticker_comention" ->
+      s"""WITH art AS (
+         |  SELECT DISTINCT 'https://' || source || '.example.com/articles/' || doc_id AS url,
+         |         CAST(doc_id AS BIGINT) AS doc_id
+         |    FROM documents
+         |),
+         |x AS (
+         |  SELECT url, doc_id,
+         |         unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS j
+         |    FROM art
+         |),
+         |tk AS (
+         |  SELECT url,
+         |         (['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA','META','NFLX','INTC','AMD','IBM','ORCL'])[CAST((doc_id + 7*j) % 12 AS INT) + 1] AS ticker
+         |    FROM x
+         |)
+         |SELECT a.ticker AS t1, b.ticker AS t2, count(*) AS n_articles
+         |  FROM tk a JOIN tk b ON a.url = b.url AND a.ticker < b.ticker
+         | GROUP BY t1, t2""".stripMargin,
 
     "q09_link_extract" ->
       s"""WITH ranked AS (

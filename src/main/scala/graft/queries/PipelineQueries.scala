@@ -229,6 +229,28 @@ object PipelineQueries {
     // lexicon sentiment (financial-news polarity) per document.
     "q61_sentiment" -> ((s, dir) => TextAnalysis.sentiment(docs(s, dir))),
 
+    // boolean retrieval (ALL must terms, NO mustNot terms) — postings
+    // shape, so the same plan runs over the persisted index (parity
+    // pinned in SearchSpec against booleanDocsFromIndex).
+    "q64_boolean_search" -> ((s, dir) =>
+      Search.booleanDocs(docs(s, dir), BoolMust, BoolMustNot)),
+
+    // faceted search: per-(source, lang) hit counts for one term — the
+    // result-page facet panel.
+    "q65_search_facets" -> ((s, dir) =>
+      Search.searchFacets(docs(s, dir), "spark", Seq("source", "lang"))),
+
+    // trending terms: per-time-bucket burst ratio vs the term's all-bucket
+    // mean (the fixture's publish time is doc_id-determined, so the bucket
+    // derives from doc_id — integral division, no doubles).
+    "q66_trending_terms" -> ((s, dir) =>
+      Search.trendingTerms(docs(s, dir),
+        expr(s"doc_id div $TrendBucketWidth"), k = 5, minDf = 4)),
+
+    // prefix autocomplete: top-k dictionary terms by document frequency.
+    "q68_prefix_suggest" -> ((s, dir) =>
+      Search.prefixSuggest(docs(s, dir), SuggestPrefix, k = 10)),
+
     // hybrid retrieval: BM25 more-like-this + embedding cosine, fused by
     // reciprocal-rank fusion (query document 7; top-10 of 50-per-leg).
     "q63_hybrid_search" -> ((s, dir) =>
@@ -245,6 +267,18 @@ object PipelineQueries {
 
   /** q56's phrase — occurs in a handful of sf0.01 fixture docs. */
   val PhraseNeedle: String = "row column sort"
+
+  /** q64's boolean query — mid-frequency terms so the conjunction and the
+    * exclusion both prune. */
+  val BoolMust: Seq[String] = Seq("spark", "merge")
+  val BoolMustNot: Seq[String] = Seq("error")
+
+  /** q66's time bucket width in doc_ids (publish time is doc_id-determined
+    * in the fixture: EPOCH + doc_id minutes). */
+  val TrendBucketWidth: Int = 64
+
+  /** q68's autocomplete prefix. */
+  val SuggestPrefix: String = "s"
 
   /** Shared by q53 (inline) and q57 (persisted index) — same relation. */
   private val Bm25OracleSql: String =
@@ -515,6 +549,54 @@ object PipelineQueries {
          |        FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id)
          |SELECT doc_id, round(rrf_raw, 6) AS rrf
          |  FROM f ORDER BY rrf_raw DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Must/mustNot terms interpolated from BoolMust/BoolMustNot — engine
+    // and oracle cannot drift.
+    "q64_boolean_search" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents)
+         |SELECT doc_id FROM t
+         | WHERE ${BoolMust.map(m => s"list_contains(tk, '$m')").mkString(" AND ")}
+         |   AND ${BoolMustNot.map(m => s"NOT list_contains(tk, '$m')").mkString(" AND ")}""".stripMargin,
+
+    "q65_search_facets" ->
+      """SELECT source, lang, count(*) AS n_docs
+        |  FROM documents
+        | WHERE list_contains(string_split(text,' '), 'spark')
+        | GROUP BY source, lang""".stripMargin,
+
+    // Mirrors trendingTerms clause-for-clause. The burst ratio is ONE
+    // double division of exact integers ((df_bucket * n_buckets) * 1.0 /
+    // df_total), bit-identical on both sides, so the rank boundary cannot
+    // move; ties break term-asc. `//` is DuckDB's integral division =
+    // Spark's `div`.
+    "q66_trending_terms" ->
+      s"""WITH p AS (SELECT doc_id // $TrendBucketWidth AS bucket, doc_id,
+         |                  unnest(list_distinct(string_split(text,' '))) AS term
+         |             FROM documents),
+         |bdf AS (SELECT bucket, term, count(*) AS df_bucket FROM p GROUP BY bucket, term),
+         |tot AS (SELECT term, CAST(sum(df_bucket) AS BIGINT) AS df_total FROM bdf GROUP BY term),
+         |nb AS (SELECT count(DISTINCT bucket) AS n_buckets FROM bdf),
+         |r AS (SELECT bucket, term, df_bucket,
+         |             (df_bucket * n_buckets) * 1.0 / df_total AS ratio_raw
+         |        FROM bdf JOIN tot USING (term) CROSS JOIN nb
+         |       WHERE df_bucket >= 4),
+         |w AS (SELECT bucket, term, df_bucket, ratio_raw,
+         |             ROW_NUMBER() OVER (PARTITION BY bucket
+         |                                ORDER BY ratio_raw DESC, term) AS rank
+         |        FROM r)
+         |SELECT bucket, term, df_bucket, round(ratio_raw, 4) AS burst_ratio, rank
+         |  FROM w WHERE rank <= 5""".stripMargin,
+
+    // Prefix interpolated from SuggestPrefix (starts_with, not LIKE — no
+    // pattern-char escaping concerns).
+    "q68_prefix_suggest" ->
+      s"""WITH p AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+         |             FROM documents)
+         |SELECT term, count(*) AS df FROM p
+         | WHERE starts_with(term, '$SuggestPrefix')
+         | GROUP BY term
+         | ORDER BY df DESC, term
+         | LIMIT 10""".stripMargin,
 
     "q61_sentiment" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

@@ -108,6 +108,28 @@ class MlSpec extends AnyFunSuite {
       .select(graft.ml.Dedup.shingles3($"text")).collect().head
     assert(nullRow.isNullAt(0))
 
+    // Native tokens_in_count == the retired HOF formulation
+    // size(filter(split(text,' '), isin(words))) on every adversarial
+    // tokenization case above plus lexicon-specific ones (codegen path —
+    // projection over a DataFrame — against the builtin HOF evaluated on
+    // the same rows).
+    val lex = Seq("a", "straße", "的")
+    val lexCases = cases ++ Seq("aa a a", "a  a", "ab ba a", "straße 的 x")
+    val parity = lexCases.toDF("text")
+      .select($"text",
+        tokens_in_count($"text", lex).as("native"),
+        size(filter(split($"text", " "),
+          x => x.isin(lex.map(w => w: Any): _*))).as("hof"))
+      .as[(String, Int, Int)].collect()
+    for ((c, n, h) <- parity) assert(n === h, s"tokens_in_count diverges on '$c'")
+    // NULL text → NULL count; driver-side eval == codegen
+    val nullCnt = Seq((1L, null: String)).toDF("id", "text")
+      .select(tokens_in_count($"text", lex)).collect().head
+    assert(nullCnt.isNullAt(0))
+    assert(graft.functions.NativeOps.countTokensIn(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aa a a"),
+      lex.map(_.getBytes("UTF-8")).toArray) === 2)
+
     // Generalized widths (shingles_n): n=1 = distinct tokens in order,
     // n=2 bigrams, n=8 (the decontamination grain), n > tokens = empty.
     import graft.functions.expressions.shingles_n

@@ -275,6 +275,65 @@ class SearchSpec extends AnyFunSuite {
     assert(truth.nonEmpty, "seed must exercise the positive case")
   }
 
+  test("booleanDocs: conjunction + exclusion hand truth; index path == scan path") {
+    // corpus: spark ∈ {1,2}, merge ∈ {1,3}, row ∈ {2}, table ∈ {1,4}
+    def ids(df: org.apache.spark.sql.DataFrame) = df.as[Long].collect().toSet
+    assert(ids(Search.booleanDocs(corpus, Seq("spark", "merge"), Nil)) === Set(1L))
+    assert(ids(Search.booleanDocs(corpus, Seq("spark"), Seq("row"))) === Set(1L))
+    assert(ids(Search.booleanDocs(corpus, Seq("spark", "merge"), Seq("table"))) === Set.empty[Long])
+    assert(ids(Search.booleanDocs(corpus, Seq("merge"), Nil)) === Set(1L, 3L))
+    // the persisted-index flavor reproduces the scan flavor exactly
+    val dir = java.nio.file.Files.createTempDirectory("boolidx").toString + "/idx"
+    Search.saveIndex(corpus, dir)
+    for ((must, not) <- Seq(
+        (Seq("spark", "merge"), Seq.empty[String]),
+        (Seq("spark"), Seq("row")),
+        (Seq("merge"), Seq("table"))))
+      assert(ids(Search.booleanDocsFromIndex(spark, dir, must, not))
+        === ids(Search.booleanDocs(corpus, must, not)),
+        s"index/scan diverge on must=$must not=$not")
+  }
+
+  test("trendingTerms: burst ratio hand truth; min-support filter; per-bucket rank") {
+    // bucket 0 = docs {0,1}, bucket 1 = docs {2,3} (bucket = doc_id div 2).
+    // alpha appears in all 4 docs (ratio 1.0 everywhere); beta only in
+    // bucket 1 (ratio 2.0 — the burst); x0/x1 are singletons killed by
+    // minDf=2.
+    val rows = Seq(
+      (0L, "alpha x0"), (1L, "alpha x1"),
+      (2L, "alpha beta"), (3L, "alpha beta")).toDF("doc_id", "text")
+    val got = Search.trendingTerms(rows, expr("doc_id div 2"), k = 2, minDf = 2)
+      .as[(Long, String, Long, Double, Int)].collect().toSet
+    assert(got === Set(
+      (0L, "alpha", 2L, 1.0, 1),
+      (1L, "beta", 2L, 2.0, 1),
+      (1L, "alpha", 2L, 1.0, 2)))
+  }
+
+  test("prefixSuggest: df ranking, term-asc ties, k cutoff") {
+    // s-terms in `corpus` by df: spark 2, scan 1, sort 1 (term-asc tie).
+    val got = Search.prefixSuggest(corpus, "s", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("spark", 2L), ("scan", 1L)))
+    assert(Search.prefixSuggest(corpus, "s", k = 10)
+      .as[(String, Long)].collect().toSeq
+      === Seq(("spark", 2L), ("scan", 1L), ("sort", 1L)))
+  }
+
+  test("q67 co-mention == unordered pairs recomputed from the q44 ticker rows") {
+    val dir = "/root/testdata/sf0.001"
+    val t44 = SparkEntry.queries("q44_tickers")(spark, dir)
+      .select("url", "ticker").as[(String, String)].collect()
+    val expected = t44.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.map(_._2).sorted
+      for (i <- ts.indices; j <- (i + 1) until ts.length) yield (ts(i), ts(j))
+    }.groupBy(identity).map { case ((a, b), v) => (a, b, v.size.toLong) }.toSet
+    val got = SparkEntry.queries("q67_ticker_comention")(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must exercise the positive case")
+  }
+
   test("piiScrub masks emails/IPs/phones with counts; idempotent; clean text untouched") {
     val rows = Seq(
       (1L, "write to bob.smith@corp-mail.io or +1-555-0042 from 10.0.0.7 now"),
