@@ -169,6 +169,59 @@ object Corpus {
   def dedupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     connectedComponents(Dedup.ngramJaccardPairs(docs, threshold))
 
+  /** Fixed-iteration weighted PageRank — the second iterative graph
+    * operator next to [[connectedComponents]] (entity/link authority:
+    * which nodes sit at the center of the co-mention / link graph).
+    * `edges` is DIRECTED (src, dst, w); pass both directions for an
+    * undirected graph. A fixed iteration count (the production norm —
+    * power iteration converges geometrically, and a pinned count keeps
+    * runs reproducible) rather than a convergence test keeps the oracle
+    * expressible: the DuckDB side unrolls the same `iters` rounds.
+    *
+    * Per round: rank'(v) = (1-d)/N + d * Σ_{(u,v)∈E} rank(u)·w(u,v)/outw(u)
+    * — an equi-join of the rank table to the edge list on src, a hash agg
+    * on dst, and a left join back to the node set (nodes without in-edges
+    * keep the teleport mass; dangling-node mass leaks, the standard
+    * simplification — co-mention graphs are symmetric so none exist
+    * there). Every step is a shuffled equi-join/agg keyed on node id — no
+    * driver-side graph, no windows; N rides a 1-row broadcast. For large
+    * `iters` the lineage grows linearly — reuse the CC checkpoint pattern
+    * (localCheckpoint / checkpointDir every few rounds) if iters ≫ 10;
+    * at the pinned 3 rounds the single plan is the faster shape.
+    *
+    * Float discipline: (1-d) is computed ONCE in Scala and interpolated
+    * into the oracle (1.0-0.85 is 0.15000000000000002 in IEEE — writing
+    * `1 - 0.85` in SQL would yield exact DECIMAL 0.15, a different
+    * double); per-edge terms are left-assoc rank*w/outw on both sides;
+    * only the in-mass sum's addition order differs, absorbed by the 6-dp
+    * output rounding. */
+  def pagerankFixed(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nCount = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val teleport = (1.0 - damping) // Scala-evaluated; oracle interpolates it
+    var ranks = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to iters) {
+      val inMass = edges
+        .join(outw, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") * col("w") / col("outw")).as("c"))
+        .groupBy("node").agg(sum("c").as("cin"))
+      ranks = nodes
+        .join(inMass, Seq("node"), "left")
+        .crossJoin(broadcast(nCount))
+        .select(col("node"),
+          (lit(teleport) / col("n_nodes") +
+            lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
+  }
+
   /** Benchmark decontamination: which corpus documents share at least
     * `minOverlap` distinct word n-grams with the eval set?
     *

@@ -121,6 +121,23 @@ object CrawlQueries {
         size(split(col("ticker_csv"), ",")).as("n_tickers"))
   }
 
+  /** q69's PageRank damping — interpolated into the oracle together with
+    * the Scala-computed teleport mass 1-d (see Corpus.pagerankFixed's
+    * float-discipline note: `1 - 0.85` in SQL would be exact DECIMAL
+    * 0.15, a DIFFERENT double than IEEE 1.0-0.85). */
+  val PrDamping: Double = 0.85
+
+  /** q67's co-mention edge list (t1 < t2, per-article pair counts) —
+    * shared by q67 and the q69 PageRank over the same graph. */
+  private def comentionPairs(s: SparkSession, dir: String): DataFrame = {
+    val tr = tickerRows(latestCaptures(s, dir)).select("url", "ticker")
+    tr.toDF("url", "t1")
+      .join(tr.toDF("url", "t2"), Seq("url"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_articles"))
+  }
+
   /** q07's parse-extract (latest capture → per-site parser text, empty
     * extractions dropped) — shared by q07 and the q62 composition. */
   private def parsedArticles(caps: DataFrame): DataFrame =
@@ -314,13 +331,21 @@ object CrawlQueries {
     // (url, ticker) grain — per-article ticker sets are bounded (≤ a few
     // symbols), so the per-url expansion is constant-bounded and the
     // output is |tickers|² edges at most, tiny next to the corpus.
-    "q67_ticker_comention" -> ((s, dir) => {
-      val tr = tickerRows(latestCaptures(s, dir)).select("url", "ticker")
-      tr.toDF("url", "t1")
-        .join(tr.toDF("url", "t2"), Seq("url"))
-        .filter(col("t1") < col("t2"))
-        .groupBy("t1", "t2")
-        .agg(count(lit(1)).as("n_articles"))
+    "q67_ticker_comention" -> ((s, dir) => comentionPairs(s, dir)),
+
+    // entity authority over the co-mention graph: fixed-3-iteration
+    // weighted PageRank (the second iterative graph operator next to
+    // q46's connected components) — which tickers sit at the center of
+    // coverage, not just who co-occurs most. Edge weights are the q67
+    // pair counts, symmetrized.
+    "q69_ticker_pagerank" -> ((s, dir) => {
+      val pairs = comentionPairs(s, dir)
+      val edges = pairs
+        .select(col("t1").as("src"), col("t2").as("dst"), col("n_articles").as("w"))
+        .union(pairs
+          .select(col("t2").as("src"), col("t1").as("dst"), col("n_articles").as("w")))
+      graft.ml.Corpus.pagerankFixed(edges, iters = 3, damping = PrDamping)
+        .withColumnRenamed("node", "ticker")
     }),
 
     // ops 43/5/29: the full multi-batch crawl with checkpointed state; output
@@ -607,6 +632,55 @@ object CrawlQueries {
          |SELECT a.ticker AS t1, b.ticker AS t2, count(*) AS n_articles
          |  FROM tk a JOIN tk b ON a.url = b.url AND a.ticker < b.ticker
          | GROUP BY t1, t2""".stripMargin,
+
+    // Fixed-3-iteration PageRank over the q67 graph, UNROLLED (r0..r3) —
+    // the same per-round formula the engine computes; teleport (1-d) and
+    // d interpolated from the Scala vals so both sides use the identical
+    // doubles. Only the in-mass sum's addition order differs; 6-dp output
+    // rounding absorbs it.
+    "q69_ticker_pagerank" -> {
+      val t = s"CAST(${1.0 - PrDamping} AS DOUBLE)"
+      val d = s"CAST($PrDamping AS DOUBLE)"
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |         $t / nn.n + $d * COALESCE(c.cin, CAST(0 AS DOUBLE)) AS rank
+           |    FROM nodes CROSS JOIN nn
+           |    LEFT JOIN (SELECT e.dst AS node, sum(p.rank * e.w / o.outw) AS cin
+           |                 FROM edges e JOIN outw o USING (src) JOIN $prev p ON p.node = e.src
+           |                GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
+      s"""WITH art AS (
+         |  SELECT DISTINCT 'https://' || source || '.example.com/articles/' || doc_id AS url,
+         |         CAST(doc_id AS BIGINT) AS doc_id
+         |    FROM documents
+         |),
+         |x AS (
+         |  SELECT url, doc_id,
+         |         unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS j
+         |    FROM art
+         |),
+         |tk AS (
+         |  SELECT url,
+         |         (['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA','META','NFLX','INTC','AMD','IBM','ORCL'])[CAST((doc_id + 7*j) % 12 AS INT) + 1] AS ticker
+         |    FROM x
+         |),
+         |pairs AS (
+         |  SELECT a.ticker AS t1, b.ticker AS t2, count(*) AS w
+         |    FROM tk a JOIN tk b ON a.url = b.url AND a.ticker < b.ticker
+         |   GROUP BY t1, t2
+         |),
+         |edges AS (SELECT t1 AS src, t2 AS dst, w FROM pairs
+         |          UNION ALL SELECT t2 AS src, t1 AS dst, w FROM pairs),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")}
+         |SELECT node AS ticker, round(rank, 6) AS pagerank FROM r3""".stripMargin
+    },
 
     "q09_link_extract" ->
       s"""WITH ranked AS (

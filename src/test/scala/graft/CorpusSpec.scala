@@ -269,4 +269,37 @@ class CorpusSpec extends AnyFunSuite {
       ("en", "a", 3L, 1), ("en", "b", 3L, 2),
       ("de", "x", 2L, 1), ("de", "y", 1L, 2)))
   }
+
+  test("pagerankFixed == scalar power iteration; uniform on a regular graph") {
+    // Weighted path a—b—c (symmetrized): the center accumulates rank.
+    val path = Seq(
+      ("a", "b", 1L), ("b", "a", 1L),
+      ("b", "c", 2L), ("c", "b", 2L)).toDF("src", "dst", "w")
+    // Scalar reference, identical formula/constants.
+    val d = 0.85
+    val nodes = Seq("a", "b", "c")
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 2L), ("c", "b", 2L))
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = nodes.map(_ -> 1.0 / 3).toMap
+    for (_ <- 1 to 3) {
+      val in = nodes.map { v =>
+        v -> edges.filter(_._2 == v).map { case (u, _, w) => rank(u) * w / outw(u) }.sum
+      }.toMap
+      rank = nodes.map(v => v -> ((1.0 - d) / 3 + d * in(v))).toMap
+    }
+    val got = Corpus.pagerankFixed(path, iters = 3, damping = d)
+      .as[(String, Double)].collect().toMap
+    for (v <- nodes)
+      assert(math.abs(got(v) - rank(v)) < 5e-7, s"$v: got ${got(v)}, want ${rank(v)}")
+    assert(got("b") > got("a") && got("b") > got("c"), "center of the path dominates")
+    // Regular symmetric graph (triangle, equal weights): stationary from
+    // the uniform start — every iteration preserves 1/n exactly.
+    val tri = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a"))
+      .map { case (s, t) => (s, t, 1L) }.toDF("src", "dst", "w")
+    val uni = Corpus.pagerankFixed(tri, iters = 3, damping = d)
+      .as[(String, Double)].collect().toMap
+    for (v <- nodes) assert(math.abs(uni(v) - 1.0 / 3) < 5e-7) // 6-dp output grain
+    // Total mass conserved (no dangling nodes in a symmetric graph).
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
 }
