@@ -293,6 +293,58 @@ object Corpus {
       .filter(col("bucket") < permille)
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
 
+  /** Domain-mixture resampling — draw the LARGEST corpus that exactly
+    * matches a target source distribution (the "data mixing" step of a
+    * training pipeline: rebalance a crawl whose natural mix over-weights
+    * some domains). Targets are normalized shares per source; sources
+    * absent from `targets` are dropped; a target source with no documents
+    * caps the feasible total at 0 (you cannot satisfy a mixture from an
+    * empty stratum — surfaced, not silently renormalized).
+    *
+    * quota_s = floor(T·p_s) with T = min_s floor(n_s/p_s) — the binding
+    * source fills completely, every other source downsamples to keep the
+    * ratio. Selection within a source is DETERMINISTIC: rank by a Lehmer
+    * permutation of doc_id (same family as [[sampleBucket]], wider
+    * modulus so ranking ties are rare; doc_id tie-break makes the order
+    * total) and keep the first quota_s — stable across re-runs,
+    * partitionings and cluster sizes, and exactly mirrorable by a SQL
+    * row_number oracle.
+    *
+    * Scale shape: counts/caps/quotas are source-cardinality frames on a
+    * broadcast; the per-source rank does NOT use a per-source window
+    * (one task per source = the skew trap when one domain dominates a
+    * 10^10-doc crawl) — it reuses [[graft.operators.GlobalOrder]]:
+    * range-partition by (source, hkey, doc_id) so a dominant source
+    * SPREADS across many range partitions, then per-source rank =
+    * global rank − the source's min rank (a source-cardinality offset
+    * join). */
+  def mixtureSample(docs: DataFrame, targets: Seq[(String, Double)],
+      parts: Int = 32): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "shares must be > 0")
+    val z = targets.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targets.map { case (s, p) => (s, p / z) }.toDF("source", "p")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val caps = broadcast(tgt).join(counts, Seq("source"), "left")
+      .select(col("source"), col("p"),
+        floor(coalesce(col("n"), lit(0L)).cast("double") / col("p"))
+          .cast("long").as("cap"))
+    val quotas = caps.crossJoin(broadcast(caps.agg(min("cap").as("t"))))
+      .select(col("source"),
+        floor(col("t") * col("p")).cast("long").as("quota"))
+    val hkey = pmod(col("doc_id") * 48271L + 11L, lit(1000003L))
+    val ranked = graft.operators.GlobalOrder.withRank(
+      docs.join(broadcast(quotas), Seq("source"))
+        .select(col("source"), col("doc_id"), col("quota"), hkey.as("hkey")),
+      Seq(col("source"), col("hkey"), col("doc_id")), parts, "grank")
+    val offsets = ranked.groupBy("source").agg(min("grank").as("off"))
+    ranked.join(broadcast(offsets), Seq("source"))
+      .withColumn("rnk", col("grank") - col("off") + 1L)
+      .filter(col("rnk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rnk"))
+  }
+
   /** End-to-end corpus curation — the composed training-data pipeline in
     * ONE DataFrame: a document survives iff it
     *  (1) is not part of the eval/benchmark slice,

@@ -528,4 +528,110 @@ object Search {
         graft.functions.expressions.shingles_n(col("text"), tokens.length), needle))
       .select(col("doc_id"))
   }
+
+  /** TF-IDF keyword extraction — the top-k most characteristic terms per
+    * document (doc tagging / related-article features; the classic
+    * per-document summary an indexer exports next to BM25's per-query
+    * ranking).
+    *
+    * Plan shape at 100 TB: tf is the usual two-level hash agg (map-side
+    * combine collapses repeats pre-shuffle, the shuffle carries
+    * (doc, term, k)); df re-aggregates the tf frame's vocabulary-keyed
+    * side and joins back on the term key (vocabulary-sized build side —
+    * AQE broadcasts from measured size); N rides a 1-row broadcast. The
+    * top-k rank window partitions BY DOCUMENT over that doc's distinct
+    * terms — a frame bounded by document length, never corpus-sized (the
+    * no-global-window discipline of q35/q63).
+    *
+    * Float discipline: score = tf · ln(N/df) — one int×double multiply of
+    * one libm log per row, no sums, so Spark and the oracle compute the
+    * same double up to libm's 1-ulp bound; the rank ORDERS ON THE
+    * 4-dp-ROUNDED score (term-asc tie-break) so a sub-ulp wiggle cannot
+    * move a rank boundary (q63's rounded-rank-cut rule). */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val score = round(col("tf") * log(col("n_docs") / col("df")), 4)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "tfidf", "rank")
+  }
+
+  /** Proximity search — documents where `termA` and `termB` occur within
+    * `w` token positions of each other (news search's phrase-adjacent
+    * query type: "merger NEAR/5 lawsuit").
+    *
+    * Plan shape at 100 TB: posexplode then FILTER TO THE TWO TERMS before
+    * anything else — the join input carries only the two terms' position
+    * lists, a |hits| frame, never the corpus token stream; the pairing is
+    * an equi-join on doc_id between two slices of that filtered frame
+    * (band predicate |pa-pb| ≤ w applied post-join on the bounded
+    * per-doc position lists), and the output dedups on doc_id with a
+    * semi-style distinct. Position base (0- vs 1-based) cancels in the
+    * absolute difference, so the oracle's 1-based ordinality matches. */
+  def proximityDocs(docs: DataFrame, termA: String, termB: String,
+      w: Int): DataFrame = {
+    require(termA != termB, "proximity needs two distinct terms")
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+      .filter(col("term").isin(termA, termB))
+    val a = pos.filter(col("term") === termA).select(col("doc_id"), col("p").as("pa"))
+    val b = pos.filter(col("term") === termB).select(col("doc_id"), col("p").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= w)
+      .select("doc_id").distinct()
+  }
+
+  /** Fuzzy term lookup — dictionary terms within Levenshtein distance 1
+    * of each query string, ranked by document frequency (the "did you
+    * mean" / typo-tolerant suggestion box).
+    *
+    * Scale shape: the naive plan is |queries| × |vocabulary| levenshtein
+    * calls — a cross join that dies when both sides are large. This uses
+    * the SymSpell deletion-neighborhood instead (Garbe 2012, public
+    * domain): a pair at distance ≤ 1 MUST share a key in
+    * {t} ∪ deletions1(t) (equal → t itself; deletion/insertion → one IS
+    * a 1-deletion of the other; substitution at i → both 1-deletions at
+    * i agree), so candidates come from an EQUI-JOIN on the deletion key
+    * — vocabulary-side keys ≈ |V| · (avg_len+1), query-side the same,
+    * shuffle on short strings. The neighborhood over-generates at
+    * exactly distance 2 (e.g. transposed affixes sharing a middle
+    * deletion), so a codegen'd `levenshtein ≤ 1` verify filters the
+    * candidate set — |candidates| rows, never |V|·|Q|.
+    *
+    * The deletion keys are built with sequence/transform HOFs — these
+    * run interpreted (the round-2 finding), but ONLY over the
+    * vocabulary/query frames, never the corpus token stream; the
+    * corpus-sized work (vocab extraction) stays in the codegen'd
+    * two-level agg. */
+  def fuzzySuggest(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val vocab = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    def delKeys(c: org.apache.spark.sql.Column) =
+      array_union(
+        array(c),
+        transform(sequence(lit(0), length(c) - 1),
+          i => concat(c.substr(lit(1), i), c.substr(i + lit(2), length(c)))))
+    val vk = vocab.select(col("term"), col("df"),
+      explode(delKeys(col("term"))).as("key"))
+    val qk = queries.select(col("q"),
+      explode(delKeys(col("q"))).as("key"))
+    import org.apache.spark.sql.expressions.Window
+    vk.join(qk, Seq("key"))
+      .filter(levenshtein(col("q"), col("term")) <= 1)
+      .select("q", "term", "df").distinct() // shared keys → dup candidate pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("df").desc, col("term"))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -348,6 +348,63 @@ object CrawlQueries {
         .withColumnRenamed("node", "ticker")
     }),
 
+    // per-ticker hourly sentiment time series with a 3-bucket moving
+    // average — the trading-desk view of the q62 composition. Every leg
+    // is the proven q07/q44/q61 operator; the MA window partitions BY
+    // TICKER over that ticker's hourly rollup (an entity-grain frame,
+    // never articles). Both means run ENTIRELY in exact integer 1e-4
+    // units (polarity is already 4-dp-rounded, so ×10000 sits ON an
+    // integer): sum, then half-away-from-zero INTEGER division, then one
+    // exact /10000.0 — no float round() anywhere. A float avg of few
+    // rounded values lands on .00005 boundaries where Spark (rounds the
+    // double's shortest DECIMAL string) and DuckDB (rounds the BINARY
+    // value) disagree — it happened twice at sf0.01 before this shape.
+    "q70_ticker_hourly" -> ((s, dir) => {
+      val caps = latestCaptures(s, dir)
+      val sent = graft.ml.TextAnalysis.sentiment(
+        parsedArticles(caps), keyCols = Seq("url"))
+      val hours = caps.select(col("url"),
+        date_trunc("hour", col("warc_ts")).as("hour"))
+      val w = Window.partitionBy(col("ticker")).orderBy(col("hour"))
+        .rowsBetween(-2, 0)
+      tickerRows(caps)
+        .join(sent, Seq("url")).join(hours, Seq("url"))
+        .groupBy("ticker", "hour")
+        .agg(count(lit(1)).as("n_articles"),
+          sum(round(col("polarity") * 10000).cast("long")).as("pol_e4"))
+        .withColumn("mean_e4", expr(
+          "(CASE WHEN pol_e4 < 0 THEN -1 ELSE 1 END) * ((2*abs(pol_e4) + n_articles) div (2*n_articles))"))
+        .withColumn("s3", sum(col("mean_e4")).over(w))
+        .withColumn("c3", count(lit(1)).over(w))
+        .withColumn("ma3_e4", expr(
+          "(CASE WHEN s3 < 0 THEN -1 ELSE 1 END) * ((2*abs(s3) + c3) div (2*c3))"))
+        .select(col("ticker"), col("hour"), col("n_articles"),
+          (col("mean_e4") / 10000.0).as("mean_polarity"),
+          (col("ma3_e4") / 10000.0).as("ma3"))
+    }),
+
+    // per-ticker article-volume anomaly: each (ticker, hour) count as a
+    // z-score against the ticker's own hourly distribution (the "unusual
+    // coverage spike" alert). Per-ticker mean/stddev is an entity-grain
+    // aggregate attached by broadcast; the mean of integer counts is an
+    // exact integer sum ÷ n on both engines, so only stddev's sub-ulp
+    // accumulation order differs — absorbed by the 4-dp rounding.
+    // Single-bucket tickers have no sample stddev → z_score NULL.
+    "q71_ticker_volume_anomaly" -> ((s, dir) => {
+      val caps = latestCaptures(s, dir)
+      val hours = caps.select(col("url"),
+        date_trunc("hour", col("warc_ts")).as("hour"))
+      val hourly = tickerRows(caps).join(hours, Seq("url"))
+        .groupBy("ticker", "hour").agg(count(lit(1)).as("n_articles"))
+      val stats = hourly.groupBy("ticker")
+        .agg(avg("n_articles").as("mu"), stddev_samp("n_articles").as("sd"))
+      hourly.join(broadcast(stats), Seq("ticker"))
+        .withColumn("z_score",
+          when(col("sd").isNull || col("sd") === 0, lit(null).cast("double"))
+            .otherwise(round((col("n_articles") - col("mu")) / col("sd"), 4)))
+        .select("ticker", "hour", "n_articles", "z_score")
+    }),
+
     // ops 43/5/29: the full multi-batch crawl with checkpointed state; output
     // is the canonically-ordered article log. Oracle: the sequential crawler
     // (ScalaTest golden parity) — iterative state is not DuckDB-expressible.
@@ -681,6 +738,83 @@ object CrawlQueries {
          |${round("r2", "r3")}
          |SELECT node AS ticker, round(rank, 6) AS pagerank FROM r3""".stripMargin
     },
+
+    // The q62 pieces (latest-wins, tickers, sentiment) at the hourly
+    // grain, plus the ROWS-frame moving average. Both means run in exact
+    // integer 1e-4 units with integer half-away-from-zero division (see
+    // the entry comment) — the only float op is the final exact /10000.0.
+    "q70_ticker_hourly" ->
+      s"""$PagesCte,
+         |latest AS (
+         |  SELECT url, text, warc_ts,
+         |         ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, raw_url DESC) AS rn
+         |    FROM canon),
+         |art AS (
+         |  SELECT url, text, warc_ts,
+         |         CAST(regexp_extract(url, 'articles/([0-9]+)', 1) AS BIGINT) AS doc_id
+         |    FROM latest
+         |   WHERE rn = 1 AND text <> '' AND url LIKE '%/articles/%'),
+         |x AS (SELECT url, doc_id,
+         |             unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS j
+         |        FROM art),
+         |tk AS (SELECT url,
+         |              (['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA','META','NFLX','INTC','AMD','IBM','ORCL'])[CAST((doc_id + 7*j) % 12 AS INT) + 1] AS ticker
+         |         FROM x),
+         |sent AS (
+         |  SELECT url,
+         |         round((len(list_filter(string_split(text,' '), t -> t IN ('fast','big','value')))
+         |              - len(list_filter(string_split(text,' '), t -> t IN ('slow','small','error')))) * 1.0
+         |              / len(string_split(text,' ')), 4) AS polarity
+         |    FROM art),
+         |hourly AS (
+         |  SELECT ticker, date_trunc('hour', warc_ts) AS hour, count(*) AS n_articles,
+         |         CAST(sum(CAST(round(polarity * 10000) AS BIGINT)) AS BIGINT) AS pol_e4
+         |    FROM tk JOIN sent USING (url) JOIN art USING (url)
+         |   GROUP BY ticker, hour),
+         |m AS (
+         |  SELECT *, (CASE WHEN pol_e4 < 0 THEN -1 ELSE 1 END)
+         |            * ((2*abs(pol_e4) + n_articles) // (2*n_articles)) AS mean_e4
+         |    FROM hourly),
+         |wm AS (
+         |  SELECT *, CAST(sum(mean_e4) OVER w AS BIGINT) AS s3, count(*) OVER w AS c3
+         |    FROM m
+         |  WINDOW w AS (PARTITION BY ticker ORDER BY hour
+         |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         |SELECT ticker, hour, n_articles,
+         |       mean_e4 / CAST(10000 AS DOUBLE) AS mean_polarity,
+         |       ((CASE WHEN s3 < 0 THEN -1 ELSE 1 END)
+         |        * ((2*abs(s3) + c3) // (2*c3))) / CAST(10000 AS DOUBLE) AS ma3
+         |  FROM wm""".stripMargin,
+
+    // No text filter here — ticker extraction succeeds independently of
+    // the extracted text (mirrors tickerRows exactly).
+    "q71_ticker_volume_anomaly" ->
+      s"""$PagesCte,
+         |latest AS (
+         |  SELECT url, warc_ts,
+         |         ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, raw_url DESC) AS rn
+         |    FROM canon),
+         |art AS (
+         |  SELECT url, warc_ts,
+         |         CAST(regexp_extract(url, 'articles/([0-9]+)', 1) AS BIGINT) AS doc_id
+         |    FROM latest
+         |   WHERE rn = 1 AND url LIKE '%/articles/%'),
+         |x AS (SELECT url, warc_ts, doc_id,
+         |             unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS j
+         |        FROM art),
+         |tk AS (SELECT url, warc_ts,
+         |              (['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA','META','NFLX','INTC','AMD','IBM','ORCL'])[CAST((doc_id + 7*j) % 12 AS INT) + 1] AS ticker
+         |         FROM x),
+         |hourly AS (
+         |  SELECT ticker, date_trunc('hour', warc_ts) AS hour, count(*) AS n_articles
+         |    FROM tk GROUP BY ticker, hour),
+         |st AS (
+         |  SELECT ticker, avg(n_articles) AS mu, stddev_samp(n_articles) AS sd
+         |    FROM hourly GROUP BY ticker)
+         |SELECT ticker, hour, n_articles,
+         |       CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+         |            ELSE round((n_articles - mu) / sd, 4) END AS z_score
+         |  FROM hourly JOIN st USING (ticker)""".stripMargin,
 
     "q09_link_extract" ->
       s"""WITH ranked AS (

@@ -259,7 +259,32 @@ object PipelineQueries {
     // flagship composed pipeline: quality gate + decontamination +
     // dedup-keeper selection + deterministic sample, one DataFrame.
     "q50_curate" -> ((s, dir) =>
-      Corpus.curate(docs(s, dir), col("doc_id") % 37 === 0))
+      Corpus.curate(docs(s, dir), col("doc_id") % 37 === 0)),
+
+    // per-document TF-IDF keyword extraction: the top-3 most
+    // characteristic terms per doc (doc tagging next to BM25's per-query
+    // ranking); rank cuts on the 4-dp-rounded score.
+    "q72_tfidf_keywords" -> ((s, dir) =>
+      Search.tfidfKeywords(docs(s, dir), k = 3)),
+
+    // proximity search: documents where the two terms occur within
+    // ProxWindow token positions ("merger NEAR/5 lawsuit").
+    "q73_proximity_search" -> ((s, dir) =>
+      Search.proximityDocs(docs(s, dir), ProxTermA, ProxTermB, ProxWindow)),
+
+    // fuzzy term lookup (typo tolerance): dictionary terms within edit
+    // distance 1 of each query, by df — SymSpell deletion-neighborhood
+    // equi-join + levenshtein verify, never a vocab × queries cross join.
+    "q74_fuzzy_suggest" -> ((s, dir) => {
+      import s.implicits._
+      Search.fuzzySuggest(docs(s, dir),
+        FuzzyNeedles.toDF("q"), k = 10)
+    }),
+
+    // domain-mixture resampling: the largest deterministic sub-corpus
+    // matching the target source shares (training-data mixing).
+    "q75_source_mixture" -> ((s, dir) =>
+      Corpus.mixtureSample(docs(s, dir), MixTargets))
   )
 
   /** q53's query — mid-frequency fixture vocabulary so df varies by term. */
@@ -279,6 +304,20 @@ object PipelineQueries {
 
   /** q68's autocomplete prefix. */
   val SuggestPrefix: String = "s"
+
+  /** q73's proximity query: both mid-frequency fixture terms, window in
+    * token positions (base-0 vs base-1 cancels in the |pa-pb| band). */
+  val ProxTermA: String = "spark"
+  val ProxTermB: String = "merge"
+  val ProxWindow: Int = 5
+
+  /** q74's typo'd needles: one deletion, one substitution, one exact,
+    * one with no distance-1 vocabulary neighbor. */
+  val FuzzyNeedles: Seq[String] = Seq("sprk", "merje", "table", "zzzzz")
+
+  /** q75's target source shares (normalized by the operator). */
+  val MixTargets: Seq[(String, Double)] =
+    Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
 
   /** Shared by q53 (inline) and q57 (persisted index) — same relation. */
   private val Bm25OracleSql: String =
@@ -597,6 +636,79 @@ object PipelineQueries {
          | GROUP BY term
          | ORDER BY df DESC, term
          | LIMIT 10""".stripMargin,
+
+    // score = tf · ln(N/df): one int×double multiply of one libm log —
+    // no sums — and the rank orders on the 4-dp-ROUNDED score, so a
+    // sub-ulp libm difference cannot move a rank boundary.
+    "q72_tfidf_keywords" ->
+      """WITH tfc AS (SELECT doc_id, term, count(*) AS tf
+        |               FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |                       FROM documents) AS u
+        |              GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, round(tf * ln(n_docs / df), 4) AS tfidf
+        |        FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        |w AS (SELECT doc_id, term, tf, tfidf,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                ORDER BY tfidf DESC, term) AS rank
+        |        FROM s)
+        |SELECT doc_id, term, tf, tfidf, rank FROM w WHERE rank <= 3""".stripMargin,
+
+    // DuckDB's zipped unnests give 1-based positions vs posexplode's
+    // 0-based — the offset cancels in |pa - pb|.
+    "q73_proximity_search" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+         |p AS (SELECT doc_id, unnest(tk) AS term,
+         |             unnest(generate_series(1, len(tk))) AS pos
+         |        FROM t),
+         |a AS (SELECT doc_id, pos AS pa FROM p WHERE term = '$ProxTermA'),
+         |b AS (SELECT doc_id, pos AS pb FROM p WHERE term = '$ProxTermB')
+         |SELECT DISTINCT a.doc_id
+         |  FROM a JOIN b USING (doc_id)
+         | WHERE abs(pa - pb) <= $ProxWindow""".stripMargin,
+
+    // The oracle runs the semantically-defining cross filter
+    // (levenshtein ≤ 1 over the whole vocabulary) — the engine's
+    // deletion-neighborhood candidates ⊇ this set and its verify filter
+    // equals it, so the relations agree by construction.
+    "q74_fuzzy_suggest" ->
+      s"""WITH v AS (SELECT term, count(*) AS df
+         |             FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+         |                     FROM documents) AS u
+         |            GROUP BY term),
+         |qs AS (SELECT unnest([${FuzzyNeedles.map(q => s"'$q'").mkString(",")}]) AS q),
+         |c AS (SELECT qs.q, v.term, v.df
+         |        FROM qs JOIN v ON levenshtein(qs.q, v.term) <= 1),
+         |w AS (SELECT q, term, df,
+         |             ROW_NUMBER() OVER (PARTITION BY q ORDER BY df DESC, term) AS rank
+         |        FROM c)
+         |SELECT q, term, df, rank FROM w WHERE rank <= 10""".stripMargin,
+
+    // Normalized shares are interpolated as Scala-computed doubles (via
+    // string→double parse, correctly rounded) so both sides compute the
+    // identical caps/quotas; the per-source rank mirrors the engine's
+    // GlobalOrder-minus-offset rank (equal given the total sort order).
+    "q75_source_mixture" -> {
+      val z = MixTargets.map(_._2).sum
+      val vals = MixTargets
+        .map { case (s, p) => s"('$s', CAST('${p / z}' AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH tgt AS (SELECT * FROM (VALUES $vals) AS t(source, p)),
+         |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |caps AS (SELECT tgt.source, tgt.p,
+         |                CAST(floor(COALESCE(cnt.n, 0) / tgt.p) AS BIGINT) AS cap
+         |           FROM tgt LEFT JOIN cnt USING (source)),
+         |tmin AS (SELECT min(cap) AS t FROM caps),
+         |quotas AS (SELECT source, CAST(floor(tmin.t * p) AS BIGINT) AS quota
+         |             FROM caps CROSS JOIN tmin),
+         |r AS (SELECT d.source, d.doc_id, q.quota,
+         |             ROW_NUMBER() OVER (PARTITION BY d.source
+         |               ORDER BY ((d.doc_id * 48271 + 11) % 1000003 + 1000003) % 1000003,
+         |                        d.doc_id) AS rnk
+         |        FROM documents d JOIN quotas q USING (source))
+         |SELECT source, doc_id, rnk FROM r WHERE rnk <= quota""".stripMargin
+    },
 
     "q61_sentiment" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

@@ -302,4 +302,35 @@ class CorpusSpec extends AnyFunSuite {
     // Total mass conserved (no dangling nodes in a symmetric graph).
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
+
+  test("mixtureSample: exact quotas, deterministic hash-rank selection, empty-stratum cap") {
+    // a: 10 docs, b: 6, c: 4; targets 0.5/0.3/0.2 (already normalized).
+    val docs = ((0L to 9L).map(("a", _)) ++ (10L to 15L).map(("b", _)) ++
+      (16L to 19L).map(("c", _))).toDF("source", "doc_id")
+    val targets = Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    // Scalar mirror of the quota formula (same double ops).
+    val z = targets.map(_._2).sum
+    val n = Map("a" -> 10L, "b" -> 6L, "c" -> 4L)
+    val p = targets.map { case (s, w) => s -> w / z }.toMap
+    val t = targets.map { case (s, _) => math.floor(n(s) / p(s)).toLong }.min
+    val quota = p.map { case (s, ps) => s -> math.floor(t * ps).toLong }
+    // Scalar mirror of the per-source hash-rank selection.
+    def hkey(id: Long) = (id * 48271L + 11L) % 1000003L
+    val want = (for {
+      (s, ids) <- Seq("a" -> (0L to 9L), "b" -> (10L to 15L), "c" -> (16L to 19L))
+      (id, i) <- ids.sortBy(id => (hkey(id), id)).zipWithIndex
+      if i < quota(s)
+    } yield (s, id, i + 1L)).toSet
+    val got = Corpus.mixtureSample(docs, targets, parts = 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === want)
+    // proportions hold exactly at the quota grain
+    assert(got.groupBy(_._1).view.mapValues(_.size.toLong).toMap === quota)
+    // partitioning-invariance: same result from a different physical layout
+    val re = Corpus.mixtureSample(docs.repartition(7), targets, parts = 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(re === want)
+    // a target source with no documents caps the feasible total at 0
+    assert(Corpus.mixtureSample(docs, targets :+ ("ghost" -> 0.1)).count() === 0L)
+  }
 }

@@ -358,4 +358,113 @@ class SearchSpec extends AnyFunSuite {
     assert(twice.map(r => (r._1, r._5)).toSeq === got.map(r => (r._1, r._5)).toSeq)
     assert(twice.forall(r => r._2 == 0 && r._3 == 0 && r._4 == 0))
   }
+
+  test("tfidfKeywords matches the scalar formula; rank cuts on rounded score") {
+    val d = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "c d d")).toDF("doc_id", "text")
+    // df: a=2, b=1, c=2, d=1; N=3.
+    def s(tf: Long, df: Long) =
+      BigDecimal(tf * math.log(3.0 / df)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Search.tfidfKeywords(d, k = 2)
+      .as[(Long, String, Long, Double, Int)].collect().toSet
+    val want = Set(
+      (1L, "b", 1L, s(1, 1), 1), (1L, "a", 2L, s(2, 2), 2),
+      (2L, "a", 1L, s(1, 2), 1), (2L, "c", 1L, s(1, 2), 2), // tie → term asc
+      (3L, "d", 2L, s(2, 1), 1), (3L, "c", 1L, s(1, 2), 2))
+    assert(got === want)
+  }
+
+  test("proximityDocs: band hit, band miss, missing term, order-symmetric") {
+    val d = Seq(
+      (1L, "x spark y merge"),                       // |1-3| = 2 ≤ 2 → hit
+      (2L, "spark a b c d e f merge"),               // |0-7| = 7 > 2 → miss
+      (3L, "spark only here"),                       // merge absent → miss
+      (4L, "merge then later spark"),                // |0-3| = 3 > 2 → miss
+      (5L, "merge spark")).toDF("doc_id", "text")    // |0-1| = 1 → hit
+    val got = Search.proximityDocs(d, "spark", "merge", w = 2)
+      .as[Long].collect().toSet
+    assert(got === Set(1L, 5L))
+    // multiple in-band pairs still yield ONE row per doc
+    val multi = Seq((9L, "spark merge spark merge")).toDF("doc_id", "text")
+    assert(Search.proximityDocs(multi, "spark", "merge", w = 3).count() === 1)
+  }
+
+  test("fuzzySuggest == brute-force levenshtein≤1 over the vocabulary") {
+    val d = Seq(
+      (1L, "spark spork merge table tables"),
+      (2L, "spark stark chart merge")).toDF("doc_id", "text")
+    val queries = Seq("spark", "sprk", "tble", "merje", "zzzzz", "par")
+    // brute-force truth over the distinct-term vocabulary with df
+    val vocab = Map( // term -> df (docs containing it)
+      "spark" -> 2L, "spork" -> 1L, "merge" -> 2L, "table" -> 1L,
+      "tables" -> 1L, "stark" -> 1L, "chart" -> 1L)
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val want = (for {
+      q <- queries
+      (t, df) <- vocab if lev(q, t) <= 1
+    } yield (q, t, df)).groupBy(_._1).flatMap { case (_, hits) =>
+      hits.sortBy { case (_, t, df) => (-df, t) }.zipWithIndex
+        .map { case ((q, t, df), i) => (q, t, df, i + 1) }
+    }.toSet
+    val got = Search.fuzzySuggest(d, queries.toDF("q"), k = 10)
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(want.exists(_._1 == "sprk"), "deletion case must fire")
+    assert(!want.exists(_._1 == "zzzzz"), "no distance-1 neighbor")
+    assert(want.count(_._1 == "spark") >= 2, "exact + substitution neighbors")
+  }
+
+  test("q70/q71 ticker analytics are self-consistent on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    // q70: the committed MA3 equals a re-computation from its own hourly
+    // means (frame = up to 3 trailing observed buckets, ordered by hour).
+    val hourly = graft.queries.CrawlQueries
+      .entries("q70_ticker_hourly")(spark, dir)
+      .as[(String, java.sql.Timestamp, Long, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    assert(hourly.nonEmpty)
+    hourly.groupBy(_._1).foreach { case (_, rows) =>
+      rows.zipWithIndex.foreach { case ((_, _, _, _, ma3), i) =>
+        val frame = rows.slice(math.max(0, i - 2), i + 1).map(_._4)
+        // the exact integer-1e-4-unit mean the entry computes
+        val s = frame.map(v => math.round(v * 10000)).sum
+        val c = frame.length
+        val sg = if (s < 0) -1L else 1L
+        val want = sg * ((2 * math.abs(s) + c) / (2 * c)) / 10000.0
+        assert(math.abs(ma3 - want) < 1e-12, s"ma3 $ma3 vs $want")
+      }
+    }
+    // q71: z-scores recompute from the hourly counts; single-bucket
+    // tickers carry NULL.
+    val vol = graft.queries.CrawlQueries
+      .entries("q71_ticker_volume_anomaly")(spark, dir)
+      .as[(String, java.sql.Timestamp, Long, Option[Double])]
+      .collect()
+    assert(vol.nonEmpty)
+    vol.groupBy(_._1).foreach { case (_, rows) =>
+      val ns = rows.map(_._3.toDouble)
+      if (ns.length == 1) assert(rows.head._4.isEmpty)
+      else {
+        val mu = ns.sum / ns.length
+        val sd = math.sqrt(ns.map(x => (x - mu) * (x - mu)).sum / (ns.length - 1))
+        rows.foreach { case (_, _, n, z) =>
+          if (sd == 0) assert(z.isEmpty)
+          else {
+            val want = BigDecimal((n - mu) / sd)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            assert(math.abs(z.get - want) < 1e-9, s"z ${z.get} vs $want")
+          }
+        }
+      }
+    }
+  }
 }
