@@ -326,7 +326,9 @@ object Corpus {
     import spark.implicits._
     val tgt = targets.map { case (s, p) => (s, p / z) }.toDF("source", "p")
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
-    val caps = broadcast(tgt).join(counts, Seq("source"), "left")
+    // broadcast the RIGHT side: a left outer join cannot build left, so a
+    // broadcast hint there is silently ignored (HintErrorLogger warns)
+    val caps = tgt.join(broadcast(counts), Seq("source"), "left")
       .select(col("source"), col("p"),
         floor(coalesce(col("n"), lit(0L)).cast("double") / col("p"))
           .cast("long").as("cap"))
