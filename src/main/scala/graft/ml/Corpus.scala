@@ -385,6 +385,82 @@ object Corpus {
     } finally shingled.unpersist(false)
   }
 
+  /** Per-source document-length quantiles — the corpus-profiling pass a
+    * curation pipeline runs before setting quality-gate thresholds (q50's
+    * minTokens is exactly a number read off this table). Exact
+    * percentiles with linear interpolation at rank p·(n−1) — the same
+    * definition (R type 7) DuckDB's quantile_cont and numpy's default
+    * use, so the oracle mirrors it; sub-ulp interpolation noise is
+    * absorbed by the 4-dp output rounding.
+    *
+    * Scale note: Spark's exact `percentile` aggregates a value→count map
+    * per group — bounded memory HERE because token counts live in a
+    * small integer domain (a length histogram), which is the common case
+    * for corpus profiling. For unbounded/continuous domains use
+    * [[lengthQuantilesApprox]]: a single-pass mergeable quantile sketch
+    * with fixed memory per group — the 100 TB default when the value
+    * domain is not known to be small. */
+  def lengthQuantiles(docs: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    quantileShape(docs, ps)((dl, pArr) => percentile(dl, pArr))
+
+  /** [[lengthQuantiles]] via `percentile_approx` (Greenwald-Khanna
+    * sketch): one pass, fixed memory, MERGEABLE partial states — partial
+    * sketches combine across partitions/segments like the HLL sketches
+    * below, so the plan shape survives any corpus size. Returns rank-
+    * accurate (±1/accuracy) ACTUAL data values, not interpolated ones —
+    * no DuckDB oracle (different definition); bounded-error vs the exact
+    * path is pinned in CorpusSpec. */
+  def lengthQuantilesApprox(docs: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99), accuracy: Int = 10000): DataFrame =
+    quantileShape(docs, ps)((dl, pArr) =>
+      percentile_approx(dl, pArr, lit(accuracy)))
+
+  private def quantileShape(docs: DataFrame, ps: Seq[Double])(
+      agg: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps in [0,1]")
+    val dl = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    dl.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        agg(col("dl"), array(ps.map(lit): _*)).as("qs"))
+      .select(col("source") +: col("n_docs") +:
+        ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("qs"), i + 1), 4)
+            .as(s"p${math.round(p * 100)}") }: _*)
+  }
+
+  /** Per-source distinct-token estimates as MERGEABLE HyperLogLog
+    * sketches (Apache DataSketches HLL via Spark's hll_sketch_agg) — the
+    * sketch-architecture flavor of distinct counting (q10 uses the
+    * monolithic approx_count_distinct): each partition builds a partial
+    * sketch, partials merge associatively, and STORED sketches keep
+    * merging — per-segment sketches union into corpus totals without
+    * rescanning, the same lifecycle as the inverted index's segments.
+    * Returns (source, n_tokens_est). Estimates are sketch-valued (no
+    * DuckDB counterpart): rows-only in the gate; the ±5% accuracy bound
+    * and union-vs-global merge identity are pinned in CorpusSpec. */
+  def distinctTokenSketches(docs: DataFrame, lgK: Int = 12): DataFrame =
+    tokenSketches(docs, lgK)
+      .select(col("source"),
+        hll_sketch_estimate(col("sk")).as("n_tokens_est"))
+
+  /** The per-source HLL sketch table itself (source, sk: binary) — the
+    * persistable artifact; [[mergeTokenSketches]] folds any set of them
+    * into one estimate. */
+  def tokenSketches(docs: DataFrame, lgK: Int = 12): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("tok"), lit(lgK)).as("sk"))
+
+  /** Union-merge a sketch table to one global distinct estimate — the
+    * re-aggregation step (segments → corpus) that makes the sketch
+    * architecture scale: no raw-data rescan, sketch-sized shuffle. */
+  def mergeTokenSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_tokens_est"))
+
   /** Per-language top-k tokens by frequency (tie-break token asc): the
     * corpus-statistics pass (vocabulary head) of a training-data pipeline.
     * Explode → two-level hash agg (partial map-side combine collapses the

@@ -591,6 +591,80 @@ object Search {
       .select("doc_id").distinct()
   }
 
+  /** Saved-alert evaluation — the standing-query side of a news engine:
+    * a TABLE of boolean alerts (alert_id, must: array<string>,
+    * must_not: array<string>) evaluated against the corpus in ONE plan,
+    * returning every (alert_id, doc_id) where the document contains ALL
+    * of the alert's must terms and NONE of its must_not terms. [[
+    * booleanDocs]] answers one ad-hoc query; this is the multi-query
+    * batch a production alerting tier runs per crawl batch.
+    *
+    * Plan shape at 100 TB: the alert table is the SMALL dimension
+    * (thousands of alerts vs billions of documents). Must and must_not
+    * terms fold into ONE flagged alert-term dim (alert_id, term,
+    * w = 1/0, n_terms) on a broadcast, so the whole operator is ONE
+    * corpus scan → one broadcast inner join (which both prunes the token
+    * stream to alert-relevant postings and fans each posting out to its
+    * alerts) → one hash agg on (alert_id, doc_id): a match is
+    * `sum(w) == |distinct must|` (every must term hit, postings are
+    * distinct per doc) AND `count == sum(w)` (no must_not row joined —
+    * the exclusion needs no second scan or anti join). Per-alert terms
+    * are deduplicated in-plan (array_distinct) so a sloppy alert
+    * definition cannot break the count conjunction.
+    *
+    * An alert with an empty must list matches nothing (it contributes no
+    * w=1 rows, and docs with none of its must_not terms never join) —
+    * surfaced semantics, not an error: match-everything standing queries
+    * are a different operator. */
+  def matchAlerts(docs: DataFrame, alerts: DataFrame): DataFrame = {
+    val nTerms = size(array_distinct(col("must"))).as("n_terms")
+    val must = alerts.select(col("alert_id"), nTerms,
+      explode(array_distinct(col("must"))).as("term"), lit(1L).as("w"))
+    val mustNot = alerts.select(col("alert_id"), nTerms,
+      explode(array_distinct(col("must_not"))).as("term"), lit(0L).as("w"))
+    val at = must.unionByName(mustNot)
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .join(broadcast(at), Seq("term"))
+      .groupBy("alert_id", "doc_id", "n_terms")
+      .agg(sum("w").as("n_hit"), count(lit(1)).as("n_rows"))
+      .filter(col("n_hit") === col("n_terms") && col("n_rows") === col("n_hit"))
+      .select("alert_id", "doc_id")
+  }
+
+  /** Next-word suggestion — the bigram language model behind a search
+    * box's type-ahead: for a seed term, the top-k tokens that FOLLOW it
+    * in the corpus, with the bigram's conditional probability
+    * p(next | seed) = n(seed, next) / Σ n(seed, ·).
+    *
+    * Plan shape at 100 TB: a codegen'd array_contains filter prunes the
+    * corpus to seed-containing documents FIRST (the q59/q65 discipline —
+    * the bigram construction never touches non-matching documents); the
+    * pairing is arrays_zip of two slice views of the token array (all
+    * codegen'd builtins, no lambda HOF on the corpus path, no shuffle of
+    * token streams); counts are a two-level hash agg on the next-term
+    * key; the seed total rides a 1-row broadcast; top-k is orderBy+limit
+    * = TakeOrderedAndProject. p is int/int in one double division —
+    * bit-identical in the oracle, so the (n desc, next) rank cut is
+    * stable. */
+  def nextWords(docs: DataFrame, seed: String, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val c = docs
+      .filter(array_contains(toks, seed))
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2"))).as("bg"))
+      .filter(col("bg.w1") === seed)
+      .groupBy(col("bg.w2").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").as("tot"))
+    c.crossJoin(broadcast(tot))
+      .select(col("next"), col("n"),
+        round(col("n") * lit(1.0) / col("tot"), 4).as("p"))
+      .orderBy(col("n").desc, col("next")).limit(k)
+  }
+
   /** Fuzzy term lookup — dictionary terms within Levenshtein distance 1
     * of each query string, ranked by document frequency (the "did you
     * mean" / typo-tolerant suggestion box).

@@ -284,8 +284,44 @@ object PipelineQueries {
     // domain-mixture resampling: the largest deterministic sub-corpus
     // matching the target source shares (training-data mixing).
     "q75_source_mixture" -> ((s, dir) =>
-      Corpus.mixtureSample(docs(s, dir), MixTargets))
+      Corpus.mixtureSample(docs(s, dir), MixTargets)),
+
+    // saved-alert evaluation: a TABLE of standing boolean queries
+    // (must/mustNot) matched against the corpus in one plan — the
+    // multi-query batch of q64.
+    "q76_alerts" -> ((s, dir) => {
+      import s.implicits._
+      Search.matchAlerts(docs(s, dir),
+        AlertRows.toDF("alert_id", "must", "must_not"))
+    }),
+
+    // corpus profiling: per-source doc-length percentiles (exact,
+    // type-7 interpolation — quantile_cont's definition); the approx
+    // sketch path is lengthQuantilesApprox (CorpusSpec-pinned).
+    "q77_length_quantiles" -> ((s, dir) =>
+      Corpus.lengthQuantiles(docs(s, dir))),
+
+    // bigram next-word suggestion: top-k followers of the seed term
+    // with conditional probability.
+    "q78_next_word" -> ((s, dir) =>
+      Search.nextWords(docs(s, dir), "spark", k = 10)),
+
+    // mergeable-sketch distinct counting: per-source HLL distinct-token
+    // estimates (sketch-valued — rows-only; accuracy + merge identity
+    // pinned in CorpusSpec).
+    "q79_hll_distinct" -> ((s, dir) =>
+      Corpus.distinctTokenSketches(docs(s, dir)))
   )
+
+  /** q76's standing alerts: a two-term conjunction with an exclusion, a
+    * single-term alert with no exclusions, an unsatisfiable alert (term
+    * absent from the fixture vocabulary), and a duplicate-term alert
+    * (array_distinct discipline). */
+  val AlertRows: Seq[(Long, Seq[String], Seq[String])] = Seq(
+    (1L, Seq("spark", "merge"), Seq("error")),
+    (2L, Seq("vector"), Seq.empty),
+    (3L, Seq("spark", "zzznope"), Seq.empty),
+    (4L, Seq("batch", "batch", "join"), Seq("slow", "small")))
 
   /** q53's query — mid-frequency fixture vocabulary so df varies by term. */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "merge", "vector")
@@ -709,6 +745,60 @@ object PipelineQueries {
          |        FROM documents d JOIN quotas q USING (source))
          |SELECT source, doc_id, rnk FROM r WHERE rnk <= quota""".stripMargin
     },
+
+    // Alert rows interpolated from AlertRows (engine and oracle cannot
+    // drift); list_distinct mirrors the engine's array_distinct, the
+    // conjunction is the same count == n_terms group, the exclusion a
+    // NOT EXISTS over the must_not hit pairs. alert_id CAST to BIGINT so
+    // the schemas line up with the Spark Long.
+    "q76_alerts" -> {
+      def l(xs: Seq[String]) =
+        if (xs.isEmpty) "[]::VARCHAR[]"
+        else xs.map(x => s"'$x'").mkString("[", ",", "]")
+      val vals = AlertRows
+        .map { case (id, m, mn) => s"(CAST($id AS BIGINT), ${l(m)}, ${l(mn)})" }
+        .mkString(", ")
+      s"""WITH alerts(alert_id, must, must_not) AS (VALUES $vals),
+         |am AS (SELECT alert_id, len(list_distinct(must)) AS n_terms,
+         |              unnest(list_distinct(must)) AS term FROM alerts),
+         |an AS (SELECT alert_id, unnest(list_distinct(must_not)) AS term FROM alerts),
+         |p AS (SELECT DISTINCT doc_id, term
+         |        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+         |                FROM documents) AS u),
+         |pos AS (SELECT alert_id, doc_id FROM p JOIN am USING (term)
+         |        GROUP BY alert_id, doc_id, n_terms HAVING count(*) = n_terms)
+         |SELECT alert_id, doc_id FROM pos
+         | WHERE NOT EXISTS (SELECT 1 FROM p JOIN an USING (term)
+         |                    WHERE an.alert_id = pos.alert_id
+         |                      AND p.doc_id = pos.doc_id)""".stripMargin
+    },
+
+    // quantile_cont IS the engine's interpolation definition (linear at
+    // rank p·(n−1), R type 7 — verified against numpy); 4-dp rounding
+    // absorbs the interpolation arithmetic's sub-ulp difference.
+    "q77_length_quantiles" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(quantile_cont(dl, 0.5), 4) AS p50,
+        |       round(quantile_cont(dl, 0.9), 4) AS p90,
+        |       round(quantile_cont(dl, 0.99), 4) AS p99
+        |  FROM (SELECT source, CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
+        |          FROM documents) AS l
+        | GROUP BY source""".stripMargin,
+
+    // Bigram construction via generate_series over 1-based positions
+    // (range() cannot be lateral in DuckDB 1.0); p is int·1.0/int — the
+    // q66 pattern, bit-identical to Spark's double division, so the
+    // (n desc, next) rank cut is stable.
+    "q78_next_word" ->
+      """WITH tk AS (SELECT string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT unnest(list_transform(
+        |                list_filter(generate_series(1, len(t)-1), i -> t[i] = 'spark'),
+        |                i -> t[i+1])) AS next
+        |         FROM tk),
+        |c AS (SELECT next, count(*) AS n FROM bg GROUP BY next),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT next, CAST(n AS BIGINT) AS n, round(n * 1.0 / tot, 4) AS p
+        |  FROM c CROSS JOIN tot ORDER BY n DESC, next LIMIT 10""".stripMargin,
 
     "q61_sentiment" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

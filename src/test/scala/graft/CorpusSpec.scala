@@ -333,4 +333,67 @@ class CorpusSpec extends AnyFunSuite {
     // a target source with no documents caps the feasible total at 0
     assert(Corpus.mixtureSample(docs, targets :+ ("ghost" -> 0.1)).count() === 0L)
   }
+
+  /** Scalar type-7 quantile (linear interpolation at rank p·(n−1)) — the
+    * definition lengthQuantiles, DuckDB quantile_cont and numpy's default
+    * all share. */
+  private def q7(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    val pos = p * (s.length - 1)
+    val lo = pos.toInt
+    if (lo == s.length - 1) s(lo)
+    else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+  }
+
+  test("lengthQuantiles == scalar type-7 interpolation; approx path within rank error") {
+    // token counts: srcA docs of length 1..5, srcB lengths {2, 10}
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 5).map(n => (n.toLong, "srcA", words(n))) ++
+      Seq((10L, "srcB", words(2)), (11L, "srcB", words(10))))
+      .toDF("doc_id", "source", "text")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val got = Corpus.lengthQuantiles(docs, ps)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, Seq(r._3, r._4, r._5))).toMap
+    val lens = Map("srcA" -> (1 to 5).map(_.toDouble),
+      "srcB" -> Seq(2.0, 10.0))
+    for ((src, (n, qs)) <- got) {
+      assert(n === lens(src).length)
+      for ((p, g) <- ps.zip(qs)) {
+        val want = BigDecimal(q7(lens(src), p))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(g - want) < 1e-9, s"$src p$p: got $g want $want")
+      }
+    }
+    // the sketch path returns actual data values at rank-accuracy —
+    // exact at this accuracy/size, and always a member of the value set
+    val approx = Corpus.lengthQuantilesApprox(docs, ps)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._3, r._4, r._5)).toMap
+    for ((src, qs) <- approx; q <- qs)
+      assert(lens(src).contains(q), s"$src approx $q not a data value")
+    assert(approx("srcA")(0) === 3.0) // exact median at this size
+  }
+
+  test("HLL token sketches: per-source estimate within 5% of exact; union == global sketch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source").agg(countDistinct("tok").as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = Corpus.distinctTokenSketches(docs)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    for ((src, n) <- exact)
+      assert(math.abs(est(src) - n) <= math.max(2.0, 0.05 * n),
+        s"$src: est ${est(src)} vs exact $n")
+    // mergeability: union of the per-source sketches == one sketch over
+    // the whole corpus (segment → corpus re-aggregation, no rescan)
+    val merged = Corpus.mergeTokenSketches(Corpus.tokenSketches(docs))
+      .as[Long].head()
+    val global = Corpus.mergeTokenSketches(
+      Corpus.tokenSketches(docs.withColumn("source", lit("all"))))
+      .as[Long].head()
+    assert(merged === global, s"merged $merged vs global $global")
+  }
 }

@@ -467,4 +467,46 @@ class SearchSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("matchAlerts: hand truth, duplicate-term alerts, empty-must, single-alert == booleanDocs") {
+    val docs = Seq(
+      (1L, "spark merge fast"),        // alerts 1 (spark+merge, no error)
+      (2L, "spark merge error"),       // alert 1 blocked by error
+      (3L, "spark table"),             // misses merge
+      (4L, "batch batch join ok"),     // alert 4 (dup must dedups; no slow/small)
+      (5L, "batch join small"),        // alert 4 blocked by small
+      (6L, "vector x"))                // alert 2
+      .toDF("doc_id", "text")
+    val alerts = Seq(
+      (1L, Seq("spark", "merge"), Seq("error")),
+      (2L, Seq("vector"), Seq.empty[String]),
+      (3L, Seq("spark", "zzznope"), Seq.empty[String]),
+      (4L, Seq("batch", "batch", "join"), Seq("slow", "small")),
+      (5L, Seq.empty[String], Seq.empty[String])) // empty must matches nothing
+      .toDF("alert_id", "must", "must_not")
+    val got = Search.matchAlerts(docs, alerts)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 6L), (4L, 4L)))
+    // single-alert evaluation must agree with the ad-hoc boolean operator
+    val one = Seq((9L, Seq("spark", "merge"), Seq("error")))
+      .toDF("alert_id", "must", "must_not")
+    val viaAlerts = Search.matchAlerts(docs, one)
+      .select("doc_id").as[Long].collect().toSet
+    val viaBoolean = Search.booleanDocs(docs, Seq("spark", "merge"), Seq("error"))
+      .as[Long].collect().toSet
+    assert(viaAlerts === viaBoolean)
+  }
+
+  test("nextWords: bigram counts + conditional probability, consecutive seeds, seed-at-end") {
+    val docs = Seq(
+      (1L, "spark spark fast"),  // bigrams: (spark,spark), (spark,fast)
+      (2L, "x spark fast y"),    // (spark,fast)
+      (3L, "go spark"),          // seed at end: no follower
+      (4L, "sparkle spark big")) // 'sparkle' must not prefix-match
+      .toDF("doc_id", "text")
+    val got = Search.nextWords(docs, "spark", k = 10)
+      .as[(String, Long, Double)].collect().toList
+    // counts: fast=2, big=1, spark=1 of 4 seed bigrams total
+    assert(got === List(("fast", 2L, 0.5), ("big", 1L, 0.25), ("spark", 1L, 0.25)))
+  }
 }
