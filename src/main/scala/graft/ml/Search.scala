@@ -511,6 +511,22 @@ object Search {
       .orderBy(col("df").desc, col("term"))
       .limit(k)
 
+  /** [[prefixSuggest]] over the persisted index — the deployment shape
+    * the docstring promises: the dictionary IS the committed dfreq
+    * generation (vocabulary-sized, pre-merged across segments), so the
+    * suggestion query never touches the corpus or even the postings —
+    * a dfreq scan + startswith + TakeOrderedAndProject. Result ==
+    * [[prefixSuggest]] over the indexed corpus (pinned in SearchSpec). */
+  def prefixSuggestFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, prefix: String, k: Int): DataFrame = {
+    val m = readManifest(path)
+    spark.read.parquet(s"$path/dfreq_v${m.v}")
+      .filter(col("term").startsWith(prefix))
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
   /** Exact phrase search: documents containing `phrase` as consecutive
     * whitespace tokens. A phrase of n words IS a word n-gram, so this
     * reuses the native `shingles_n` kernel at width n(phrase):

@@ -156,6 +156,31 @@ object StreamingIngest {
         graft.ml.Search.indexBatch(batch, indexPath, epochId): Unit
       }
 
+  /** Live alerting — the other half of the reference's deployment loop
+    * next to [[liveIndexStream]] (poll feeds → match standing queries →
+    * notify): every micro-batch of documents is evaluated against the
+    * saved-alert table ([[graft.ml.Search.matchAlerts]] — one batch scan,
+    * one broadcast alert-term dim, one hash agg) and the hits land under
+    * `outDir/e=<epoch>`. Alert matching is a PER-DOCUMENT decision, so
+    * batch boundaries cannot change the result (each doc matches from
+    * its own tokens alone — no cross-batch state, no watermark needed;
+    * streamed hits == the batch operator over the union, pinned in
+    * StreamingSpec). Idempotent across foreachBatch retries: a replayed
+    * epoch OVERWRITES its own e=<epoch> directory — the same
+    * epoch-keyed-commit discipline as indexBatch, without needing a
+    * manifest because directories are independent. Compose after
+    * [[docDedupStream]] so a re-captured text cannot re-alert within the
+    * horizon. */
+  def liveAlertStream(docs: DataFrame, alerts: DataFrame,
+      outDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.ml.Search.matchAlerts(batch, alerts)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/e=$epochId"): Unit
+      }
+
   /** Drain a streaming frame through a named memory sink; returns the sink
     * table name. Update mode suits the stateful/windowed queries here. */
   def drainToMemory(spark: SparkSession, df: DataFrame, name: String,

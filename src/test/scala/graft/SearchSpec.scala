@@ -468,6 +468,24 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixSuggestFromIndex == prefixSuggest; suggestion reads only the dfreq table") {
+    val dir = java.nio.file.Files.createTempDirectory("sugidx").toString + "/idx"
+    Search.saveIndex(corpus, dir)
+    val scan = Search.prefixSuggest(corpus, "s", 10)
+      .as[(String, Long)].collect().toSeq
+    val idx = Search.prefixSuggestFromIndex(spark, dir, "s", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(idx === scan)
+    // deployment claim: the plan touches dfreq only — one file source, no
+    // postings/lens/corpus scan.
+    val scans = Search.prefixSuggestFromIndex(spark, dir, "s", 10)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString
+      }
+    assert(scans.size === 1 && scans.head.contains("dfreq"), scans.toString)
+  }
+
   test("matchAlerts: hand truth, duplicate-term alerts, empty-must, single-alert == booleanDocs") {
     val docs = Seq(
       (1L, "spark merge fast"),        // alerts 1 (spark+merge, no error)

@@ -158,6 +158,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(Search.bm25ScoresFromIndex(spark, idx, terms).count() === (live.size + 1).toLong)
   }
 
+  test("live alerting: streamed hits across micro-batches == batch matchAlerts; replay idempotent") {
+    import graft.ml.Search
+    val out = java.nio.file.Files.createTempDirectory("livealert").toString + "/hits"
+    val alerts = Seq(
+      (1L, Seq("the", "a"), Seq.empty[String]),
+      (2L, Seq("of"), Seq("the")))
+      .toDF("alert_id", "must", "must_not")
+    val docs = StreamingIngest.docDedupStream(
+      StreamingIngest.pagesStream(spark, pagesDir))
+      .select($"text_hash".as("doc_id"), coalesce($"text", lit("")).as("text"))
+    val q = StreamingIngest.liveAlertStream(docs, alerts, out).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("alert_id", "doc_id").as[(Long, Long)].collect().toSet
+    // per-document decision ⇒ micro-batch boundaries are invisible: the
+    // union of per-epoch hits equals the batch operator over the union.
+    val batchDocs = spark.read.parquet(pagesDir)
+      .select(xxhash64(coalesce($"text", lit(" <null>"))).as("doc_id"),
+        coalesce($"text", lit("")).as("text"))
+      .groupBy("doc_id").agg(first("text").as("text"))
+    val batch = Search.matchAlerts(batchDocs, alerts)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+    // retry idempotence: a replayed epoch re-delivers the same hits and
+    // OVERWRITES its own e=<epoch> directory — the total set is unchanged.
+    val epochDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("e="))
+    assert(epochDirs.nonEmpty)
+    val e0 = epochDirs.map(_.getName.stripPrefix("e=").toLong).min
+    val e0rows = spark.read.parquet(s"$out/e=$e0")
+      .select("alert_id", "doc_id").as[(Long, Long)].collect().toSeq
+    e0rows.toDF("alert_id", "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/e=$e0")
+    val afterReplay = spark.read.parquet(out)
+      .select("alert_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(afterReplay === batch, "replay changed the hit set")
+  }
+
   test("streaming→batch seen-set handoff: folded survivors dedup the batch tier") {
     // The two-tier design's seam (round-3 worklist item 7): the streaming
     // dedup is the IN-FLIGHT tier; its survivors are folded into the durable
