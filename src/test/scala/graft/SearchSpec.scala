@@ -515,6 +515,54 @@ class SearchSpec extends AnyFunSuite {
     assert(viaAlerts === viaBoolean)
   }
 
+  test("matchAlerts == brute-force evaluation over seeded random corpora") {
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (_ <- 1 to 3) {
+      val docs = (1 to 60).map(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val alerts = (1 to 6).map { a =>
+        (a.toLong,
+          Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))),
+          Seq.fill(rnd.nextInt(2))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val expected = (for {
+        (id, text) <- docs
+        toks = text.split(' ').filter(_.nonEmpty).toSet
+        (aid, must, mn) <- alerts
+        if must.toSet.subsetOf(toks) && mn.toSet.intersect(toks).isEmpty
+      } yield (aid, id)).toSet
+      val got = Search.matchAlerts(docs.toDF("doc_id", "text"),
+        alerts.toDF("alert_id", "must", "must_not"))
+        .as[(Long, Long)].collect().toSet
+      assert(got === expected)
+    }
+  }
+
+  test("nextWords == brute-force bigram counting over seeded random corpora") {
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("a", "b", "c", "d")
+    for (_ <- 1 to 3) {
+      val docs = (1 to 40).map(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val counts = docs
+        .flatMap { case (_, t) => t.split(' ').filter(_.nonEmpty).toSeq.sliding(2) }
+        .collect { case Seq("a", w2) => w2 }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tot = counts.values.sum
+      val expected = counts.toSeq
+        .sortBy { case (w, n) => (-n, w) }.take(3)
+        .map { case (w, n) =>
+          // valueOf (shortest-decimal) mirrors Spark's round() exactly —
+          // the exact-binary BigDecimal ctor can differ at .00005 edges
+          (w, n, BigDecimal(java.math.BigDecimal.valueOf(n * 1.0 / tot))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      val got = Search.nextWords(docs.toDF("doc_id", "text"), "a", k = 3)
+        .as[(String, Long, Double)].collect().toSeq
+      assert(got === expected)
+    }
+  }
+
   test("nextWords: bigram counts + conditional probability, consecutive seeds, seed-at-end") {
     val docs = Seq(
       (1L, "spark spark fast"),  // bigrams: (spark,spark), (spark,fast)
