@@ -416,19 +416,27 @@ object Corpus {
     quantileShape(docs, ps)((dl, pArr) =>
       percentile_approx(dl, pArr, lit(accuracy)))
 
+  /** Output column for percentile p: p50, p99, p99_5 — exact decimal of
+    * p·100 with '.'→'_' (rounding to whole percents would collide, e.g.
+    * 0.995 and 0.999 both → "p100"). */
+  private def pLabel(p: Double): String =
+    "p" + (BigDecimal(p) * 100).underlying.stripTrailingZeros.toPlainString
+      .replace(".", "_")
+
   private def quantileShape(docs: DataFrame, ps: Seq[Double])(
       agg: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
         => org.apache.spark.sql.Column): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps in [0,1]")
+    val labels = ps.map(pLabel)
+    require(labels.distinct.size == labels.size, s"duplicate percentiles: $ps")
     val dl = docs.select(col("source"),
       size(split(col("text"), " ")).cast("double").as("dl"))
     dl.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         agg(col("dl"), array(ps.map(lit): _*)).as("qs"))
       .select(col("source") +: col("n_docs") +:
-        ps.zipWithIndex.map { case (p, i) =>
-          round(element_at(col("qs"), i + 1), 4)
-            .as(s"p${math.round(p * 100)}") }: _*)
+        labels.zipWithIndex.map { case (l, i) =>
+          round(element_at(col("qs"), i + 1), 4).as(l) }: _*)
   }
 
   /** Per-source distinct-token estimates as MERGEABLE HyperLogLog

@@ -432,14 +432,19 @@ object Search {
   private def booleanFromPostings(postings: DataFrame, must: Seq[String],
       mustNot: Seq[String]): DataFrame = {
     require(must.nonEmpty, "boolean query needs at least one must term")
+    // dedup the query (not the corpus): distinct per-doc postings can hit
+    // a repeated must term only once, so counting against the raw size
+    // would make a duplicated term silently unsatisfiable — and diverge
+    // from matchAlerts' array_distinct discipline.
+    val mustD = must.distinct
     val hits = postings
-      .filter(col("term").isin(must.map(t => t: Any): _*))
+      .filter(col("term").isin(mustD.map(t => t: Any): _*))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") === must.size)
+      .filter(col("n_hit") === mustD.size)
       .select("doc_id")
     if (mustNot.isEmpty) hits
     else hits.join(
-      postings.filter(col("term").isin(mustNot.map(t => t: Any): _*))
+      postings.filter(col("term").isin(mustNot.distinct.map(t => t: Any): _*))
         .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
   }
@@ -638,7 +643,12 @@ object Search {
       explode(array_distinct(col("must"))).as("term"), lit(1L).as("w"))
     val mustNot = alerts.select(col("alert_id"), nTerms,
       explode(array_distinct(col("must_not"))).as("term"), lit(0L).as("w"))
-    val at = must.unionByName(mustNot)
+    // distinct over the DIM (alert-table-sized): a re-ingested alert feed
+    // can carry the same alert row twice, and duplicated dim rows would
+    // double every joined term count — silently unsatisfying the
+    // n_hit == n_terms conjunction. A term in both must and must_not of
+    // one alert keeps both rows (different w) and still matches nothing.
+    val at = must.unionByName(mustNot).distinct()
     docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))

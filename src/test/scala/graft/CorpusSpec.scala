@@ -373,6 +373,10 @@ class CorpusSpec extends AnyFunSuite {
     for ((src, qs) <- approx; q <- qs)
       assert(lens(src).contains(q), s"$src approx $q not a data value")
     assert(approx("srcA")(0) === 3.0) // exact median at this size
+    // fractional percentiles get exact-decimal labels (0.995/0.999 would
+    // both collide at "p100" under whole-percent rounding)
+    val cols = Corpus.lengthQuantiles(docs, Seq(0.995, 0.999)).columns.toSeq
+    assert(cols === Seq("source", "n_docs", "p99_5", "p99_9"))
   }
 
   test("HLL token sketches: per-source estimate within 5% of exact; union == global sketch") {

@@ -497,6 +497,7 @@ class SearchSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val alerts = Seq(
       (1L, Seq("spark", "merge"), Seq("error")),
+      (1L, Seq("spark", "merge"), Seq("error")), // duplicated alert ROW (re-ingested feed)
       (2L, Seq("vector"), Seq.empty[String]),
       (3L, Seq("spark", "zzznope"), Seq.empty[String]),
       (4L, Seq("batch", "batch", "join"), Seq("slow", "small")),
@@ -505,14 +506,15 @@ class SearchSpec extends AnyFunSuite {
     val got = Search.matchAlerts(docs, alerts)
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 1L), (2L, 6L), (4L, 4L)))
-    // single-alert evaluation must agree with the ad-hoc boolean operator
-    val one = Seq((9L, Seq("spark", "merge"), Seq("error")))
+    // single-alert evaluation must agree with the ad-hoc boolean operator —
+    // including under a duplicated must term (both sides dedup the query)
+    val one = Seq((9L, Seq("spark", "spark", "merge"), Seq("error")))
       .toDF("alert_id", "must", "must_not")
     val viaAlerts = Search.matchAlerts(docs, one)
       .select("doc_id").as[Long].collect().toSet
-    val viaBoolean = Search.booleanDocs(docs, Seq("spark", "merge"), Seq("error"))
+    val viaBoolean = Search.booleanDocs(docs, Seq("spark", "spark", "merge"), Seq("error"))
       .as[Long].collect().toSet
-    assert(viaAlerts === viaBoolean)
+    assert(viaAlerts === viaBoolean && viaAlerts === Set(1L))
   }
 
   test("matchAlerts == brute-force evaluation over seeded random corpora") {
@@ -528,7 +530,9 @@ class SearchSpec extends AnyFunSuite {
       }
       val expected = (for {
         (id, text) <- docs
-        toks = text.split(' ').filter(_.nonEmpty).toSet
+        // split(" ", -1) mirrors Spark's split: interior AND trailing
+        // empty tokens kept (they can never match a non-empty alert term)
+        toks = text.split(" ", -1).toSet
         (aid, must, mn) <- alerts
         if must.toSet.subsetOf(toks) && mn.toSet.intersect(toks).isEmpty
       } yield (aid, id)).toSet
@@ -546,7 +550,9 @@ class SearchSpec extends AnyFunSuite {
       val docs = (1 to 40).map(i =>
         (i.toLong, Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
       val counts = docs
-        .flatMap { case (_, t) => t.split(' ').filter(_.nonEmpty).toSeq.sliding(2) }
+        // split(" ", -1) mirrors Spark's split token grain exactly (empty
+        // tokens count as bigram members, as in the engine and the oracle)
+        .flatMap { case (_, t) => t.split(" ", -1).toSeq.sliding(2) }
         .collect { case Seq("a", w2) => w2 }
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
       val tot = counts.values.sum

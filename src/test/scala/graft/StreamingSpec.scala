@@ -175,7 +175,7 @@ class StreamingSpec extends AnyFunSuite {
     // per-document decision ⇒ micro-batch boundaries are invisible: the
     // union of per-epoch hits equals the batch operator over the union.
     val batchDocs = spark.read.parquet(pagesDir)
-      .select(xxhash64(coalesce($"text", lit(" <null>"))).as("doc_id"),
+      .select(xxhash64(coalesce($"text", lit("\u0000<null>"))).as("doc_id"),
         coalesce($"text", lit("")).as("text"))
       .groupBy("doc_id").agg(first("text").as("text"))
     val batch = Search.matchAlerts(batchDocs, alerts)
