@@ -197,10 +197,18 @@ object Search {
   }
 
   private def writeSegment(docs: DataFrame, path: String, seg: Int): Unit = {
+    // Positional postings (the Lucene .prx trade): `positions` rides each
+    // (doc, term) row so phrase/proximity queries run off the index with
+    // no corpus scan ([[phraseDocsFromIndex]]/[[proximityDocsFromIndex]]).
+    // Index size grows by one int per token occurrence; scoring readers
+    // simply never project the column (parquet column pruning — the BM25
+    // scan cost is unchanged). sort_array makes the artifact deterministic
+    // (collect_list order is partition-dependent).
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "term")))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("p"))).as("positions"))
     tf.repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings/seg=$seg")
     docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
@@ -548,6 +556,71 @@ object Search {
       .filter(array_contains(
         graft.functions.expressions.shingles_n(col("text"), tokens.length), needle))
       .select(col("doc_id"))
+  }
+
+  /** The per-doc term→positions map for a bounded term set, off the
+    * committed index — shared by the index-backed phrase and proximity
+    * queries. The term filter pushes into every postings-segment scan
+    * (row-group pruning via the build-time term sort, as in
+    * [[bm25ScoresFromIndex]]); a doc lives in exactly one segment, so
+    * (doc, term) is unique and the map build is one hash agg over the
+    * |terms| × matching-docs slice. Fails fast on a pre-positions index
+    * generation (rebuild or compact to upgrade). */
+  private def positionsByDoc(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String]): DataFrame = {
+    val m = readManifest(path)
+    val postings = readSegs(spark, path, "postings", m.segs)
+    require(postings.columns.contains("positions"),
+      s"index at $path predates positional postings — re-save or compact it")
+    postings
+      .filter(col("term").isin(terms.distinct.map(t => t: Any): _*))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("pm"))
+  }
+
+  /** [[phraseDocs]] over the persisted index — no corpus scan: the
+    * phrase's terms pull their position lists from the positional
+    * postings, candidate docs are those holding EVERY phrase term (map
+    * membership), and the alignment check — some start p in pos(t0) with
+    * p+i in pos(ti) for every offset i — runs as an `exists` over the
+    * candidate docs' bounded position lists only (the lambda is
+    * interpreted, but its input is |phrase terms| positions of docs that
+    * already contain all terms — never the corpus token stream; the same
+    * budget-bounded-HOF trade as fuzzySuggest's key builder). Repeated
+    * phrase tokens resolve through the same map entry. Result ==
+    * [[phraseDocs]] over the indexed corpus (pinned in SearchSpec). */
+  def phraseDocsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrase: String): DataFrame = {
+    val toks = phrase.split(' ').filter(_.nonEmpty)
+    require(toks.nonEmpty, "phrase must contain at least one token")
+    val pm = positionsByDoc(spark, path, toks.toSeq)
+    val allPresent = toks.distinct
+      .map(t => col("pm").getItem(t).isNotNull)
+      .reduce(_ && _)
+    val aligned = exists(col("pm").getItem(toks.head),
+      p => toks.zipWithIndex.tail
+        .map { case (t, i) => array_contains(col("pm").getItem(t), p + i) }
+        .foldLeft(lit(true))(_ && _))
+    pm.filter(allPresent).filter(aligned).select("doc_id")
+  }
+
+  /** [[proximityDocs]] over the persisted index: the two terms' position
+    * lists come from the positional postings (term-pruned scan), and the
+    * band check |pa−pb| ≤ w is a nested `exists` over the candidate
+    * docs' two bounded lists — no corpus scan, no position join. Result
+    * == [[proximityDocs]] over the indexed corpus (pinned in
+    * SearchSpec). */
+  def proximityDocsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, termA: String, termB: String, w: Int): DataFrame = {
+    require(termA != termB, "proximity needs two distinct terms")
+    val pm = positionsByDoc(spark, path, Seq(termA, termB))
+    val near = exists(col("pm").getItem(termA),
+      pa => exists(col("pm").getItem(termB), pb => abs(pa - pb) <= w))
+    pm.filter(col("pm").getItem(termA).isNotNull &&
+        col("pm").getItem(termB).isNotNull)
+      .filter(near)
+      .select("doc_id")
   }
 
   /** TF-IDF keyword extraction — the top-k most characteristic terms per

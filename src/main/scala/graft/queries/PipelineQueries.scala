@@ -310,7 +310,28 @@ object PipelineQueries {
     // estimates (sketch-valued — rows-only; accuracy + merge identity
     // pinned in CorpusSpec).
     "q79_hll_distinct" -> ((s, dir) =>
-      Corpus.distinctTokenSketches(docs(s, dir)))
+      Corpus.distinctTokenSketches(docs(s, dir))),
+
+    // phrase search over the POSITIONAL index (no corpus scan) — q56's
+    // relation served from stored position lists. Own cache base: the
+    // q57 bm25 index may predate positional postings.
+    "q80_phrase_indexed" -> ((s, dir) =>
+      workdirCached(
+        s"posidx_${java.nio.file.Paths.get(dir).getFileName}",
+        s"$dir/documents.parquet")(
+        Search.indexCommitted)(
+        p => Search.saveIndex(docs(s, dir), p))(
+        p => Search.phraseDocsFromIndex(s, p, PhraseNeedle))),
+
+    // proximity search over the positional index — q73's relation with
+    // the band check over stored position lists.
+    "q81_proximity_indexed" -> ((s, dir) =>
+      workdirCached(
+        s"posidx_${java.nio.file.Paths.get(dir).getFileName}",
+        s"$dir/documents.parquet")(
+        Search.indexCommitted)(
+        p => Search.saveIndex(docs(s, dir), p))(
+        p => Search.proximityDocsFromIndex(s, p, ProxTermA, ProxTermB, ProxWindow)))
   )
 
   /** q76's standing alerts: a two-term conjunction with an exclusion, a
@@ -354,6 +375,27 @@ object PipelineQueries {
   /** q75's target source shares (normalized by the operator). */
   val MixTargets: Seq[(String, Double)] =
     Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** Shared by q56 (corpus scan) and q80 (positional index) — same
+    * relation. */
+  private val PhraseOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents)
+       |SELECT doc_id FROM t
+       | WHERE list_contains(list_transform(generate_series(1, len(tk)-2),
+       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), '${PhraseNeedle}')""".stripMargin
+
+  /** Shared by q73 (corpus scan) and q81 (positional index) — same
+    * relation. */
+  private val ProximityOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       |p AS (SELECT doc_id, unnest(tk) AS term,
+       |             unnest(generate_series(1, len(tk))) AS pos
+       |        FROM t),
+       |a AS (SELECT doc_id, pos AS pa FROM p WHERE term = '$ProxTermA'),
+       |b AS (SELECT doc_id, pos AS pb FROM p WHERE term = '$ProxTermB')
+       |SELECT DISTINCT a.doc_id
+       |  FROM a JOIN b USING (doc_id)
+       | WHERE abs(pa - pb) <= $ProxWindow""".stripMargin
 
   /** Shared by q53 (inline) and q57 (persisted index) — same relation. */
   private val Bm25OracleSql: String =
@@ -692,17 +734,10 @@ object PipelineQueries {
         |SELECT doc_id, term, tf, tfidf, rank FROM w WHERE rank <= 3""".stripMargin,
 
     // DuckDB's zipped unnests give 1-based positions vs posexplode's
-    // 0-based — the offset cancels in |pa - pb|.
-    "q73_proximity_search" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-         |p AS (SELECT doc_id, unnest(tk) AS term,
-         |             unnest(generate_series(1, len(tk))) AS pos
-         |        FROM t),
-         |a AS (SELECT doc_id, pos AS pa FROM p WHERE term = '$ProxTermA'),
-         |b AS (SELECT doc_id, pos AS pb FROM p WHERE term = '$ProxTermB')
-         |SELECT DISTINCT a.doc_id
-         |  FROM a JOIN b USING (doc_id)
-         | WHERE abs(pa - pb) <= $ProxWindow""".stripMargin,
+    // 0-based — the offset cancels in |pa - pb|. Shared with q81
+    // (index-backed path) — same relation by construction.
+    "q73_proximity_search" -> ProximityOracleSql,
+    "q81_proximity_indexed" -> ProximityOracleSql,
 
     // The oracle runs the semantically-defining cross filter
     // (levenshtein ≤ 1 over the whole vocabulary) — the engine's
@@ -837,11 +872,9 @@ object PipelineQueries {
         | GROUP BY doc_id""".stripMargin,
 
     // Phrase interpolated from PhraseNeedle (3 tokens → 3-gram containment).
-    "q56_phrase_search" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents)
-         |SELECT doc_id FROM t
-         | WHERE list_contains(list_transform(generate_series(1, len(tk)-2),
-         |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), '${PhraseNeedle}')""".stripMargin,
+    // Shared with q80 (index-backed path) — same relation by construction.
+    "q56_phrase_search" -> PhraseOracleSql,
+    "q80_phrase_indexed" -> PhraseOracleSql,
 
     // PII injection CTE mirrors piiDocs character-for-character; the regex
     // patterns are interpolated from the SAME Scala vals the engine

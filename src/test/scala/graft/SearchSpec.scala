@@ -468,6 +468,43 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("positional index: phrase + proximity from the index == corpus-scan operators") {
+    val dir = java.nio.file.Files.createTempDirectory("positx").toString + "/idx"
+    Search.saveIndex(corpus, dir)
+    // phrase cases: repeated token inside the phrase, repeated-run text,
+    // single token (degenerates to containment), absent phrase
+    for (phrase <- Seq("spark merge spark", "row row", "merge merge",
+        "table scan", "vector", "spark table zz")) {
+      val scan = Search.phraseDocs(corpus, phrase).as[Long].collect().toSet
+      val idx = Search.phraseDocsFromIndex(spark, dir, phrase)
+        .as[Long].collect().toSet
+      assert(idx === scan, s"phrase '$phrase'")
+    }
+    val ps = Search.proximityDocs(corpus, "spark", "table", 3).as[Long].collect().toSet
+    val pi = Search.proximityDocsFromIndex(spark, dir, "spark", "table", 3)
+      .as[Long].collect().toSet
+    assert(pi === ps && pi === Set(1L))
+    // incremental append preserves positional answers (segments merge)
+    val dir2 = java.nio.file.Files.createTempDirectory("positx2").toString + "/idx"
+    Search.saveIndex(corpus.filter(col("doc_id") <= 2), dir2)
+    Search.updateIndex(spark, dir2, corpus.filter(col("doc_id") > 2))
+    assert(Search.phraseDocsFromIndex(spark, dir2, "row row")
+      .as[Long].collect().toSet === Set(2L))
+    assert(Search.proximityDocsFromIndex(spark, dir2, "spark", "table", 3)
+      .as[Long].collect().toSet === Set(1L))
+    // a pre-positions index generation fails fast with a rebuild hint
+    val pp = s"$dir2/postings/seg=0"
+    val legacy = spark.read.parquet(pp).drop("positions")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    legacy.collect().foreach(rows.add)
+    spark.createDataFrame(rows, legacy.schema)
+      .write.mode("overwrite").parquet(pp)
+    val e = intercept[IllegalArgumentException] {
+      Search.phraseDocsFromIndex(spark, dir2, "row row").collect()
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
   test("prefixSuggestFromIndex == prefixSuggest; suggestion reads only the dfreq table") {
     val dir = java.nio.file.Files.createTempDirectory("sugidx").toString + "/idx"
     Search.saveIndex(corpus, dir)
