@@ -156,6 +156,31 @@ object StreamingIngest {
         graft.ml.Search.indexBatch(batch, indexPath, epochId): Unit
       }
 
+  /** Streaming trending terms — the live flavor of the batch burst
+    * detector (Search.trendingTerms): per event-time window, each term's
+    * document frequency, with late data bounded by the watermark. The
+    * stream emits the PER-WINDOW term counts (the expensive,
+    * corpus-touching half: per-doc distinct explode → windowed
+    * two-level agg, watermark-bounded state); the burst RATIO against
+    * each term's trailing mean is a cheap vocabulary-sized batch
+    * computation over the emitted counts table — splitting there keeps
+    * the streaming state bounded (a ratio-in-stream would need every
+    * term's full history in state). Update mode; counts for a window
+    * finalize once the watermark passes it (StreamingSpec takes the max
+    * per key, == the batch windowed aggregation). */
+  def trendingStream(pages: DataFrame, window: String = "1 hour",
+      horizon: String = "2 hours"): DataFrame =
+    pages
+      .withWatermark("warc_ts", horizon)
+      .select(col("warc_ts"),
+        explode(array_distinct(split(coalesce(col("text"), lit("")), " ")))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(org.apache.spark.sql.functions.window(col("warc_ts"), window).as("win"),
+        col("term"))
+      .agg(count(lit(1)).as("df_window"))
+      .select(col("win.start").as("window_start"), col("term"), col("df_window"))
+
   /** Live alerting — the other half of the reference's deployment loop
     * next to [[liveIndexStream]] (poll feeds → match standing queries →
     * notify): every micro-batch of documents is evaluated against the

@@ -492,8 +492,14 @@ class SearchSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(2L))
     assert(Search.proximityDocsFromIndex(spark, dir2, "spark", "table", 3)
       .as[Long].collect().toSet === Set(1L))
+    // compaction folds the segments and PRESERVES positional answers
+    Search.compactIndex(spark, dir2)
+    assert(Search.phraseDocsFromIndex(spark, dir2, "row row")
+      .as[Long].collect().toSet === Set(2L))
+    assert(Search.proximityDocsFromIndex(spark, dir2, "spark", "table", 3)
+      .as[Long].collect().toSet === Set(1L))
     // a pre-positions index generation fails fast with a rebuild hint
-    val pp = s"$dir2/postings/seg=0"
+    val pp = s"$dir2/postings/seg=2" // compaction folded segs 0,1 into 2
     val legacy = spark.read.parquet(pp).drop("positions")
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     legacy.collect().foreach(rows.add)

@@ -158,6 +158,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(Search.bm25ScoresFromIndex(spark, idx, terms).count() === (live.size + 1).toLong)
   }
 
+  test("streaming trending-term counts equal the batch windowed aggregation") {
+    val stream = StreamingIngest.pagesStream(spark, pagesDir)
+    StreamingIngest.drainToMemory(spark,
+      StreamingIngest.trendingStream(stream), "trending",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val got = spark.table("trending")
+      // update mode can emit a key several times; the last update wins
+      .groupBy("window_start", "term")
+      .agg(max("df_window").as("df_window"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val exp = spark.read.parquet(pagesDir)
+      .select($"warc_ts",
+        explode(array_distinct(split(coalesce($"text", lit("")), " "))).as("term"))
+      .filter($"term" =!= "")
+      .groupBy(window($"warc_ts", "1 hour").as("win"), $"term")
+      .agg(count(lit(1)).as("df_window"))
+      .select($"win.start", $"term", $"df_window")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(exp.nonEmpty && got === exp)
+  }
+
   test("live alerting: streamed hits across micro-batches == batch matchAlerts; replay idempotent") {
     import graft.ml.Search
     val out = java.nio.file.Files.createTempDirectory("livealert").toString + "/hits"
