@@ -347,6 +347,44 @@ object Corpus {
       .select(col("source"), col("doc_id"), col("rnk"))
   }
 
+  /** Token-budget mixture: fill each source's TOKEN quota — its normalized
+    * share of `totalTokens` — with documents in deterministic hash order,
+    * the Dolma/Pile-style sampler that mixes training data by token COUNT
+    * rather than document count ([[mixtureSample]]'s grain). A document is
+    * taken while its source's budget is not yet exhausted (cumulative
+    * tokens BEFORE the doc < quota, so the quota-crossing doc is kept —
+    * the standard greedy fill; mirrored clause-for-clause in the oracle).
+    *
+    * Scale shape: the per-source cumulative token count is
+    * [[graft.operators.GlobalOrder.withRunningSum]] — a two-phase
+    * range-partitioned scan, NOT a `sum().over(partitionBy(source))`
+    * window, which would funnel the largest source's every document
+    * through one task at 10^10 docs. Quotas ride a broadcast dim; the
+    * hash key is the sign-safe pmod LCG shared with [[mixtureSample]]
+    * (production swap-in: xxhash64, also via pmod).
+    * Returns (source, doc_id, n_tokens, cum_tokens). */
+  def tokenBudgetMixture(docs: DataFrame, targets: Seq[(String, Double)],
+      totalTokens: Long, parts: Int = 32): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "shares must be > 0")
+    require(totalTokens > 0, "token budget must be > 0")
+    val z = targets.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas = targets
+      .map { case (src, p) => (src, math.floor(p / z * totalTokens).toLong) }
+      .toDF("source", "quota")
+    val hkey = pmod(col("doc_id") * 48271L + 11L, lit(1000003L))
+    val toks = docs.join(broadcast(quotas), Seq("source"))
+      .select(col("source"), col("doc_id"), col("quota"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        hkey.as("hkey"))
+    val summed = graft.operators.GlobalOrder.withRunningSum(
+      toks, "source", "n_tokens",
+      Seq(col("source"), col("hkey"), col("doc_id")), parts, "cum_tokens")
+    summed.filter(col("cum_tokens") - col("n_tokens") < col("quota"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** End-to-end corpus curation — the composed training-data pipeline in
     * ONE DataFrame: a document survives iff it
     *  (1) is not part of the eval/benchmark slice,

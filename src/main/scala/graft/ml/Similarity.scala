@@ -260,6 +260,171 @@ object Similarity {
     rankTopK(scored.select("query_id", "neighbor_id", "cos"), k)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bounded ANN scale path.
+  // ------------------------------------------------------------------
+
+  /** Sub-space code assignment: for each of the `m` contiguous sub-vectors
+    * of `v`, the index of the L2-nearest codebook centroid. */
+  private def pqAssign(v: Array[Float], books: Array[Array[Array[Float]]]): Seq[Int] = {
+    val m = books.length
+    val sub = v.length / m
+    Seq.tabulate(m) { s =>
+      val cb = books(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val t = v(s * sub + i).toDouble - cb(c)(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the embedding is
+    * split into `m` contiguous sub-spaces; each gets its own `ks`-centroid
+    * L2 quantizer, so a vector compresses to `m` small codes — m bytes
+    * (ks ≤ 256) instead of 4·dim, the 32× memory cut that lets a
+    * 10^10-vector index fit a cluster's RAM. Vectors are L2-normalized
+    * FIRST (the ADC dot then approximates cosine). Seeds are the `ks`
+    * corpus vectors with the smallest (xxhash64(vec_id), vec_id) — the
+    * same parallelism-independent seeding as [[ivfCentroids]] — refined by
+    * `iters` Lloyd rounds in which ALL m sub-quantizers update in ONE
+    * distributed job per round (assignment UDF → posexplode to
+    * (sub, code, pos) → avg): only m·ks·dim/m floats reach the driver.
+    * Returns books(sub)(code) = sub-centroid (length dim/m). Same
+    * determinism contract as IVF: seed-deterministic, recall-tested. */
+  def trainPqCodebooks(vecs: DataFrame, m: Int = 8, ks: Int = 16,
+      iters: Int = 2): Array[Array[Array[Float]]] = {
+    val spark = vecs.sparkSession
+    val seeds = vecs.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(ks).collect()
+      .map(r => normalize(r.getSeq[Float](1).toArray))
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val sub = dim / m
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m, ks)((s, c) => seeds(c % seeds.length).slice(s * sub, (s + 1) * sub))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val assign = udf { emb: Seq[Float] => pqAssign(normalize(emb.toArray), bc.value) }
+      val normed = udf { emb: Seq[Float] => normalize(emb.toArray).toSeq }
+      val means = vecs
+        .select(assign(col("embedding")).as("codes"),
+          posexplode(normed(col("embedding"))).as(Seq("pos", "v")))
+        .select((col("pos") / sub).cast("int").as("s"),
+          element_at(col("codes"), (col("pos") / sub).cast("int") + 1).as("code"),
+          (col("pos") % sub).as("p"), col("v"))
+        .groupBy("s", "code", "p")
+        .agg(avg(col("v")).as("mv"))
+        .collect()
+      val next = books.map(_.map(_.clone())) // empty cells keep their centroid
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      books = next
+    }
+    books
+  }
+
+  /** PQ-encode a corpus: (vec_id, codes) with codes.length == m — the
+    * compressed representation the ADC scan reads INSTEAD of embeddings. */
+  def pqEncode(vecs: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
+    val bc = vecs.sparkSession.sparkContext.broadcast(books)
+    val enc = udf { emb: Seq[Float] => pqAssign(normalize(emb.toArray), bc.value) }
+    vecs.select(col("vec_id"), enc(col("embedding")).as("codes"))
+  }
+
+  /** Persist PQ codebooks as a tiny parquet model table (sub, code,
+    * centroid) — m·ks rows regardless of corpus size (cf. saveIvfModel). */
+  def savePqModel(spark: SparkSession, vecs: DataFrame, path: String,
+      m: Int = 8, ks: Int = 16, iters: Int = 2): Array[Array[Array[Float]]] = {
+    val books = trainPqCodebooks(vecs, m, ks, iters)
+    import spark.implicits._
+    (for { s <- books.indices; c <- books(s).indices }
+      yield (s, c, books(s)(c).toSeq)).toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    books
+  }
+
+  /** Load persisted codebooks (exact float roundtrip through parquet). */
+  def loadPqModel(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(path)
+      .select(col("sub"), col("code"), col("centroid"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray))
+
+  /** PQ approximate top-k with asymmetric distance computation (ADC) and
+    * exact re-rank.
+    *
+    * Plan shape at scale: the hot pass is a MAP over the CODES table only
+    * — each query precomputes its m×ks table of sub-space dot products
+    * (broadcast with the bounded query set, same contract as
+    * [[knnBruteForce]]); a candidate's approximate cosine is m table
+    * lookups summed, no embedding is read. The per-query ADC shortlist
+    * (`refine` ids, via the partial/final top-k aggregate — no global
+    * window) then re-ranks EXACTLY: |Q|·refine keys equi-join back to the
+    * embedding table (AQE broadcasts the small shortlist side), native
+    * cosine kernel, final top-k. With refine ≥ |candidates| the shortlist
+    * is everything, so the output EQUALS [[knnBruteForce]] — the
+    * correctness identity MlSpec pins; small `refine` trades recall for
+    * the 32× smaller scan. */
+  def knnPqModel(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+      k: Int, books: Array[Array[Array[Float]]], refine: Int = 50): DataFrame = {
+    require(refine >= k, s"refine $refine must be >= k $k")
+    val bc = spark.sparkContext.broadcast(books)
+    val adcTable = udf { emb: Seq[Float] =>
+      val q = normalize(emb.toArray)
+      val bs = bc.value
+      val m = bs.length; val ks = bs(0).length; val sub = q.length / m
+      val t = new Array[Double](m * ks)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ks) {
+          var d = 0.0; var i = 0
+          while (i < sub) { d += q(s * sub + i).toDouble * bs(s)(c)(i); i += 1 }
+          t(s * ks + c) = d; c += 1
+        }
+        s += 1
+      }
+      t.toSeq
+    }
+    val adcScore = udf { (table: Seq[Double], codes: Seq[Int]) =>
+      val ks = table.length / codes.length
+      var acc = 0.0; var s = 0
+      while (s < codes.length) { acc += table(s * ks + codes(s)); s += 1 }
+      acc
+    }
+    val codes = pqEncode(candidates, books)
+    val qt = queries.select(col("vec_id").as("query_id"),
+      adcTable(col("embedding")).as("tbl"))
+    val approx = codes.join(broadcast(qt), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcScore(col("tbl"), col("codes")).as("cos"))
+    val shortlist = rankTopK(approx, refine).select("query_id", "neighbor_id")
+    val exact = shortlist
+      .join(candidates.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("c_emb")))
+    rankTopK(exact.select("query_id", "neighbor_id", "cos"), k)
+  }
+
+  /** Train-and-probe convenience over [[knnPqModel]]. */
+  def knnPq(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+      k: Int, m: Int = 8, ks: Int = 16, iters: Int = 2,
+      refine: Int = 50): DataFrame =
+    knnPqModel(spark, queries, candidates, k,
+      trainPqCodebooks(candidates, m, ks, iters), refine)
+
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup), via
     * TRIANGLE-TILED block self-join.
     *

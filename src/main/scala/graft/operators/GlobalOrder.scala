@@ -27,4 +27,50 @@ object GlobalOrder {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Append a per-`group` INCLUSIVE running sum of the long column
+    * `valueCol` in the total order `order` — the scalable replacement for
+    * `sum(v).over(Window.partitionBy(group).orderBy(order))`, which at
+    * 100 TB funnels every row of the largest group through ONE task.
+    *
+    * Two-phase distributed scan: range-partition by the order (groups need
+    * NOT be partition-aligned), per-partition per-group partial sums —
+    * ≤ parts × |groups| tiny rows — come to the driver and broadcast back
+    * as each (partition, group)'s starting offset; a second pass over the
+    * SAME shuffle output adds the within-partition running sum. The group
+    * column must therefore be low-cardinality (sources, langs, hosts-ish);
+    * the ORDER must be total (include a unique tie-break) for determinism.
+    */
+  def withRunningSum(df: DataFrame, group: String, valueCol: String,
+      order: Seq[Column], parts: Int, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    val gi = sorted.schema.fieldIndex(group)
+    val vi = sorted.schema.fieldIndex(valueCol)
+    val base = sorted.rdd
+    val partials: Array[(Int, Any, Long)] = base.mapPartitionsWithIndex { (pidx, it) =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val g = r.get(gi)
+        sums.update(g, sums.getOrElse(g, 0L) + r.getLong(vi))
+      }
+      sums.iterator.map { case (g, sm) => (pidx, g, sm) }
+    }.collect()
+    val byGroup = partials.groupBy(_._2)
+    val offsets: Map[(Int, Any), Long] = partials.map { case (p, g, _) =>
+      ((p, g), byGroup(g).iterator.filter(_._1 < p).map(_._3).sum)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val rdd = base.mapPartitionsWithIndex { (pidx, it) =>
+      val running = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val g = r.get(gi)
+        val cum = running.getOrElse(g, bc.value.getOrElse((pidx, g), 0L)) + r.getLong(vi)
+        running.update(g, cum)
+        Row.fromSeq(r.toSeq :+ cum)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

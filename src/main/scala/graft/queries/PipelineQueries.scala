@@ -128,6 +128,16 @@ object PipelineQueries {
       Similarity.knnIvfModel(s, e.filter(col("vec_id") % 50 === 0), e, k = 5, cents)
     }),
 
+    // PQ-coded ANN with ADC + exact re-rank: the memory-bounded scale
+    // path (m-byte codes instead of 4·dim — the hot scan never reads an
+    // embedding). Centroid/seed-valued like IVF: rows-only; the
+    // full-refine == brute-force identity, recall floor, and model
+    // persistence are pinned in MlSpec.
+    "q82_knn_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnPq(s, e.filter(col("vec_id") % 50 === 0), e, k = 5, refine = 30)
+    }),
+
     // language-ID heuristic.
     "q37_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
 
@@ -286,6 +296,13 @@ object PipelineQueries {
     "q75_source_mixture" -> ((s, dir) =>
       Corpus.mixtureSample(docs(s, dir), MixTargets)),
 
+    // token-budget mixture: fill each source's TOKEN quota (share of a
+    // global budget) in deterministic hash order — document-count
+    // mixing's (q75) training-grain sibling, via the distributed
+    // prefix-sum operator (no per-source window).
+    "q83_token_budget" -> ((s, dir) =>
+      Corpus.tokenBudgetMixture(docs(s, dir), MixTargets, TokenBudget)),
+
     // saved-alert evaluation: a TABLE of standing boolean queries
     // (must/mustNot) matched against the corpus in one plan — the
     // multi-query batch of q64.
@@ -375,6 +392,11 @@ object PipelineQueries {
   /** q75's target source shares (normalized by the operator). */
   val MixTargets: Seq[(String, Double)] =
     Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** q83's global token budget — sized so the fixture exercises BOTH
+    * regimes: src0's quota exceeds its supply (everything taken), while
+    * src1/src2 are quota-truncated mid-stream. */
+  val TokenBudget = 3000L
 
   /** Shared by q56 (corpus scan) and q80 (positional index) — same
     * relation. */
@@ -779,6 +801,29 @@ object PipelineQueries {
          |                        d.doc_id) AS rnk
          |        FROM documents d JOIN quotas q USING (source))
          |SELECT source, doc_id, rnk FROM r WHERE rnk <= quota""".stripMargin
+    },
+
+    // Quotas are COMPUTED IN SCALA (the same floor(p/z*T) the engine
+    // runs) and interpolated as integer literals — no fp re-derivation in
+    // SQL to drift; pmod mirrored; SUM OVER cast back from HUGEINT.
+    "q83_token_budget" -> {
+      val z = MixTargets.map(_._2).sum
+      val vals = MixTargets
+        .map { case (s, p) => s"('$s', ${math.floor(p / z * TokenBudget).toLong})" }
+        .mkString(", ")
+      s"""WITH quotas AS (SELECT * FROM (VALUES $vals) AS t(source, quota)),
+         |toks AS (SELECT d.source, d.doc_id, q.quota,
+         |                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |                ((d.doc_id * 48271 + 11) % 1000003 + 1000003) % 1000003 AS hkey
+         |           FROM documents d JOIN quotas q USING (source)),
+         |summed AS (SELECT source, doc_id, n_tokens, quota,
+         |                  CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |                    ORDER BY hkey, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                    AS BIGINT) AS cum_tokens
+         |             FROM toks)
+         |SELECT source, doc_id, n_tokens, cum_tokens
+         |  FROM summed WHERE cum_tokens - n_tokens < quota""".stripMargin
     },
 
     // Alert rows interpolated from AlertRows (engine and oracle cannot

@@ -334,6 +334,63 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.mixtureSample(docs, targets :+ ("ghost" -> 0.1)).count() === 0L)
   }
 
+  test("withRunningSum == per-group window cumsum; invariant to parts and layout") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0L until 200L).map(i =>
+      (s"g${rnd.nextInt(5)}", i, rnd.nextInt(50).toLong)).toDF("g", "id", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = rows.withColumn("cum", sum($"v").over(w))
+      .as[(String, Long, Long, Long)].collect().toSet
+    for ((parts, layout) <- Seq((1, rows), (3, rows.repartition(7)),
+        (32, rows.repartition(2)))) {
+      val got = graft.operators.GlobalOrder.withRunningSum(
+        layout, "g", "v", Seq($"g", $"id"), parts, "cum")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
+  test("tokenBudgetMixture: greedy hash-order prefix fill per source") {
+    // a: plentiful short docs; b: few long docs; c: supply below quota.
+    val docs = ((0L to 19L).map(i => ("a", i, "w " * (i % 5 + 1).toInt + "end")) ++
+      (20L to 24L).map(i => ("b", i, "x " * 30 + "end")) ++
+      (25L to 26L).map(i => ("c", i, "y y y"))).toDF("source", "doc_id", "text")
+    val targets = Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val budget = 100L
+    // Scalar mirror: greedy fill in (hkey, doc_id) order until the source's
+    // cumulative count reaches quota (crossing doc kept).
+    val z = targets.map(_._2).sum
+    val quota = targets.map { case (s, p) => s -> math.floor(p / z * budget).toLong }.toMap
+    def hkey(id: Long) = (id * 48271L + 11L) % 1000003L
+    def ntok(text: String) = text.split(" ", -1).length.toLong
+    val byDoc = docs.as[(String, Long, String)].collect()
+    val want = (for ((s, rows) <- byDoc.groupBy(_._1).toSeq) yield {
+      var cum = 0L
+      rows.sortBy(r => (hkey(r._2), r._2)).flatMap { case (_, id, text) =>
+        val before = cum; cum += ntok(text)
+        if (before < quota(s)) Some((s, id, ntok(text), cum)) else None
+      }
+    }).flatten.toSet
+    val got = Corpus.tokenBudgetMixture(docs, targets, budget, parts = 4)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // quota semantics: each source's kept tokens reach its quota (or take
+    // the whole supply), and removing the LAST kept doc drops below quota
+    val supply = byDoc.groupBy(_._1).view.mapValues(_.map(r => ntok(r._3)).sum).toMap
+    for ((s, rows) <- got.groupBy(_._1)) {
+      val kept = rows.toSeq.map(_._3).sum
+      assert(kept >= math.min(quota(s), supply(s)), s"source $s underfilled")
+      val last = rows.maxBy(_._4)
+      assert(last._4 - last._3 < quota(s), s"source $s overfilled")
+    }
+    // partitioning-invariance (different layout + parts)
+    val re = Corpus.tokenBudgetMixture(docs.repartition(5), targets, budget, parts = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(re === want)
+  }
+
   /** Scalar type-7 quantile (linear interpolation at rank p·(n−1)) — the
     * definition lengthQuantiles, DuckDB quantile_cont and numpy's default
     * all share. */

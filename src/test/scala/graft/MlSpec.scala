@@ -326,6 +326,51 @@ class MlSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"persisted-model IVF recall $recall")
   }
 
+  test("PQ ANN: full refine == brute force exactly; codes are m small ints") {
+    val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val books = Similarity.trainPqCodebooks(e, m = 8, ks = 16, iters = 2)
+    // with refine >= |candidates| the ADC shortlist is everything, so the
+    // exact re-rank IS the brute-force ranking — output identity, not a
+    // recall floor
+    val full = Similarity.knnPqModel(spark, q, e, 5, books,
+      refine = e.count().toInt)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val brute = Similarity.knnBruteForce(q, e, 5)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(full === brute)
+    // the compressed representation: one code per sub-space, all in [0, ks)
+    val codes = Similarity.pqEncode(e, books).select("codes")
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("PQ ANN: high recall on a clustered corpus; persisted model parity") {
+    val e = clusteredVecs(300, 12, 64)
+    val q = e.filter($"vec_id" % 25 === 0)
+    val brute = Similarity.knnBruteForce(q, e, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val path = s"${graft.core.Constants.workDir}/models/pq_mlspec"
+    val trained = Similarity.savePqModel(spark, e, path, m = 8, ks = 16, iters = 2)
+    val loaded = Similarity.loadPqModel(spark, path)
+    // exact float roundtrip through the parquet model table
+    assert(loaded.length === trained.length)
+    for ((ls, ts) <- loaded.zip(trained); (l, t) <- ls.zip(ts))
+      assert(l.toSeq === t.toSeq)
+    val got = Similarity.knnPqModel(spark, q, e, 5, loaded, refine = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"PQ recall $recall — codebooks or ADC regressed")
+    // loaded-model probe == in-memory-model probe, rank for rank
+    val a = Similarity.knnPqModel(spark, q, e, 5, trained, refine = 40)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val b = Similarity.knnPqModel(spark, q, e, 5, loaded, refine = 40)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
+  }
+
   test("tiled cosine near-dup pairs == brute-force truth (exact completeness)") {
     val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val got = Similarity.cosineNearDupPairs(e, 0.35, blocks = 8)
