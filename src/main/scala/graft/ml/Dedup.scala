@@ -273,4 +273,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** DIRECTED containment near-dups: (a, b, containment) with
+    * containment = |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold and a ≠ b — the
+    * asymmetric sibling of [[ngramJaccardPairs]]. A short document living
+    * inside a longer one (syndicated article in a boilerplate wrapper, a
+    * quoted excerpt) scores near-1 containment but low Jaccard, so
+    * symmetric dedup misses exactly the subset case corpus curation most
+    * wants caught (RefinedWeb/CCNet remove these).
+    *
+    * Lossless pruning, one-sided: if |A∩B| ≥ t·|A| then — pigeonhole in
+    * the global (df asc, sk asc) shingle order — A shares one of its
+    * (|A| − ⌈t·|A|⌉ + 1) RAREST shingles with B, so candidates come from
+    * prefix(A) ⋈ full postings(B) (only the contained side is
+    * prefix-cut; the containing side must stay fully indexed), plus the
+    * size bound |B| ≥ ⌈t·|A|⌉ (B must hold the whole intersection).
+    * Verification is the exact codegen'd array_intersect kernel on the
+    * candidate pairs only. Lang-blocked and hash-keyed like the Jaccard
+    * family; every shuffle carries 8-byte keys. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    containmentPairsFrom(shingleFrame(docs), threshold)
+
+  /** [[containmentPairs]] over a precomputed [[shingleFrame]]. */
+  def containmentPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = sh
+      .select(col("doc_id"), col("lang"), col("sz"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("lang"), col("sz"), xxhash64(col("shingle")).as("sk"))
+    val docFreq = postings.groupBy("lang", "sk").agg(count(lit(1)).as("df"))
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val prefix = postings
+      .join(docFreq, Seq("lang", "sk"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang"), col("doc_id")).orderBy(asc("df"), asc("sk"))))
+      .filter(col("rnk") <= prefixLen)
+      .select("lang", "sk", "doc_id", "sz")
+    val l = prefix.select(col("lang").as("lang_a"), col("sk").as("sk_a"),
+      col("doc_id").as("a"), col("sz").as("sz_a"))
+    val r = postings.select(col("lang").as("lang_b"), col("sk").as("sk_b"),
+      col("doc_id").as("b"), col("sz").as("sz_b"))
+    val candidates = l.join(r,
+        col("lang_a") === col("lang_b") && col("sk_a") === col("sk_b") &&
+          col("a") =!= col("b") &&
+          col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      .select("a", "b")
+      .distinct()
+    val arrs = sh.select(col("doc_id"), col("sh"), col("sz"))
+    candidates
+      .join(arrs.select(col("doc_id").as("a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), Seq("a"))
+      .join(arrs.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .filter(col("sz_a") > 0)
+      .withColumn("containment",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / col("sz_a"), 4))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+  }
 }

@@ -91,6 +91,12 @@ object PipelineQueries {
     "q33_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
 
+    // DIRECTED shingle-containment pairs (syndication wrappers / quote
+    // subsets — high containment, low Jaccard): one-sided prefix-pruned
+    // inverted-index join, exact verification.
+    "q84_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), threshold = 0.8)),
+
     // embedding-cosine near-dup pairs (native codegen'd cosine kernel).
     "q34_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.35)),
@@ -488,6 +494,19 @@ object PipelineQueries {
         |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
         |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) AS p
         | WHERE jaccard >= 0.5""".stripMargin,
+
+    "q84_containment" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks)
+        |SELECT a, b, containment FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 4) AS containment
+        |    FROM sh a JOIN sh b
+        |      ON a.lang = b.lang AND a.doc_id <> b.doc_id AND len(a.s) > 0) AS p
+        | WHERE containment >= 0.8""".stripMargin,
 
     "q34_embed_neardup" ->
       """SELECT a, b, round(c, 4) AS cos FROM (

@@ -400,6 +400,36 @@ class MlSpec extends AnyFunSuite {
     assert(got === truth)
   }
 
+  test("prefix-pruned containment pairs == unpruned all-pairs truth") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val got = Dedup.containmentPairs(docs, threshold = 0.8)
+      .select("a", "b", "containment").as[(Long, Long, Double)].collect().toSet
+    val sh = docs.select($"doc_id", $"lang", Dedup.shingles3($"text").as("sh"))
+    val l = sh.select($"lang".as("lang_a"), $"doc_id".as("a"), $"sh".as("sh_a"))
+    val r = sh.select($"lang".as("lang_b"), $"doc_id".as("b"), $"sh".as("sh_b"))
+    val truth = l.join(r, $"lang_a" === $"lang_b" && $"a" =!= $"b" && size($"sh_a") > 0)
+      .withColumn("containment",
+        round(size(array_intersect($"sh_a", $"sh_b")).cast("double") / size($"sh_a"), 4))
+      .filter($"containment" >= 0.8)
+      .select("a", "b", "containment").as[(Long, Long, Double)].collect().toSet
+    assert(got === truth)
+    assert(got.nonEmpty, "fixture alias rows should produce containment pairs")
+  }
+
+  test("containment catches subsets that symmetric Jaccard misses") {
+    // doc 2 is a verbatim excerpt of doc 1: containment(2 ⊂ 1) = 1.0 while
+    // jaccard is far below any dedup threshold — the syndication case.
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 21).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "en", long), (2L, "en", excerpt), (3L, "en", "unrelated text entirely"))
+      .toDF("doc_id", "lang", "text")
+    val cont = Dedup.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont === Set((2L, 1L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.5).count()
+    assert(jac === 0L, "jaccard should NOT fire on the excerpt pair")
+  }
+
   test("top-k aggregate knn == window-ranked reference (order + ties)") {
     val e = clusteredVecs(200, 8, 16)
     val q = e.filter($"vec_id" % 20 === 0)
