@@ -155,6 +155,45 @@ object TextAnalysis {
           .as("mean_logp"))
   }
 
+  /** Bigram LM quality — [[unigramLogProb]]'s next rung on the CCNet
+    * ladder (Wenzek et al. 2020 rank with a 5-gram KenLM; the bigram MLE
+    * is the largest n that stays oracle-expressible): per document the
+    * mean conditional log-prob `sum(k * ln(c(w1,w2) / ctx(w1))) / sum(k)`
+    * over its bigrams, where c is the corpus bigram count and ctx(w1) the
+    * count of w1 as a LEFT context (so p(·|w1) sums to 1 exactly). The
+    * model is trained on the scored corpus itself, so every scored bigram
+    * has c ≥ 1 and no smoothing is needed — word-salad (rare
+    * transitions) scores low even when every individual token is common,
+    * which is exactly the failure mode the unigram proxy cannot see.
+    *
+    * Plan shape: bigram pairing is arrays_zip over two slice views
+    * (codegen'd builtins — the q78 shape; shingles_n dedups so it cannot
+    * COUNT); per-doc bigram counts collapse in a two-level hash agg (the
+    * shuffle carries (doc, w1, w2, k), never the token stream); the
+    * bigram model and its left-context totals are vocabulary²-bounded
+    * tables joined on the pair key (string keys here — the production
+    * swap-in is an 8-byte xxhash64(w1, w2) join key, the q33 discipline).
+    * Docs with < 2 tokens have no bigrams and are absent by definition. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val pairs = docs
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1).as("w1"),
+        slice(t, lit(2), size(t) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val db = pairs.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).cast("double").as("k"))
+    val cb = db.groupBy("w1", "w2").agg(sum("k").as("c"))
+    val ctx = cb.groupBy("w1").agg(sum("c").as("ctx"))
+    db.join(cb, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        sum("k").cast("long").as("n_bigrams"),
+        round(sum(col("k") * log(col("c") / col("ctx"))) / sum("k"), 4)
+          .as("mean_logp"))
+  }
+
   /** PII patterns (Dolma/C4-family scrubbing), written in the common
     * subset of Java regex (Spark) and RE2 (DuckDB) so the oracle runs the
     * SAME patterns: character classes, bounded repetition and `\b` only —

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Canonicalize, Constants, Fixtures, Parsers}
-import graft.operators.{CrawlConfig, CrawlLoop, Robots, Scheduler}
+import graft.operators.{CrawlConfig, CrawlLoop, Recrawl, Robots, Scheduler}
 
 /** Crawl-engine query entries for SparkEntry — SURVEY.md §2 ops 1–51.
   *
@@ -218,6 +218,15 @@ object CrawlQueries {
         .select(
           Canonicalize.hostOf(col("url")).as("host"),
           explode(linksUdf(col("html"))).as("link"))),
+
+    // op 89: recrawl scheduling — per-canonical-url capture/change stats
+    // (version counting on 8-byte text hashes; revisit = observed mean
+    // change interval, Cho & Garcia-Molina policy inputs).
+    "q85_recrawl" -> ((s, dir) => Recrawl.changeStats(pages(s, dir))),
+
+    // op 90: URL-template mining / crawl-trap detection — digit runs
+    // collapse to {N}, one hash agg on (host, template).
+    "q86_url_templates" -> ((s, dir) => Recrawl.urlTemplates(pages(s, dir))),
 
     // op 20: frontier cardinality accounting — exact distinct (oracle-able;
     // approx_count_distinct is asserted within 5% in RelationalExtraSpec).
@@ -559,6 +568,31 @@ object CrawlQueries {
       s"""$PagesCte
          |SELECT lang, count(*) AS n_pages, count(DISTINCT url) AS n_urls
          |  FROM canon GROUP BY lang""".stripMargin,
+
+    // n_versions: the engine counts distinct xxhash64(text) (content never
+    // shuffles); collision-free == count(DISTINCT text), which IS the
+    // oracle-expressible definition.
+    "q85_recrawl" ->
+      s"""$PagesCte
+         |SELECT url, count(*) AS n_captures,
+         |       count(DISTINCT text) AS n_versions,
+         |       min(warc_ts) AS first_ts, max(warc_ts) AS last_ts,
+         |       date_diff('second', min(warc_ts), max(warc_ts)) AS span_sec,
+         |       CASE WHEN count(DISTINCT text) > 1
+         |            THEN date_diff('second', min(warc_ts), max(warc_ts))
+         |                   // (count(DISTINCT text) - 1)
+         |            ELSE 86400 END AS revisit_sec
+         |  FROM canon GROUP BY url""".stripMargin,
+
+    "q86_url_templates" ->
+      s"""$PagesCte
+         |SELECT host,
+         |       regexp_replace(regexp_replace(raw_url, '^https?://[^/]+', ''),
+         |                      '[0-9]+', '{N}', 'g') AS template,
+         |       count(DISTINCT raw_url) AS n_urls,
+         |       count(*) AS n_captures,
+         |       count(DISTINCT raw_url) >= 10 AS is_trap
+         |  FROM canon GROUP BY 1, 2""".stripMargin,
 
     "q13_running_totals" ->
       s"""$PagesCte,

@@ -208,6 +208,11 @@ object PipelineQueries {
     // CCNet-style LM quality proxy: mean corpus-unigram log-prob per doc.
     "q55_lm_quality" -> ((s, dir) => TextAnalysis.unigramLogProb(docs(s, dir))),
 
+    // bigram LM quality (CCNet ladder, next rung above q55's unigram):
+    // mean conditional log-prob over the doc's bigrams under the corpus
+    // bigram MLE — word-salad scores low even when every token is common.
+    "q87_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLogProb(docs(s, dir))),
+
     // exact phrase search over the shingles_n kernel (phrase = n-gram).
     "q56_phrase_search" -> ((s, dir) => Search.phraseDocs(docs(s, dir), PhraseNeedle)),
 
@@ -933,6 +938,21 @@ object PipelineQueries {
         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
         |       round(sum(k * ln(c / n_total)) / sum(k), 4) AS mean_logp
         |  FROM dt JOIN f USING (tok) CROSS JOIN tot
+        | GROUP BY doc_id""".stripMargin,
+
+    "q87_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |              i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+        |        FROM tk),
+        |db AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2,
+        |              CAST(count(*) AS DOUBLE) AS k
+        |         FROM bg GROUP BY ALL),
+        |cb AS (SELECT w1, w2, sum(k) AS c FROM db GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(c) AS ctx FROM cb GROUP BY w1)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |       round(sum(k * ln(c / ctx)) / sum(k), 4) AS mean_logp
+        |  FROM db JOIN cb USING (w1, w2) JOIN ctx USING (w1)
         | GROUP BY doc_id""".stripMargin,
 
     // Phrase interpolated from PhraseNeedle (3 tokens → 3-gram containment).

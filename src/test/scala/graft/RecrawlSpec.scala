@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Recrawl
+
+/** Recrawl scheduling + URL-template mining (SURVEY.md §2 ops 89/90). */
+class RecrawlSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("changeStats: versions, spans, and the revisit policy branches") {
+    val pages = Seq(
+      // one capture → no signal → default revisit
+      ("https://a.example.com/only", ts("2024-01-01 00:00:00"), "t1"),
+      // two captures, SAME text → no observed change → default revisit
+      ("https://a.example.com/static", ts("2024-01-01 00:00:00"), "s"),
+      ("https://a.example.com/static", ts("2024-01-01 01:00:00"), "s"),
+      // three captures, three versions → span 7200 div 2 changes = 3600
+      ("https://a.example.com/live", ts("2024-01-01 00:00:00"), "v1"),
+      ("https://a.example.com/live", ts("2024-01-01 01:00:00"), "v2"),
+      ("https://a.example.com/live", ts("2024-01-01 02:00:00"), "v3"),
+      // alias captures merge on the CANONICAL url (query dropped)
+      ("https://a.example.com/alias", ts("2024-01-01 00:00:00"), "x"),
+      ("https://a.example.com/alias?utm=1", ts("2024-01-01 00:10:00"), "y"))
+      .toDF("url", "warc_ts", "text")
+    val got = Recrawl.changeStats(pages, defaultRevisitSec = 111L)
+      .select("url", "n_captures", "n_versions", "span_sec", "revisit_sec")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("https://a.example.com/only", 1L, 1L, 0L, 111L),
+      ("https://a.example.com/static", 2L, 1L, 3600L, 111L),
+      ("https://a.example.com/live", 3L, 3L, 7200L, 3600L),
+      ("https://a.example.com/alias", 2L, 2L, 600L, 600L)))
+  }
+
+  test("changeStats: text never enters the shuffle (hash-keyed versions)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pages = Seq(("https://a.example.com/p", ts("2024-01-01 00:00:00"), "body"))
+        .toDF("url", "warc_ts", "text")
+      val exchanges = Recrawl.changeStats(pages).queryExecution.executedPlan
+        .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      // every exchange carries the 8-byte text_h, never the text column
+      assert(exchanges.forall(_.output.forall(_.name != "text")),
+        exchanges.map(_.output.map(_.name).mkString(",")).mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("urlTemplates: digit collapse, capture grain, trap flag") {
+    val rows =
+      (1 to 12).map(i => (s"https://t.example.com/cal/2024/$i", "x")) ++ Seq(
+        ("https://t.example.com/about", "x"),
+        ("https://t.example.com/about", "y"), // recapture: 2 captures, 1 url
+        ("https://u2.example.com/item/7?page=3", "x"))
+    val pages = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(ts("2024-01-01 00:00:00")))
+    val got = Recrawl.urlTemplates(pages, trapThreshold = 10L)
+      .select("host", "template", "n_urls", "n_captures", "is_trap")
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      ("t.example.com", "/cal/{N}/{N}", 12L, 12L, true),
+      ("t.example.com", "/about", 1L, 2L, false),
+      ("u2.example.com", "/item/{N}?page={N}", 1L, 1L, false)))
+  }
+}

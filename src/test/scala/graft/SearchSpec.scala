@@ -221,6 +221,32 @@ class SearchSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(2L)._2, "doc with rarer tokens scores lower")
   }
 
+  test("bigramLogProb matches the scalar formula; word-salad scores low") {
+    val rows = Seq(
+      (1L, "a b a b c"), // bigrams: (a,b)x2 (b,a) (b,c)
+      (2L, "a b x"),     // bigrams: (a,b) (b,x)
+      (3L, "q"))         // < 2 tokens → no bigrams → absent
+      .toDF("doc_id", "text")
+    // corpus: c(a,b)=3 c(b,a)=1 c(b,c)=1 c(b,x)=1; ctx(a)=3 ctx(b)=3
+    val truth = Map(
+      1L -> (4L, (2 * math.log(1.0) + 2 * math.log(1.0 / 3)) / 4.0),
+      2L -> (2L, (math.log(1.0) + math.log(1.0 / 3)) / 2.0))
+    val got = TextAnalysis.bigramLogProb(rows)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === truth.keySet)
+    for ((id, (n, m)) <- truth) {
+      assert(got(id)._1 === n)
+      assert(math.abs(got(id)._2 - m) < 5e-5, s"doc $id: got ${got(id)._2}, want $m")
+    }
+    // word-salad separation the unigram proxy cannot see: same tokens,
+    // unseen transitions rank strictly below fluent ordering
+    val fluent = (1 to 10).map(i => (i.toLong, "the market rose today"))
+    val salad = Seq((99L, "rose the today market"))
+    val scores = TextAnalysis.bigramLogProb((fluent ++ salad).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scores(99L) < scores(1L), "scrambled word order must score lower")
+  }
+
   test("phraseDocs: consecutive-token containment only, width = phrase length") {
     val rows = Seq(
       (1L, "x row column sort y"), // phrase present
