@@ -169,24 +169,37 @@ object TextAnalysis {
     * Plan shape: bigram pairing is arrays_zip over two slice views
     * (codegen'd builtins — the q78 shape; shingles_n dedups so it cannot
     * COUNT); per-doc bigram counts collapse in a two-level hash agg (the
-    * shuffle carries (doc, w1, w2, k), never the token stream); the
-    * bigram model and its left-context totals are vocabulary²-bounded
-    * tables joined on the pair key (string keys here — the production
-    * swap-in is an 8-byte xxhash64(w1, w2) join key, the q33 discipline).
-    * Docs with < 2 tokens have no bigrams and are absent by definition. */
+    * shuffle carries (doc, w1, w2, k), never the token stream). The
+    * left-context totals ride a WINDOW over the vocabulary²-bounded
+    * model table — sum(c) over (partition by w1) — rather than a second
+    * aggregation of a corpus-derived frame, so the corpus is scanned
+    * ONCE (a re-agg subtree defeats Spark's exchange reuse and re-scans
+    * the corpus; the window partition is a token's distinct-follower
+    * set, vocabulary-bounded, never document-bounded). One model join on
+    * the pair key (string keys here — the production swap-in is an
+    * 8-byte xxhash64(w1, w2) join key, the q33 discipline). All counts
+    * are integers carried in doubles, so c and ctx are EXACT on both
+    * engine and oracle sides; docs with < 2 tokens have no bigrams and
+    * are absent by definition. */
   def bigramLogProb(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = toks(col("text"))
     val pairs = docs
       .select(col("doc_id"), explode(arrays_zip(
         slice(t, lit(1), size(t) - 1).as("w1"),
         slice(t, lit(2), size(t) - 1).as("w2"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // No-op semantically (the zipped slices are equal-length, so
+      // arrays_zip never pads): stated explicitly so BOTH consumers of
+      // `db` (the doc-grain join side and the model side) infer the SAME
+      // null filters — otherwise their scan subtrees canonicalize
+      // differently and exchange reuse fails, re-scanning the corpus.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     val db = pairs.groupBy("doc_id", "w1", "w2")
       .agg(count(lit(1)).cast("double").as("k"))
-    val cb = db.groupBy("w1", "w2").agg(sum("k").as("c"))
-    val ctx = cb.groupBy("w1").agg(sum("c").as("ctx"))
-    db.join(cb, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
+    val model = db.groupBy("w1", "w2").agg(sum("k").as("c"))
+      .withColumn("ctx", sum("c").over(Window.partitionBy("w1")))
+    db.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(
         sum("k").cast("long").as("n_bigrams"),

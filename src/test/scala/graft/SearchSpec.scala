@@ -247,6 +247,20 @@ class SearchSpec extends AnyFunSuite {
     assert(scores(99L) < scores(1L), "scrambled word order must score lower")
   }
 
+  test("bigramLogProb scans the corpus ONCE (model branch reuses the exchange)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      val plan = TextAnalysis.bigramLogProb(docs).queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.size === 1, s"expected one corpus scan, got ${scans.size}")
+      val reused = plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r }
+      assert(reused.nonEmpty, "model branch should reuse the pairing exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("phraseDocs: consecutive-token containment only, width = phrase length") {
     val rows = Seq(
       (1L, "x row column sort y"), // phrase present
