@@ -169,6 +169,47 @@ object Corpus {
   def dedupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     connectedComponents(Dedup.ngramJaccardPairs(docs, threshold))
 
+  /** News story threading — the "related coverage" grouping a news index
+    * serves next to each article: two articles belong to the same thread
+    * iff they are textual near-duplicates (word-3-gram Jaccard ≥
+    * `threshold`, the PPJoin-pruned pair join) AND published within
+    * `maxGapSec` of each other — syndicated copies and quick follow-ups
+    * cluster; an unrelated piece that happens to share boilerplate months
+    * later does not. Thread identity = [[connectedComponents]] over the
+    * time-bounded pair graph; output is the THREAD grain
+    * (thread, n_articles, first_ts, last_ts, span_sec), threads of ≥ 2
+    * articles by construction (singletons are not stories). `docs` must
+    * carry a `ts` publish-time column next to (doc_id, lang, text).
+    *
+    * Scale shape: the pair join is the proven q33 plan; the time gate
+    * attaches two 8-byte epoch values to the candidate-bounded PAIR set,
+    * never to the corpus; CC is the pointer-doubling loop (O(log d)
+    * rounds); the summary is one hash agg on the thread key. Note the
+    * time gate runs AFTER the similarity join, not as a band-join
+    * blocking key: a time-blocked variant (join on coarse time buckets)
+    * would cut candidate generation too but changes recall at bucket
+    * edges — with PPJoin pruning the candidate set is already
+    * near-output-sized, so the exact gate is the right default. */
+  def storyThreads(docs: DataFrame, threshold: Double = 0.5,
+      maxGapSec: Long = 10800L): DataFrame = {
+    val ts = docs.select(col("doc_id"), col("ts"))
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold)
+      .join(ts.select(col("doc_id").as("a"), col("ts").as("ts_a")), Seq("a"))
+      .join(ts.select(col("doc_id").as("b"), col("ts").as("ts_b")), Seq("b"))
+      .filter(abs(unix_timestamp(col("ts_a")) - unix_timestamp(col("ts_b")))
+        <= maxGapSec)
+      .select("a", "b")
+    connectedComponents(pairs)
+      .join(ts, Seq("doc_id"))
+      .groupBy(col("rep").as("thread"))
+      .agg(
+        count(lit(1)).as("n_articles"),
+        min("ts").as("first_ts"),
+        max("ts").as("last_ts"))
+      .withColumn("span_sec",
+        unix_timestamp(col("last_ts")) - unix_timestamp(col("first_ts")))
+  }
+
   /** Fixed-iteration weighted PageRank — the second iterative graph
     * operator next to [[connectedComponents]] (entity/link authority:
     * which nodes sit at the center of the co-mention / link graph).

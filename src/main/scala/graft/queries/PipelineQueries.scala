@@ -174,6 +174,16 @@ object PipelineQueries {
     "q46_dedup_clusters" -> ((s, dir) =>
       Corpus.dedupClusters(docs(s, dir), threshold = 0.5)),
 
+    // news story threading: time-bounded near-dup pairs → connected
+    // components → thread-grain summaries ("related coverage"). The ts
+    // column is the fixture's publish-time mapping (EPOCH + doc_id min —
+    // the same mapping the pages fixture uses for warc_ts).
+    "q88_story_threads" -> ((s, dir) =>
+      Corpus.storyThreads(
+        docs(s, dir).withColumn("ts",
+          expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')")),
+        threshold = 0.5, maxGapSec = 10800L)),
+
     // benchmark decontamination: corpus docs sharing any word-3-gram with
     // the eval slice (doc_id % 37 == 0).
     "q47_decontaminate" -> ((s, dir) =>
@@ -599,6 +609,39 @@ object PipelineQueries {
         |lab AS (SELECT node AS doc_id, min(root) AS rep FROM cc GROUP BY node)
         |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS cluster_size
         |  FROM lab""".stripMargin,
+
+    // Same pair relation + recursive CC as q46, gated by the publish-time
+    // delta (ts reconstructed from the fixture mapping), then the
+    // thread-grain rollup.
+    "q88_story_threads" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |pairs AS (SELECT a, b FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         round(len(list_intersect(a.s, b.s)) * 1.0
+        |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) AS p
+        | WHERE jaccard >= 0.5
+        |   AND abs(date_diff('second',
+        |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(a),
+        |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(b))) <= 10800),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b AS src, a AS dst FROM pairs),
+        |cc AS (SELECT src AS node, src AS root FROM edges
+        |       UNION
+        |       SELECT e.dst AS node, cc.root FROM cc JOIN edges e ON cc.node = e.src),
+        |lab AS (SELECT node AS doc_id, min(root) AS rep FROM cc GROUP BY node),
+        |dts AS (SELECT doc_id,
+        |          TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
+        |          FROM documents)
+        |SELECT rep AS thread, count(*) AS n_articles,
+        |       min(ts) AS first_ts, max(ts) AS last_ts,
+        |       date_diff('second', min(ts), max(ts)) AS span_sec
+        |  FROM lab JOIN dts USING (doc_id)
+        | GROUP BY rep""".stripMargin,
 
     "q47_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

@@ -457,4 +457,46 @@ class CorpusSpec extends AnyFunSuite {
       .as[Long].head()
     assert(merged === global, s"merged $merged vs global $global")
   }
+
+  test("storyThreads: time-gated near-dup components, thread-grain rollup") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def variant(tail: String) = (1 to 39).map(i => s"w$i").mkString(" ") + " " + tail
+    val baseB = (1 to 40).map(i => s"v$i").mkString(" ")
+    def variantB(tail: String) = (1 to 39).map(i => s"v$i").mkString(" ") + " " + tail
+    val docs = Seq(
+      (1L, "en", base, ts("2024-01-01 00:00:00")),
+      (2L, "en", variant("x2"), ts("2024-01-01 01:00:00")),
+      (3L, "en", variant("x3"), ts("2024-01-01 02:00:00")),
+      // near-dup of 1-3 but 8h+ from every member: no edge, no thread
+      (4L, "en", variant("x4"), ts("2024-01-01 10:00:00")),
+      (5L, "en", "totally unrelated text entirely here", ts("2024-01-01 00:30:00")),
+      // second family: gap EXACTLY maxGapSec (inclusive bound)
+      (6L, "en", baseB, ts("2024-01-02 00:00:00")),
+      (7L, "en", variantB("y7"), ts("2024-01-02 03:00:00")))
+      .toDF("doc_id", "lang", "text", "ts")
+    val got = Corpus.storyThreads(docs, threshold = 0.5, maxGapSec = 10800L)
+      .select("thread", "n_articles", "first_ts", "last_ts", "span_sec")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, 3L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"), 7200L),
+      (6L, 2L, ts("2024-01-02 00:00:00"), ts("2024-01-02 03:00:00"), 10800L)))
+  }
+
+  test("storyThreads: transitive threading spans beyond one gap window") {
+    // 1-2 and 2-3 are inside the window, 1-3 is not: connected components
+    // must still place all three in ONE thread (the follow-up chain case).
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def variant(tail: String) = (1 to 39).map(i => s"w$i").mkString(" ") + " " + tail
+    val docs = Seq(
+      (1L, "en", variant("a"), ts("2024-01-01 00:00:00")),
+      (2L, "en", variant("b"), ts("2024-01-01 02:00:00")),
+      (3L, "en", variant("c"), ts("2024-01-01 04:00:00")))
+      .toDF("doc_id", "lang", "text", "ts")
+    val got = Corpus.storyThreads(docs, threshold = 0.5, maxGapSec = 10800L)
+      .select("thread", "n_articles", "span_sec")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 14400L)))
+  }
 }
