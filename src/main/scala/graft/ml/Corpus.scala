@@ -566,4 +566,114 @@ object Corpus {
       .filter(col("rank") <= k)
       .select("lang", "token", "cnt", "rank")
   }
+
+  /** Paragraph-grain exact dedup (op 94) — the CCNet/Dolma pass that
+    * precedes document-grain dedup: across the WHOLE corpus, keep only
+    * the FIRST occurrence of each distinct paragraph (first = min
+    * (doc_id, idx) — deterministic and key-stable) and rebuild each
+    * document from its survivors. Boilerplate (subscribe footers, cookie
+    * banners, navigation chrome) repeats across thousands of pages; at
+    * the paragraph grain it disappears while each document's unique
+    * content survives — document-grain dedup can't touch it.
+    *
+    * Input grain: (doc_id, paras: array<string>) — paragraph splitting
+    * is the caller's (newlines in production; the fixture derives
+    * deterministic breaks, see the q91 entry). Returns
+    * (doc_id, n_paras, n_kept, text_dedup) for EVERY input doc —
+    * a fully-deduped doc survives with n_kept = 0 and empty text.
+    *
+    * Plan: posexplode → keeper = min(struct(doc_id, idx)) per paragraph
+    * HASH (one hash agg; the 8-byte key shuffles, q85's capture-index
+    * trade — a 64-bit collision drops one innocent paragraph, it never
+    * corrupts others) → semi-join survivors (equi-join on (hash, doc,
+    * idx): no window over the corpus) → one regroup rebuilding text in
+    * idx order (array_sort on (idx, para) structs makes collect_list's
+    * arrival order irrelevant). Paragraph text crosses the exchange only
+    * in the final regroup, where it IS the output. */
+  def dedupParagraphs(paras: DataFrame): DataFrame = {
+    val p = paras
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("idx", "para")))
+      .withColumn("ph", xxhash64(col("para")))
+    val keepers = p.groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      .select(col("ph").as("kh"), col("k.doc_id").as("kd"), col("k.idx").as("ki"))
+    val kept = p.join(keepers,
+      p("ph") === keepers("kh") && p("doc_id") === keepers("kd") &&
+        p("idx") === keepers("ki"),
+      "left_semi")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x.getField("para")),
+          "\n").as("text_dedup"))
+    paras.select(col("doc_id"), size(col("paras")).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Tokenizer vocabulary-coverage curve (op 95): rank the corpus
+    * vocabulary by frequency and emit each rank's CUMULATIVE share of
+    * all token occurrences — the table that sizes a tokenizer's
+    * vocabulary ("the top 8k types cover 97.3% of the stream") and
+    * exposes the Zipf head/tail split a curation pipeline budgets
+    * around. Returns (rank, token, tf, cum_frac) for rank ≤ topK.
+    *
+    * Plan: explode → two-level hash agg collapses the token stream to
+    * the vocabulary grain BEFORE any ordering; the cumulative sum is
+    * [[graft.operators.GlobalOrder.withRunningSum]] — a range-partitioned
+    * two-phase prefix sum over (tf desc, token asc), NOT
+    * `sum().over(Window.orderBy(...))`, whose empty partitioning funnels
+    * the whole vocabulary (10^7-10^8 types at web scale) through one
+    * task. The grand total rides a 1-row broadcast. cum_frac is one
+    * int·1.0/int division — bit-identical in the oracle. */
+  def vocabCoverage(docs: DataFrame, topK: Int): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("g", lit("all"))
+    val ranked = graft.operators.GlobalOrder.withRunningSum(
+      vocab, group = "g", valueCol = "tf",
+      order = Seq(col("tf").desc, col("token").asc),
+      parts = parts, outCol = "cum_tf")
+    val total = docs.select(
+      sum(size(split(col("text"), " "))).cast("double").as("total_tf"))
+    graft.operators.GlobalOrder.withRank(
+        ranked, Seq(col("tf").desc, col("token").asc), parts, "rank")
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("tf"),
+        round(col("cum_tf") / col("total_tf"), 4).as("cum_frac"))
+  }
+
+  /** Cross-snapshot incremental dedup (op 96): dedup an INCOMING batch
+    * (today's crawl) against the EXISTING corpus plus itself — the
+    * ingestion-time flavor of exact dedup that makes corpus growth
+    * incremental: the existing corpus contributes only its 8-byte text
+    * hashes (never rescanned at text grain, never re-deduped), exactly
+    * how the crawl's seen-set gates urls (op 12) but at content grain.
+    * Keeps each incoming doc iff (a) its text hash is absent from the
+    * existing corpus (anti-join) and (b) it is the batch's first holder
+    * of that hash (min doc_id — deterministic keeper). Returns the
+    * surviving incoming rows (doc_id, lang, source).
+    *
+    * Plan: two hash-keyed shuffles (anti-join + keeper agg/semi-join),
+    * every exchange 8-byte-keyed; text never shuffles. In deployment the
+    * existing side is a persisted hash index the batch appends to — the
+    * inverted index's segment lifecycle (ops 60-62) applied to dedup. */
+  def dedupAgainstCorpus(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val exH = existing.select(xxhash64(col("text")).as("th")).distinct()
+    val inc = incoming.select(
+      col("doc_id"), col("lang"), col("source"), xxhash64(col("text")).as("th"))
+    val fresh = inc.join(exH, Seq("th"), "left_anti")
+    val firsts = fresh.groupBy("th").agg(min(col("doc_id")).as("doc_id"))
+    fresh.join(firsts, Seq("th", "doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
+  }
 }

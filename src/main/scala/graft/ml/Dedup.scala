@@ -330,4 +330,45 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("a", "b", "containment")
   }
+
+  /** Winnowing fingerprint selection (op 97) — Schleimer, Wilkerson &
+    * Aiken 2003 (the MOSS algorithm): from each document's sequence of
+    * word-k-grams, select the MINIMUM gram of every sliding window of w
+    * consecutive grams, dedup, and emit (doc_id, fingerprint). The
+    * winnowing guarantee: any verbatim run of ≥ w+k-1 tokens shared by
+    * two documents yields at least one SHARED selected fingerprint —
+    * with density 2/(w+1) instead of every gram, the local-dedup /
+    * plagiarism-detection index shrinks ~w/2× with zero recall loss on
+    * long overlaps (MlSpec pins the guarantee).
+    *
+    * The minimum is taken in LEXICOGRAPHIC gram order rather than over a
+    * 64-bit gram hash: the guarantee holds for ANY total order on grams
+    * (the paper's hash only decorrelates selection from text statistics),
+    * and a string order keeps the op DuckDB-oracle-expressible; swapping
+    * in `rolling_hash` order is a one-line production variant. Windows
+    * shorter than w (docs with < w grams) winnow to the single minimum
+    * over what exists — every doc with ≥ 1 gram emits ≥ 1 fingerprint.
+    *
+    * Plan: a pure per-document map stage (gram/window/min/dedup inside
+    * array builtins, no shuffle until the caller aggregates fingerprints);
+    * the two lambda HOFs run interpreted over PER-DOC arrays bounded by
+    * doc length — the round-2 HOF finding, acceptable here because the
+    * arrays never leave their row; the native-Expression upgrade is the
+    * same path shingles_n took. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      // size >= k BEFORE sequence: Spark's sequence(1, 0) is a DESCENDING
+      // [1, 0] (not empty like DuckDB's generate_series), whose 0 start
+      // makes slice throw on sub-k-token docs.
+      .filter(size(col("tk")) >= k)
+      .withColumn("grams",
+        expr(s"transform(sequence(1, size(tk) - ${k - 1}), " +
+          s"i -> array_join(slice(tk, i, $k), ' '))"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          expr(s"transform(sequence(1, greatest(size(grams) - ${w - 1}, 1)), " +
+            s"j -> array_min(slice(grams, j, $w)))"))).as("fingerprint"))
+  }
 }

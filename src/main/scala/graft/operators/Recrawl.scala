@@ -52,6 +52,66 @@ object Recrawl {
           expr("span_sec div (n_versions - 1)"))
           .otherwise(lit(defaultRevisitSec)))
 
+  /** Snapshot CDC (op 92): per-canonical-url change status between two
+    * crawl snapshots — the diff a crawl operator runs after every batch
+    * window ("what did this crawl add or change?"). The OLD snapshot is
+    * every capture at or before `boundary`; the NEW snapshot is the full
+    * capture log. Status per url:
+    *   - 'added'     — no capture at or before the boundary
+    *   - 'changed'   — latest-capture content differs across the boundary
+    *   - 'unchanged' — latest capture's content hash is the same
+    * ('removed' cannot be observed in an append-only capture log — a
+    * url's absence from the new window is indistinguishable from "not
+    * recrawled yet"; a frontier-level tombstone feed would supply it.)
+    *
+    * Content comparison is on xxhash64(text) — the q85 capture-index
+    * trade (an 8-byte hash shuffles, the text column never does; a
+    * 64-bit collision can misreport one url as unchanged, never corrupt
+    * other rows). Latest-capture selection is max(struct(ts, hash)):
+    * max ignores the NULLed-out rows on the old side and orders by ts
+    * first (hash breaks exact-ts ties deterministically). Plan: map-side
+    * canonicalize + hash → ONE hash agg on url — same scale shape as
+    * changeStats. */
+  def snapshotDiff(pages: DataFrame, boundary: java.sql.Timestamp): DataFrame =
+    pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(
+        Canonicalize.canonicalUrl(col("url")).as("url"),
+        col("warc_ts"),
+        xxhash64(col("text")).as("text_h"))
+      .filter(col("url").isNotNull)
+      .groupBy("url")
+      .agg(
+        max(when(col("warc_ts") <= lit(boundary),
+          struct(col("warc_ts"), col("text_h")))).as("old_last"),
+        max(struct(col("warc_ts"), col("text_h"))).as("new_last"),
+        sum(when(col("warc_ts") <= lit(boundary), 0L).otherwise(1L))
+          .as("n_new_captures"))
+      .select(
+        col("url"),
+        when(col("old_last").isNull, lit("added"))
+          .when(col("old_last.text_h") =!= col("new_last.text_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("n_new_captures"),
+        col("new_last.warc_ts").as("last_ts"))
+
+  /** Due-for-recrawl frontier feed (op 93): the urls whose adaptive
+    * revisit interval (changeStats, op 92's sibling q85) has elapsed at
+    * `now` — the list a scheduler unions into the next batch's candidate
+    * set. overdue_sec orders the backlog (most-stale first is the
+    * classic freshness-maximizing policy). Pure composition: changeStats'
+    * single hash agg + a filter; nothing new shuffles. */
+  def dueForRecrawl(pages: DataFrame, now: java.sql.Timestamp,
+      defaultRevisitSec: Long = 86400L): DataFrame = {
+    val nowSec = now.toInstant.getEpochSecond
+    changeStats(pages, defaultRevisitSec)
+      .withColumn("due_at_sec", unix_timestamp(col("last_ts")) + col("revisit_sec"))
+      .filter(col("due_at_sec") <= nowSec)
+      .select(
+        col("url"), col("n_versions"), col("last_ts"), col("revisit_sec"),
+        (lit(nowSec) - col("due_at_sec")).as("overdue_sec"))
+  }
+
   /** URL-template mining: collapse digit runs to `{N}` and group by
     * (host, path-template) — the crawl-trap / site-structure profile
     * (a template whose distinct-url cardinality explodes is an infinite

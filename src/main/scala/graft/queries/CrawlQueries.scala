@@ -62,6 +62,15 @@ object CrawlQueries {
       |  SELECT * FROM (VALUES %HOSTS%) AS t(host, weight, budget, crawl_delay, family)
       |)""".stripMargin.replace("%HOSTS%", graft.core.FixtureConstants.sqlValues)
 
+  /** q89's snapshot boundary and q90's NOW, as offsets from the fixture
+    * EPOCH — chosen so every status regime appears at sf0.01: docs past
+    * the boundary are 'added', recaptured docs straddling it are
+    * 'changed', the rest 'unchanged'; for q90, changed urls (revisit =
+    * observed interval) split due/not-due around NOW while
+    * default-backoff urls (86400 s) are all not-due. */
+  val SnapshotBoundarySec = 15000L
+  val RecrawlNowSec = 40000L
+
   private def pages(spark: SparkSession, sfDir: String): DataFrame =
     Fixtures.pages(spark, sfDir)
 
@@ -227,6 +236,18 @@ object CrawlQueries {
     // op 90: URL-template mining / crawl-trap detection — digit runs
     // collapse to {N}, one hash agg on (host, template).
     "q86_url_templates" -> ((s, dir) => Recrawl.urlTemplates(pages(s, dir))),
+
+    // op 92: snapshot CDC — per-canonical-url added/changed/unchanged
+    // between the captures at or before the boundary and the full log.
+    "q89_snapshot_diff" -> ((s, dir) =>
+      Recrawl.snapshotDiff(pages(s, dir),
+        java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(SnapshotBoundarySec)))),
+
+    // op 93: due-for-recrawl feed — urls whose adaptive revisit interval
+    // (q85's change stats) has elapsed at NOW, most-stale first.
+    "q90_recrawl_due" -> ((s, dir) =>
+      Recrawl.dueForRecrawl(pages(s, dir),
+        java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(RecrawlNowSec)))),
 
     // op 20: frontier cardinality accounting — exact distinct (oracle-able;
     // approx_count_distinct is asserted within 5% in RelationalExtraSpec).
@@ -593,6 +614,43 @@ object CrawlQueries {
          |       count(*) AS n_captures,
          |       count(DISTINCT raw_url) >= 10 AS is_trap
          |  FROM canon GROUP BY 1, 2""".stripMargin,
+
+    // Boundary interpolated from SnapshotBoundarySec. The oracle compares
+    // latest-capture TEXT while the engine compares xxhash64(text) — the
+    // q85 capture-index trade, equal absent 64-bit collisions. arg_max
+    // needs no tie-break: capture offsets per canonical url are distinct
+    // by fixture construction (0/+30/+45/+7200 on disjoint residues).
+    "q89_snapshot_diff" ->
+      s"""$PagesCte
+         |SELECT url,
+         |       CASE WHEN count(*) FILTER (WHERE warc_ts <= TIMESTAMP '2024-01-01 00:00:00' + to_seconds($SnapshotBoundarySec)) = 0
+         |              THEN 'added'
+         |            WHEN arg_max(text, warc_ts) FILTER (WHERE warc_ts <= TIMESTAMP '2024-01-01 00:00:00' + to_seconds($SnapshotBoundarySec))
+         |                 <> arg_max(text, warc_ts)
+         |              THEN 'changed'
+         |            ELSE 'unchanged' END AS status,
+         |       count(*) FILTER (WHERE warc_ts > TIMESTAMP '2024-01-01 00:00:00' + to_seconds($SnapshotBoundarySec)) AS n_new_captures,
+         |       max(warc_ts) AS last_ts
+         |  FROM canon GROUP BY url""".stripMargin,
+
+    // NOW interpolated from RecrawlNowSec; the stats CTE mirrors q85
+    // clause-for-clause, then the due filter + overdue arithmetic run on
+    // epoch-offset integers (date_diff from the fixture EPOCH == Spark's
+    // unix_timestamp difference — the anchor cancels).
+    "q90_recrawl_due" ->
+      s"""$PagesCte,
+         |stats AS (
+         |  SELECT url, count(DISTINCT text) AS n_versions, max(warc_ts) AS last_ts,
+         |         CASE WHEN count(DISTINCT text) > 1
+         |              THEN date_diff('second', min(warc_ts), max(warc_ts))
+         |                     // (count(DISTINCT text) - 1)
+         |              ELSE 86400 END AS revisit_sec
+         |    FROM canon GROUP BY url
+         |)
+         |SELECT url, n_versions, last_ts, revisit_sec,
+         |       $RecrawlNowSec - (date_diff('second', TIMESTAMP '2024-01-01 00:00:00', last_ts) + revisit_sec) AS overdue_sec
+         |  FROM stats
+         | WHERE date_diff('second', TIMESTAMP '2024-01-01 00:00:00', last_ts) + revisit_sec <= $RecrawlNowSec""".stripMargin,
 
     "q13_running_totals" ->
       s"""$PagesCte,

@@ -369,8 +369,69 @@ object PipelineQueries {
         s"$dir/documents.parquet")(
         Search.indexCommitted)(
         p => Search.saveIndex(docs(s, dir), p))(
-        p => Search.proximityDocsFromIndex(s, p, ProxTermA, ProxTermB, ProxWindow)))
+        p => Search.proximityDocsFromIndex(s, p, ProxTermA, ProxTermB, ProxWindow))),
+
+    // paragraph-grain exact dedup (CCNet/Dolma boilerplate pass): keep
+    // each distinct paragraph's FIRST occurrence corpus-wide, rebuild
+    // docs. Paragraph breaks are fixture plumbing (word-soup text has no
+    // newlines): fixed 12-token chunks plus deterministically injected
+    // boilerplate paragraphs — the shared footers the op exists to strip.
+    "q91_paragraph_dedup" -> ((s, dir) =>
+      Corpus.dedupParagraphs(paraDocs(docs(s, dir)))),
+
+    // tokenizer vocabulary-coverage curve: top-100 vocabulary ranks with
+    // cumulative share of the corpus token stream (distributed prefix
+    // sum — no single-task global window).
+    "q92_vocab_coverage" -> ((s, dir) =>
+      Corpus.vocabCoverage(docs(s, dir), topK = 100)),
+
+    // cross-snapshot incremental dedup: today's batch (deterministic
+    // transform of the corpus: re-crawled exact dups, within-batch wire
+    // dups, fresh docs) deduped against the existing corpus by text
+    // hash + within-batch first-keeper.
+    "q93_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val incoming = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 8 === 1,
+            concat(lit("breaking wire item "),
+              expr("(doc_id - 1) div 16").cast("string")))
+          .otherwise(concat(col("text"), lit(" fresh angle"))).as("text"),
+        col("lang"), col("source"))
+      Corpus.dedupAgainstCorpus(d, incoming)
+    }),
+
+    // winnowing fingerprint selection (Schleimer et al. 2003): per doc,
+    // the min word-3-gram of every 4-gram window, deduped — the MOSS
+    // local-dedup index at ~2/(w+1) density with the shared-run
+    // guarantee (pinned in MlSpec).
+    "q94_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), k = 3, w = 4))
   )
+
+  /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
+    * deterministic stand-in for newline paragraph breaks) plus two
+    * injected boilerplate paragraphs — a global subscribe footer on
+    * doc_id % 6 == 0 and a per-source follow footer on doc_id % 4 == 1 —
+    * mirrored clause-for-clause in the q91 oracle CTE (the piiDocs
+    * pattern). */
+  private[queries] def paraDocs(d: DataFrame): DataFrame =
+    d.withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr(s"""concat(
+          transform(sequence(0, (size(tk) - 1) div $ParaChunk),
+            i -> array_join(slice(tk, i * $ParaChunk + 1, $ParaChunk), ' ')),
+          CASE WHEN doc_id % 6 = 0 THEN array('$BoilerplatePara')
+               ELSE cast(array() as array<string>) END,
+          CASE WHEN doc_id % 4 = 1
+               THEN array(concat('follow ', source, ' for breaking news'))
+               ELSE cast(array() as array<string>) END)""").as("paras"))
+
+  /** q91's paragraph chunk width (tokens) and injected global footer. */
+  val ParaChunk: Int = 12
+  val BoilerplatePara: String =
+    "subscribe to our newsletter for daily market updates"
 
   /** q76's standing alerts: a two-term conjunction with an exclusion, a
     * single-term alert with no exclusions, an unsatisfiable alert (term
@@ -1062,6 +1123,83 @@ object PipelineQueries {
         |   AND len(string_split(d.text,' ')) >= 30
         |   AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
         |   AND d.doc_id NOT IN (SELECT doc_id FROM losers)
-        |   AND (((d.doc_id * 48271 + 11) % 1000) + 1000) % 1000 < 500""".stripMargin
+        |   AND (((d.doc_id * 48271 + 11) % 1000) + 1000) % 1000 < 500""".stripMargin,
+
+    // Paragraphization mirrors paraDocs clause-for-clause (12-token
+    // chunks + the two injected footers); keep-first = ROW_NUMBER over
+    // (doc_id, position) per paragraph STRING — the engine keys the same
+    // rule on xxhash64(para), equal absent 64-bit collisions (the q85
+    // trade). string_agg(… ORDER BY pos) rebuilds in position order ==
+    // the engine's array_sort((idx, para)) reassembly; chr(10) is the
+    // engine's '\n' joiner.
+    "q91_paragraph_dedup" ->
+      s"""WITH base AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+         |pr AS (SELECT doc_id, list_concat(list_concat(
+         |         list_transform(generate_series(0, (len(tk)-1)//$ParaChunk),
+         |           i -> array_to_string(list_slice(tk, i*$ParaChunk+1, i*$ParaChunk+$ParaChunk), ' ')),
+         |         CASE WHEN doc_id % 6 = 0 THEN ['$BoilerplatePara'] ELSE []::VARCHAR[] END),
+         |         CASE WHEN doc_id % 4 = 1 THEN ['follow ' || source || ' for breaking news'] ELSE []::VARCHAR[] END) AS paras
+         |       FROM base),
+         |px AS (SELECT doc_id, unnest(paras) AS para,
+         |              unnest(generate_series(1, len(paras))) AS pos
+         |         FROM pr),
+         |k AS (SELECT doc_id, pos, para,
+         |             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |        FROM px),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |               string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+         |          FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT p.doc_id, CAST(len(paras) AS BIGINT) AS n_paras,
+         |       COALESCE(n_kept, 0) AS n_kept,
+         |       COALESCE(text_dedup, '') AS text_dedup
+         |  FROM pr p LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // cum_frac is CAST(cum AS DOUBLE)/total — one division of exact
+    // integers, bit-identical to the engine's long/double (the q66
+    // discipline); SUM OVER returns HUGEINT, cast back.
+    "q92_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+        |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM v),
+        |r AS (SELECT token, CAST(tf AS BIGINT) AS tf,
+        |             ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank,
+        |             CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tf
+        |        FROM v)
+        |SELECT rank, token, tf, round(CAST(cum_tf AS DOUBLE) / total, 4) AS cum_frac
+        |  FROM r CROSS JOIN tot WHERE rank <= 100""".stripMargin,
+
+    // The incoming-batch CTE mirrors the q93 entry's deterministic
+    // transform; dedup compares TEXT where the engine compares
+    // xxhash64(text) — the q85 trade.
+    "q93_incremental_dedup" ->
+      """WITH inc AS (SELECT doc_id + 100000 AS doc_id,
+        |         CASE WHEN doc_id % 4 = 0 THEN text
+        |              WHEN doc_id % 8 = 1 THEN 'breaking wire item ' || CAST((doc_id-1)//16 AS VARCHAR)
+        |              ELSE text || ' fresh angle' END AS text,
+        |         lang, source
+        |    FROM documents),
+        |fresh AS (SELECT * FROM inc
+        |           WHERE NOT EXISTS (SELECT 1 FROM documents e WHERE e.text = inc.text)),
+        |k AS (SELECT text, min(doc_id) AS doc_id FROM fresh GROUP BY text)
+        |SELECT f.doc_id, f.lang, f.source
+        |  FROM fresh f JOIN k ON f.text = k.text AND f.doc_id = k.doc_id""".stripMargin,
+
+    // k=3 / w=4 mirror the q94 entry literals. list_slice end-clamps
+    // (the q59-verified behavior) == Spark slice truncation; DuckDB
+    // VARCHAR min and Spark's array_min both compare bytewise, so the
+    // selected gram is identical; generate_series(1, 0) is empty and
+    // the greatest(…, 1) single-window case mirrors the engine's
+    // short-doc branch.
+    "q94_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+        |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS grams
+        |        FROM t),
+        |w AS (SELECT doc_id, list_distinct(list_transform(
+        |              generate_series(1, greatest(len(grams)-3, 1)),
+        |              j -> list_aggregate(list_slice(grams, j, j+3), 'min'))) AS fps
+        |        FROM g WHERE len(grams) >= 1)
+        |SELECT doc_id, unnest(fps) AS fingerprint FROM w""".stripMargin
   )
 }

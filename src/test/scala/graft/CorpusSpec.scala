@@ -499,4 +499,56 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 3L, 14400L)))
   }
+
+  test("dedupParagraphs: corpus-wide keep-first, in-doc order, all-dropped doc") {
+    val paras = Seq(
+      // doc 1: unique content + the shared footer (first occurrence — kept)
+      (1L, Seq("alpha beta", "footer boilerplate")),
+      // doc 2: repeats the footer (dropped) AND repeats its own paragraph
+      // within the doc (second copy dropped), keeps unique middle
+      (2L, Seq("gamma delta", "gamma delta", "footer boilerplate", "epsilon")),
+      // doc 3: every paragraph already seen → survives with n_kept = 0
+      (3L, Seq("alpha beta", "footer boilerplate")),
+      // doc 4: order preservation — kept paragraphs rebuild in idx order
+      (4L, Seq("zeta", "alpha beta", "eta")))
+      .toDF("doc_id", "paras")
+    val got = Corpus.dedupParagraphs(paras)
+      .select("doc_id", "n_paras", "n_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 2L, "alpha beta\nfooter boilerplate"),
+      (2L, 4L, 2L, "gamma delta\nepsilon"),
+      (3L, 2L, 0L, ""),
+      (4L, 3L, 2L, "zeta\neta")))
+  }
+
+  test("vocabCoverage: rank order, cumulative shares, full-vocab closure") {
+    // stream: a×4, b×3, c×2, d×1 → total 10
+    val docs = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Corpus.vocabCoverage(docs, topK = 10)
+      .select("rank", "token", "tf", "cum_frac")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "a", 4L, 0.4), (2L, "b", 3L, 0.7),
+      (3L, "c", 2L, 0.9), (4L, "d", 1L, 1.0)))
+    // ties rank token-asc deterministically
+    val tied = Corpus.vocabCoverage(Seq((1L, "x y")).toDF("doc_id", "text"), 10)
+      .select("rank", "token").as[(Long, String)].collect().sortBy(_._1)
+    assert(tied.toSeq === Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("dedupAgainstCorpus: corpus hit dropped, batch keeper kept, fresh kept") {
+    val existing = Seq((1L, "old story one", "en", "s0"),
+      (2L, "old story two", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val incoming = Seq(
+      (10L, "old story one", "en", "s1"),   // exact re-crawl → dropped
+      (11L, "wire flash", "en", "s1"),      // batch dup group: min id kept
+      (12L, "wire flash", "en", "s2"),      //   → dropped
+      (13L, "genuinely new", "en", "s1"))   // fresh → kept
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.dedupAgainstCorpus(existing, incoming)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(got === Set((11L, "s1"), (13L, "s1")))
+  }
 }

@@ -461,4 +461,58 @@ class MlSpec extends AnyFunSuite {
     val again = Multimodal.decodeFeatures(spark, media).collect()
     assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
+
+  /** Scalar reference for winnowing: k-grams, min per w-window, dedup. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[String] = {
+    val tk = text.split(" ", -1)
+    val grams = tk.sliding(k).filter(_.length == k).map(_.mkString(" ")).toVector
+    if (grams.isEmpty) Set.empty
+    else if (grams.length < w) Set(grams.min)
+    else grams.sliding(w).map(_.min).toSet
+  }
+
+  test("winnowFingerprints == scalar reference; short docs winnow to one window") {
+    val docs = Seq(
+      (1L, "e d c b a e d c b a"), // 8 grams, repeated minima
+      (2L, "a b c"),               // exactly one gram (< w → single window)
+      (3L, "z y x w v"),           // 3 grams < w=4 → min of all
+      (4L, "a b"))                 // < k tokens → no grams, no rows
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, k = 3, w = 4)
+      .as[(Long, String)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val want = Seq(
+      1L -> "e d c b a e d c b a",
+      2L -> "a b c",
+      3L -> "z y x w v")
+      .map { case (id, t) => id -> winnowRef(t, 3, 4) }.toMap
+    assert(got === want)
+  }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    // Seeded random docs over a tiny vocabulary (maximal repetition
+    // stress), each pair sharing an injected verbatim run of exactly
+    // w+k-1 = 6 tokens — the minimal length the guarantee covers.
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def salad(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val docs = (0 until 20).map { i =>
+      val run = salad(6).mkString(" ")
+      val a = (salad(15) :+ run).mkString(" ") + " " + salad(9).mkString(" ")
+      val b = salad(4).mkString(" ") + " " + run + " " + salad(21).mkString(" ")
+      (i, a, b)
+    }
+    val rows = docs.flatMap { case (i, a, b) =>
+      Seq((i * 2L, a), (i * 2L + 1L, b)) }.toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(rows, k = 3, w = 4)
+      .as[(Long, String)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    for ((i, a, b) <- docs) {
+      val shared = fps(i * 2L) intersect fps(i * 2L + 1L)
+      assert(shared.nonEmpty, s"pair $i shares no fingerprint:\n$a\n$b")
+      // and the engine agrees with the scalar reference on both docs
+      assert(fps(i * 2L) === winnowRef(a, 3, 4))
+      assert(fps(i * 2L + 1L) === winnowRef(b, 3, 4))
+    }
+  }
 }

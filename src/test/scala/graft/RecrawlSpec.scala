@@ -51,6 +51,54 @@ class RecrawlSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("snapshotDiff: added/changed/unchanged, boundary inclusive, alias merge") {
+    val b = ts("2024-01-01 12:00:00")
+    val pages = Seq(
+      // captured only after the boundary → added
+      ("https://a.example.com/new", ts("2024-01-01 13:00:00"), "n1"),
+      // revised across the boundary → changed (2 new captures)
+      ("https://a.example.com/live", ts("2024-01-01 10:00:00"), "v1"),
+      ("https://a.example.com/live", ts("2024-01-01 14:00:00"), "v2"),
+      ("https://a.example.com/live", ts("2024-01-01 15:00:00"), "v3"),
+      // recaptured after the boundary with the SAME text → unchanged
+      ("https://a.example.com/static", ts("2024-01-01 09:00:00"), "s"),
+      ("https://a.example.com/static", ts("2024-01-01 16:00:00"), "s"),
+      // capture exactly AT the boundary counts as old (inclusive)
+      ("https://a.example.com/edge", ts("2024-01-01 12:00:00"), "e"),
+      // alias captures merge on the canonical url before the diff:
+      // old plain + new tracking-param capture with revised text → changed
+      ("https://a.example.com/alias", ts("2024-01-01 08:00:00"), "x"),
+      ("https://a.example.com/alias?utm=1", ts("2024-01-01 13:30:00"), "y"))
+      .toDF("url", "warc_ts", "text")
+    val got = Recrawl.snapshotDiff(pages, b)
+      .select("url", "status", "n_new_captures")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("https://a.example.com/new", "added", 1L),
+      ("https://a.example.com/live", "changed", 2L),
+      ("https://a.example.com/static", "unchanged", 1L),
+      ("https://a.example.com/edge", "unchanged", 0L),
+      ("https://a.example.com/alias", "changed", 1L)))
+  }
+
+  test("dueForRecrawl: observed-interval urls come due; backoff urls do not") {
+    val pages = Seq(
+      // 2 versions over 2 h → revisit 7200; last 02:00 → due at 04:00
+      ("https://a.example.com/live", ts("2024-01-01 00:00:00"), "v1"),
+      ("https://a.example.com/live", ts("2024-01-01 02:00:00"), "v2"),
+      // same shape but last capture too recent → not due at NOW
+      ("https://a.example.com/fresh", ts("2024-01-01 03:00:00"), "f1"),
+      ("https://a.example.com/fresh", ts("2024-01-01 05:00:00"), "f2"),
+      // unchanged → default 86400 backoff → not due
+      ("https://a.example.com/static", ts("2024-01-01 00:00:00"), "s"))
+      .toDF("url", "warc_ts", "text")
+    val now = ts("2024-01-01 05:00:00") // live due at 04:00 → overdue 3600
+    val got = Recrawl.dueForRecrawl(pages, now)
+      .select("url", "revisit_sec", "overdue_sec")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("https://a.example.com/live", 7200L, 3600L)))
+  }
+
   test("urlTemplates: digit collapse, capture grain, trap flag") {
     val rows =
       (1 to 12).map(i => (s"https://t.example.com/cal/2024/$i", "x")) ++ Seq(
