@@ -637,15 +637,18 @@ object Corpus {
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("tf"))
-      .withColumn("g", lit("all"))
-    val ranked = graft.operators.GlobalOrder.withRunningSum(
-      vocab, group = "g", valueCol = "tf",
+    // Fused prefix-sum + rank: ONE range shuffle/sort over (tf desc, token)
+    // instead of the withRunningSum→withRank chain's two. The total is a
+    // separate corpus column scan (size(split) — no explode, no token
+    // shuffle): cheaper than re-running the vocab subtree, which the RDD
+    // boundary would prevent Catalyst from reusing.
+    val ranked = graft.operators.GlobalOrder.withRunningSumAndRank(
+      vocab, valueCol = "tf",
       order = Seq(col("tf").desc, col("token").asc),
-      parts = parts, outCol = "cum_tf")
+      parts = parts, sumCol = "cum_tf", rankCol = "rank")
     val total = docs.select(
       sum(size(split(col("text"), " "))).cast("double").as("total_tf"))
-    graft.operators.GlobalOrder.withRank(
-        ranked, Seq(col("tf").desc, col("token").asc), parts, "rank")
+    ranked
       .filter(col("rank") <= topK)
       .crossJoin(broadcast(total))
       .select(col("rank"), col("token"), col("tf"),

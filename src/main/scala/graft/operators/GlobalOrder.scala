@@ -28,6 +28,44 @@ object GlobalOrder {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** One-pass fusion of [[withRunningSum]] (single global group) and
+    * [[withRank]]: the partials job already visits every range partition,
+    * so it collects the per-partition row COUNT next to the per-partition
+    * value sum, and the second pass assigns both the inclusive running sum
+    * and the 1-based global rank — one range shuffle + sort instead of the
+    * two a withRunningSum→withRank chain pays over the same order. */
+  def withRunningSumAndRank(df: DataFrame, valueCol: String, order: Seq[Column],
+      parts: Int, sumCol: String, rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    val vi = sorted.schema.fieldIndex(valueCol)
+    val base = sorted.rdd
+    val partials: Array[(Int, Long, Long)] = base.mapPartitionsWithIndex { (pidx, it) =>
+      var sm = 0L; var n = 0L
+      it.foreach { r => sm += r.getLong(vi); n += 1L }
+      Iterator.single((pidx, sm, n))
+    }.collect()
+    val offsets: Map[Int, (Long, Long)] = partials.map { case (p, _, _) =>
+      val earlier = partials.iterator.filter(_._1 < p)
+      val (sums, counts) = earlier.map(t => (t._2, t._3))
+        .foldLeft((0L, 0L)) { case ((s, c), (ps, pc)) => (s + ps, c + pc) }
+      (p, (sums, counts))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema
+      .add(sumCol, LongType, nullable = false)
+      .add(rankCol, LongType, nullable = false)
+    val rdd = base.mapPartitionsWithIndex { (pidx, it) =>
+      val (s0, c0) = bc.value.getOrElse(pidx, (0L, 0L))
+      var cum = s0; var rank = c0
+      it.map { r =>
+        cum += r.getLong(vi); rank += 1L
+        Row.fromSeq(r.toSeq :+ cum :+ rank)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Append a per-`group` INCLUSIVE running sum of the long column
     * `valueCol` in the total order `order` — the scalable replacement for
     * `sum(v).over(Window.partitionBy(group).orderBy(order))`, which at

@@ -416,7 +416,7 @@ object PipelineQueries {
     * doc_id % 6 == 0 and a per-source follow footer on doc_id % 4 == 1 —
     * mirrored clause-for-clause in the q91 oracle CTE (the piiDocs
     * pattern). */
-  private[queries] def paraDocs(d: DataFrame): DataFrame =
+  private[graft] def paraDocs(d: DataFrame): DataFrame =
     d.withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"),
         expr(s"""concat(

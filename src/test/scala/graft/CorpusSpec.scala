@@ -352,6 +352,24 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("withRunningSumAndRank == window cumsum + row_number; invariant to parts/layout") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 200L).map(i => (i, rnd.nextInt(50).toLong)).toDF("id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v".desc, $"id")
+    val want = rows
+      .withColumn("cum", sum($"v").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    for ((parts, layout) <- Seq((1, rows), (3, rows.repartition(7)),
+        (32, rows.repartition(2)))) {
+      val got = graft.operators.GlobalOrder.withRunningSumAndRank(
+        layout, "v", Seq($"v".desc, $"id"), parts, "cum", "rk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
   test("tokenBudgetMixture: greedy hash-order prefix fill per source") {
     // a: plentiful short docs; b: few long docs; c: supply below quota.
     val docs = ((0L to 19L).map(i => ("a", i, "w " * (i % 5 + 1).toInt + "end")) ++
