@@ -112,6 +112,36 @@ object Recrawl {
         (lit(nowSec) - col("due_at_sec")).as("overdue_sec"))
   }
 
+  /** Capture retention (op 98): keep the newest `keepN` captures per
+    * canonical url — the WARC-storage retention policy that bounds the
+    * capture log's growth under recrawling (the storage-side complement
+    * of the seen-set: dedup bounds URL work, retention bounds bytes).
+    * Returns the retained rows (url, warc_ts, rank) with rank 1 = newest.
+    *
+    * The window partitions by the url KEY — its frame is bounded by
+    * captures-per-url (tens, by the revisit policy), never the corpus —
+    * and orders by (warc_ts desc, content-hash desc): the 8-byte map-side
+    * xxhash64 breaks exact-timestamp ties deterministically while page
+    * content itself never enters the shuffle (the q85 trade). The oracle
+    * orders by warc_ts alone — capture offsets per canonical url are
+    * distinct by fixture construction, so the tie-break never fires there. */
+  def pruneCaptures(pages: DataFrame, keepN: Int): DataFrame = {
+    require(keepN >= 1, "keepN must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"))
+      .orderBy(col("warc_ts").desc, col("text_h").desc)
+    pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(
+        Canonicalize.canonicalUrl(col("url")).as("url"),
+        col("warc_ts"),
+        xxhash64(col("text")).as("text_h"))
+      .filter(col("url").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= keepN)
+      .select("url", "warc_ts", "rank")
+  }
+
   /** URL-template mining: collapse digit runs to `{N}` and group by
     * (host, path-template) — the crawl-trap / site-structure profile
     * (a template whose distinct-url cardinality explodes is an infinite

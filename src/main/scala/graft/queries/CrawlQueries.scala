@@ -249,6 +249,80 @@ object CrawlQueries {
       Recrawl.dueForRecrawl(pages(s, dir),
         java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(RecrawlNowSec)))),
 
+    // op 98: capture retention — newest-K captures per canonical url
+    // (the WARC storage policy; url-partitioned window, frames bounded by
+    // captures-per-url).
+    "q95_retention" -> ((s, dir) =>
+      Recrawl.pruneCaptures(pages(s, dir), keepN = 2)),
+
+    // op 99: per-host publish→capture lag distribution — each capture's
+    // lag from the article's embedded published date (q15's per-family
+    // wire-format parsing), rolled up per host as exact type-7 percentiles
+    // (q77's verified machinery). The crawl-freshness dashboard: p50/p90
+    // lag is THE metric a news-crawl operator watches per source.
+    "q96_publish_lag" -> ((s, dir) => {
+      import s.implicits._
+      val familyDim = broadcast(graft.core.FixtureConstants.hosts
+        .map(h => (h.host, h.family)).toDF("host", "family"))
+      val raw = regexp_extract(col("html").cast("string"),
+        "property=\"article:published\" content=\"([^\"]+)\"", 1)
+      val fmt = graft.core.Parsers.DateFormats
+      pages(s, dir)
+        .filter(Canonicalize.isHttpScheme(col("url")))
+        .select(
+          Canonicalize.canonicalUrl(col("url")).as("url"),
+          col("warc_ts"), col("html"))
+        .filter(col("url").isNotNull && col("url").contains("/articles/"))
+        .withColumn("published_raw", raw)
+        .withColumn("host", try_parse_url(col("url"), lit("HOST")))
+        .join(familyDim, Seq("host"))
+        .withColumn("published_ts",
+          when(col("family") === 0, to_timestamp(col("published_raw"), fmt(0).get))
+            .when(col("family") === 1, to_timestamp(col("published_raw"), fmt(1).get))
+            .when(col("family") === 2, to_timestamp(col("published_raw"), fmt(2).get))
+            .when(col("family") === 3, timestamp_seconds(col("published_raw").cast("long")))
+            .when(col("family") === 4, to_timestamp(col("published_raw"), fmt(4).get))
+            .otherwise(to_timestamp(
+              regexp_replace(col("published_raw"), "^[A-Za-z]{3}, ", ""),
+              "dd MMM yyyy HH:mm:ss")))
+        // integer-second lag map-side; ONE host-grain agg (exact type-7
+        // percentiles — value→count map bounded by the lag domain; the
+        // unbounded-domain scale path is the q77 GK-sketch variant)
+        .withColumn("lag_sec",
+          unix_timestamp(col("warc_ts")) - unix_timestamp(col("published_ts")))
+        .groupBy("host")
+        .agg(
+          count(lit(1)).as("n_captures"),
+          // 4-dp rounding absorbs sub-ulp interpolation noise (the q77
+          // discipline)
+          round(percentile(col("lag_sec"), lit(0.5)), 4).as("p50_lag"),
+          round(percentile(col("lag_sec"), lit(0.9)), 4).as("p90_lag"),
+          max(col("lag_sec")).as("max_lag"))
+    }),
+
+    // op 100: seed-coverage audit — which frontier seeds the crawl has
+    // actually captured, per host (dead seeds — articles/0 on most hosts —
+    // stay uncovered; listing roots are covered wherever the host has
+    // documents). The crawl-completeness report an operator reads before
+    // blaming the scheduler.
+    "q97_seed_coverage" -> ((s, dir) => {
+      val seeds = graft.core.Fixtures.table(s, dir, "seeds")
+        .select(Canonicalize.canonicalUrl(col("url")).as("url"))
+      val captured = pages(s, dir)
+        .filter(Canonicalize.isHttpScheme(col("url")))
+        .select(Canonicalize.canonicalUrl(col("url")).as("url"))
+        .filter(col("url").isNotNull)
+        .distinct()
+      seeds
+        .join(captured.withColumn("hit", lit(1L)), Seq("url"), "left_outer")
+        .groupBy(Canonicalize.hostOf(col("url")).as("host"))
+        .agg(
+          count(lit(1)).as("n_seeds"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_crawled"))
+        .withColumn("coverage",
+          round(col("n_crawled") * lit(1.0) / col("n_seeds"), 4))
+    }),
+
     // op 20: frontier cardinality accounting — exact distinct (oracle-able;
     // approx_count_distinct is asserted within 5% in RelationalExtraSpec).
     "q10_frontier_stats" -> ((s, dir) =>
@@ -651,6 +725,56 @@ object CrawlQueries {
          |       $RecrawlNowSec - (date_diff('second', TIMESTAMP '2024-01-01 00:00:00', last_ts) + revisit_sec) AS overdue_sec
          |  FROM stats
          | WHERE date_diff('second', TIMESTAMP '2024-01-01 00:00:00', last_ts) + revisit_sec <= $RecrawlNowSec""".stripMargin,
+
+    // The oracle orders by warc_ts alone — per-canonical-url capture
+    // offsets are distinct by fixture construction (0/+30/+45/+7200 on
+    // disjoint residues), so the engine's content-hash tie-break never
+    // fires here.
+    "q95_retention" ->
+      s"""$PagesCte
+         |SELECT url, warc_ts, CAST(rn AS BIGINT) AS rank
+         |  FROM (SELECT url, warc_ts,
+         |               ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+         |          FROM canon)
+         | WHERE rn <= 2""".stripMargin,
+
+    // The oracle derives published_ts from doc_id (pub = EPOCH + minutes)
+    // where the engine PARSES it out of the html meta per family — equal
+    // because q15 verifies the parse round-trips exactly. Lag per CAPTURE
+    // (aliases +30/+45, recaptures +7200), integer seconds; quantile_cont
+    // is the type-7 interpolation `percentile` implements, 4-dp rounded.
+    "q96_publish_lag" ->
+      s"""$PagesCte,
+         |caps AS (
+         |  SELECT p.source || '.example.com' AS host,
+         |         CAST(date_diff('second',
+         |           TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(p.doc_id AS BIGINT)),
+         |           p.warc_ts) AS BIGINT) AS lag_sec
+         |    FROM pages p WHERE p.doc_id IS NOT NULL
+         |)
+         |SELECT host, count(*) AS n_captures,
+         |       round(quantile_cont(lag_sec, 0.5), 4) AS p50_lag,
+         |       round(quantile_cont(lag_sec, 0.9), 4) AS p90_lag,
+         |       max(lag_sec) AS max_lag
+         |  FROM caps GROUP BY host""".stripMargin,
+
+    // Seeds mirror the fixture generator: per hostdim host, articles/0 +
+    // the listing root (canonicalized: trailing slash trimmed). Coverage
+    // is membership in the crawl's distinct canonical url set.
+    "q97_seed_coverage" ->
+      s"""$PagesCte,
+         |seeds AS (
+         |  SELECT host, 'https://' || host || '/articles/0' AS url FROM hostdim
+         |  UNION ALL
+         |  SELECT host, 'https://' || host AS url FROM hostdim
+         |),
+         |cap AS (SELECT DISTINCT url FROM canon)
+         |SELECT s.host, count(*) AS n_seeds,
+         |       CAST(sum(CASE WHEN cap.url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled,
+         |       round(sum(CASE WHEN cap.url IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+         |             / count(*), 4) AS coverage
+         |  FROM seeds s LEFT JOIN cap ON s.url = cap.url
+         | GROUP BY s.host""".stripMargin,
 
     "q13_running_totals" ->
       s"""$PagesCte,

@@ -99,6 +99,31 @@ class RecrawlSpec extends AnyFunSuite {
     assert(got === Set(("https://a.example.com/live", 7200L, 3600L)))
   }
 
+  test("pruneCaptures: newest-K per canonical url, alias merge, tie ranks") {
+    val pages = Seq(
+      ("https://a.example.com/x", ts("2024-01-01 00:00:00"), "v1"),
+      // alias merges onto the same canonical url before ranking
+      ("https://a.example.com/x?utm=1", ts("2024-01-01 01:00:00"), "v2"),
+      ("https://a.example.com/x", ts("2024-01-01 02:00:00"), "v3"),
+      ("https://a.example.com/y", ts("2024-01-01 00:30:00"), "only"))
+      .toDF("url", "warc_ts", "text")
+    val got = Recrawl.pruneCaptures(pages, keepN = 2)
+      .select("url", "warc_ts", "rank")
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(got === Set(
+      ("https://a.example.com/x", ts("2024-01-01 02:00:00"), 1L),
+      ("https://a.example.com/x", ts("2024-01-01 01:00:00"), 2L),
+      ("https://a.example.com/y", ts("2024-01-01 00:30:00"), 1L)))
+    // exact-timestamp ties rank deterministically via the content hash
+    val tie = Seq(
+      ("https://a.example.com/t", ts("2024-01-01 00:00:00"), "aa"),
+      ("https://a.example.com/t", ts("2024-01-01 00:00:00"), "bb"))
+      .toDF("url", "warc_ts", "text")
+    assert(Recrawl.pruneCaptures(tie, 2).select("rank")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(Recrawl.pruneCaptures(tie.repartition(5), 1).count() === 1L)
+  }
+
   test("urlTemplates: digit collapse, capture grain, trap flag") {
     val rows =
       (1 to 12).map(i => (s"https://t.example.com/cal/2024/$i", "x")) ++ Seq(
