@@ -679,4 +679,145 @@ object Corpus {
     fresh.join(firsts, Seq("th", "doc_id"), "left_semi")
       .select("doc_id", "lang", "source")
   }
+
+  /** Exact-k stratified sample (op 101): for every stratum (source), the
+    * EXACT k documents ranked first by a deterministic hash permutation —
+    * true stratified ALLOCATION, closing the gap [[stratifiedSample]]
+    * leaves open (a permille cut gives each stratum only ~k in
+    * expectation; evaluation sets and per-domain audits need exactly k).
+    * Selection is a pure function of the key (the [[mixtureSample]] LCG,
+    * doc_id tie-break makes the order total), so the sample is stable
+    * across re-runs, partitionings and cluster sizes. Strata smaller than
+    * k are kept whole. Returns (source, doc_id, lang, rnk).
+    *
+    * Plan shape at 10^10 docs: the rank LOOKS like the per-stratum-window
+    * skew trap (one task per stratum), but `row_number ≤ k` is exactly
+    * what Spark's WindowGroupLimit rewrite turns into a PARTIAL group
+    * limit pushed below the exchange: every map task keeps at most k rows
+    * per stratum, so the shuffle and the final window see ≤ maps·k rows
+    * per stratum — never the stratum's documents. Pinned in CorpusSpec. */
+  def exactStratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be > 0")
+    val hkey = pmod(col("doc_id") * 48271L + 11L, lit(1000003L))
+    docs
+      .select(col("source"), col("doc_id"), col("lang"), hkey.as("hkey"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("hkey"), col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("doc_id"), col("lang"), col("rnk"))
+  }
+
+  /** Quality-keeper near-dup dedup (op 102): [[dedupClusters]] picks the
+    * MIN-ID representative; real curation pipelines (RefinedWeb §3.3,
+    * CCNet) instead keep the BEST member of each duplicate cluster — the
+    * longest / highest-quality copy, because syndicated republications
+    * truncate and strip. Keeper = the cluster member with max n_tokens,
+    * doc_id asc tie-break (total order ⇒ deterministic). Returns every
+    * clustered doc as (doc_id, rep, cluster_size, n_tokens, keeper,
+    * is_keeper); unclustered docs are implicitly all keepers (same
+    * contract as [[dedupClusters]]).
+    *
+    * Plan: the cluster table is node-count-sized (docs in ≥1 pair), the
+    * quality attach is an 8-byte equi-join, the argmax is one hash agg on
+    * rep (max_by over a (n_tokens, −doc_id) struct — partial-aggregable,
+    * no per-cluster window), and the keeper rejoin is cluster-count-sized.
+    * Nothing corpus-sized shuffles beyond what the pair join already did. */
+  def dedupKeepBest(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val clusters = connectedComponents(Dedup.ngramJaccardPairs(docs, threshold))
+    val ntok = docs.select(
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val labeled = clusters.join(ntok, Seq("doc_id"))
+    val keepers = labeled.groupBy("rep")
+      .agg(max_by(col("doc_id"), struct(col("n_tokens"), -col("doc_id"))).as("keeper"))
+    labeled.join(keepers, Seq("rep"))
+      .select(col("doc_id"), col("rep"), col("cluster_size"), col("n_tokens"),
+        col("keeper"), (col("doc_id") === col("keeper")).as("is_keeper"))
+  }
+
+  /** Fractional contamination profile (op 103): per TRAINING document,
+    * what share of its distinct word-n-grams appear anywhere in the eval
+    * slice — the graded signal behind [[decontaminate]]'s boolean gate
+    * (the Dolma/GPT-3 style pipelines threshold on overlap FRACTION, and
+    * auditing a threshold needs the whole distribution including the
+    * zero-overlap mass). Returns EVERY non-eval doc as
+    * (doc_id, n_grams, n_overlap, contamination∈[0,1]; 0.0 for docs too
+    * short to form an n-gram).
+    *
+    * Plan: same skeleton as [[decontaminateFrom]] (postings ⋈ distinct
+    * eval keys on 8-byte hashes), plus (a) n_grams is `size(sh)` — a map
+    * column on the already-computed shingle array, no extra agg — and
+    * (b) a left join re-attaching the zero-overlap docs, keyed on doc_id.
+    * The ratio divides two ints, bit-identical in the oracle. */
+  def contaminationShare(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+      n: Int = 3): DataFrame = {
+    val shingled = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), evalPred.as("is_eval"),
+        graft.functions.expressions.shingles_n(col("text"), n).as("sh"))
+    val train = shingled.filter(!col("is_eval"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"), col("sh"))
+    val posts = train
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sk"))
+    val evalKeys = shingled.filter(col("is_eval"))
+      .select(explode(col("sh")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("sk"))
+      .distinct()
+    val overlaps = posts.join(evalKeys, Seq("sk")) // postings distinct per doc
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id"), col("n_grams"))
+      .join(overlaps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(when(col("n_grams") >= 1,
+          coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(0.0), 4).as("contamination"))
+  }
+
+  /** Syndication/mirror-host detection (op 104): which HOST pairs
+    * republish each other's content — the host-grain rollup of the
+    * near-dup pair relation (a news crawler uses it to collapse wire-copy
+    * mirrors into one canonical source and to seed per-host dedup
+    * priors). A pair of distinct hosts counts once per cross-host
+    * near-dup document pair (q33's exact PPJoin relation). Returns
+    * (host_a < host_b, n_shared).
+    *
+    * Plan: the document pair set is already candidate-bounded by PPJoin
+    * prefix pruning; attaching hosts is two 8-byte equi-joins against a
+    * (doc_id, source) projection; the rollup is one hash agg on the host
+    * pair — host-pair cardinality, not corpus cardinality. */
+  /** Host-quality blocklist (op 105): per host (source), the share of its
+    * documents failing the quality gate — the domain-level curation signal
+    * (C4/Dolma maintain URL blocklists; a host whose pages are mostly
+    * under-length boilerplate gets dropped WHOLESALE, which catches the
+    * low-quality mass that per-document gates see one page at a time).
+    * Returns (source, n_docs, n_bad, bad_frac, blocked) for every host;
+    * blocked ⇔ bad_frac > maxBadFrac.
+    *
+    * Plan: the gate is a map-side boolean (token count — no shuffle), then
+    * ONE host-grain hash agg (partial combine collapses each partition to
+    * host cardinality). The int/int ratio is bit-identical in the oracle. */
+  def hostQualityBlocklist(docs: DataFrame, minTokens: Int = 30,
+      maxBadFrac: Double = 0.5): DataFrame =
+    docs
+      .select(col("source"),
+        (size(split(col("text"), " ")) < minTokens).cast("long").as("bad"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("bad").as("n_bad"))
+      .select(col("source"), col("n_docs"), col("n_bad"),
+        round(col("n_bad").cast("double") / col("n_docs"), 4).as("bad_frac"),
+        (col("n_bad").cast("double") / col("n_docs") > maxBadFrac).as("blocked"))
+
+  def syndicationPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("host_a"),
+        greatest(col("src_a"), col("src_b")).as("host_b"))
+      .groupBy("host_a", "host_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

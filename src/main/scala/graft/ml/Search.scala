@@ -159,10 +159,13 @@ object Search {
     *   dfreq_vN/ (term, df), stats_vN/ (1 row: n_docs, avgdl) —
     *     corpus-GLOBAL tables, versioned: each update writes the merged
     *     generation N and the manifest points at it.
+    *   tombs/t=J/ (doc_id) — tombstone sets from [[deleteDocs]]; doc-level
+    *     readers anti-join the committed union, compaction reclaims.
     *   _INDEX_COMMITTED — the manifest, written LAST via atomic rename:
-    *     `{"segs":[0..K],"v":N}`. Readers consult ONLY the manifest (a
-    *     crashed update's orphan seg / dfreq dirs are invisible until
-    *     committed; per-table _SUCCESS files cover one table each). */
+    *     `{"segs":[0..K],"v":N,"tombs":[..]}`. Readers consult ONLY the
+    *     manifest (a crashed update's orphan seg / dfreq / tomb dirs are
+    *     invisible until committed; per-table _SUCCESS files cover one
+    *     table each). */
   def saveIndex(docs: DataFrame, path: String, epoch: Long = -1L): Unit = {
     writeSegment(docs, path, seg = 0)
     writeGlobals(docs.sparkSession, path, segs = Seq(0), v = 0)
@@ -183,7 +186,7 @@ object Search {
     val seg = m.segs.max + 1
     writeSegment(newDocs, path, seg)
     writeGlobalsIncremental(spark, path, m, seg)
-    commitManifest(path, m.segs :+ seg, m.v + 1, epoch)
+    commitManifest(path, m.segs :+ seg, m.v + 1, epoch, m.tombs)
     // Superseded generations GC'd AFTER the new manifest commits (cf. the
     // q45/q57 eviction ordering). GC is IMMEDIATE: correct for the
     // single-writer deployment here (a reader that planned against the
@@ -263,16 +266,18 @@ object Search {
       table: String, segs: Seq[Int]): DataFrame =
     spark.read.parquet(segs.map(k => s"$path/$table/seg=$k"): _*)
 
-  private case class Manifest(segs: Seq[Int], v: Int, epoch: Long)
+  private case class Manifest(segs: Seq[Int], v: Int, epoch: Long,
+      tombs: Seq[Int] = Nil)
 
   private def manifestPath(path: String) =
     java.nio.file.Paths.get(path, "_INDEX_COMMITTED")
 
   private def commitManifest(path: String, segs: Seq[Int], v: Int,
-      epoch: Long): Unit = {
+      epoch: Long, tombs: Seq[Int] = Nil): Unit = {
     val tmp = java.nio.file.Paths.get(path, s"_INDEX_COMMITTED.tmp$v")
     java.nio.file.Files.writeString(tmp,
-      s"""{"segs":[${segs.mkString(",")}],"v":$v,"epoch":$epoch}""")
+      s"""{"segs":[${segs.mkString(",")}],"v":$v,"epoch":$epoch""" +
+        s""","tombs":[${tombs.mkString(",")}]}""")
     java.nio.file.Files.move(tmp, manifestPath(path),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -290,7 +295,47 @@ object Search {
     // epoch absent in pre-epoch manifests → -1 (no batch committed)
     val epoch = "\"epoch\":(-?[0-9]+)".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).getOrElse(-1L)
-    Manifest(segs, v, epoch)
+    // tombs absent in pre-delete manifests → none (backward compatible)
+    val tombs = "\"tombs\":\\[([0-9,]*)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').toSeq.map(_.trim.toInt)).getOrElse(Nil)
+    Manifest(segs, v, epoch, tombs)
+  }
+
+  /** The committed tombstone doc_id set (empty frame if none). */
+  private def readTombs(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: Manifest): Option[DataFrame] =
+    if (m.tombs.isEmpty) None
+    else Some(spark.read.parquet(m.tombs.map(t => s"$path/tombs/t=$t"): _*)
+      .select("doc_id").distinct())
+
+  /** Drop tombstoned docs from a doc_id-carrying frame (no-op when the
+    * index has no tombstones — the anti-join never enters the plan). */
+  private def minusTombs(df: DataFrame, tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+
+  /** Delete documents from the index — the takedown/robots-revocation
+    * path that completes the segment lifecycle's CRUD (a publisher opts
+    * out, a legal request lands, a crawl-trap's pages get purged). The
+    * Lucene trade, faithfully: a delete writes a TOMBSTONE doc_id set
+    * and commits a new manifest — O(deleted), no segment rewrite — and
+    * every doc-level reader anti-joins it, so deleted docs vanish from
+    * results IMMEDIATELY; the vocabulary-sized df/stats tables are NOT
+    * adjusted until [[compactIndex]] (correcting df would require
+    * scanning every segment's postings for the deleted docs — O(index),
+    * exactly what a tombstone exists to avoid), so scores drift slightly
+    * until the merge reclaims the space and recomputes globals exactly.
+    * Term-level readers ([[prefixSuggestFromIndex]]) read dfreq and share
+    * that stale-until-merge window. Contract: a tombstoned doc_id must
+    * not be re-added by [[updateIndex]] before a compaction clears the
+    * tombstone (the crawl layer never reuses doc ids). */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession, path: String,
+      docIds: DataFrame): Unit = {
+    val m = readManifest(path)
+    val t = (m.tombs :+ -1).max + 1
+    docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombs/t=$t")
+    commitManifest(path, m.segs, m.v, m.epoch, m.tombs :+ t)
   }
 
   /** True iff `path` holds a fully committed index. */
@@ -337,7 +382,9 @@ object Search {
       queryTerms: Seq[String]): DataFrame = {
     val m = readManifest(path)
     val inQuery = col("term").isin(queryTerms.map(t => t: Any): _*)
-    val tf = readSegs(spark, path, "postings", m.segs).filter(inQuery)
+    val tf = minusTombs(
+      readSegs(spark, path, "postings", m.segs).filter(inQuery),
+      readTombs(spark, path, m))
     val df = spark.read.parquet(s"$path/dfreq_v${m.v}").filter(inQuery)
     val lens = readSegs(spark, path, "lens", m.segs)
     val stats = spark.read.parquet(s"$path/stats_v${m.v}")
@@ -357,19 +404,27 @@ object Search {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val m = readManifest(path)
     val seg = m.segs.max + 1
-    readSegs(spark, path, "postings", m.segs)
+    // The merge RECLAIMS tombstoned docs: postings/lens rows anti-join the
+    // tombstone set before the fold, then the full globals re-derivation
+    // (below) recomputes df/stats exactly — the point where the
+    // stale-until-merge drift [[deleteDocs]] documents ends.
+    val tombs = readTombs(spark, path, m)
+    minusTombs(readSegs(spark, path, "postings", m.segs), tombs)
       .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings/seg=$seg")
-    readSegs(spark, path, "lens", m.segs)
+    minusTombs(readSegs(spark, path, "lens", m.segs), tombs)
       .write.mode("overwrite").parquet(s"$path/lens/seg=$seg")
     writeGlobals(spark, path, Seq(seg), m.v + 1)
-    commitManifest(path, Seq(seg), m.v + 1, m.epoch)
+    commitManifest(path, Seq(seg), m.v + 1, m.epoch, tombs = Nil)
     for (old <- m.segs; t <- Seq("postings", "lens"))
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$path/$t/seg=$old"))
     for (t <- Seq("dfreq", "stats"))
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$path/${t}_v${m.v}"))
+    for (t <- m.tombs)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/tombs/t=$t"))
   }
 
   /** Search-result snippets: for documents containing `term`, the token
@@ -433,8 +488,10 @@ object Search {
   def booleanDocsFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, must: Seq[String], mustNot: Seq[String]): DataFrame = {
     val m = readManifest(path)
-    booleanFromPostings(
-      readSegs(spark, path, "postings", m.segs), must, mustNot)
+    minusTombs(
+      booleanFromPostings(
+        readSegs(spark, path, "postings", m.segs), must, mustNot),
+      readTombs(spark, path, m))
   }
 
   private def booleanFromPostings(postings: DataFrame, must: Seq[String],
@@ -572,8 +629,9 @@ object Search {
     val postings = readSegs(spark, path, "postings", m.segs)
     require(postings.columns.contains("positions"),
       s"index at $path predates positional postings — re-save or compact it")
-    postings
-      .filter(col("term").isin(terms.distinct.map(t => t: Any): _*))
+    minusTombs(
+      postings.filter(col("term").isin(terms.distinct.map(t => t: Any): _*)),
+      readTombs(spark, path, m))
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
         .as("pm"))

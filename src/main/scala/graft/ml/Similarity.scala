@@ -443,6 +443,75 @@ object Similarity {
     * n), every tile an independent task, kernel inside codegen. This is how
     * the 1000-executor cluster runs an exact pairwise pass.
     */
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space dedup —
+    * k-means cluster the corpus, find within-cluster cosine near-dup
+    * pairs, keep ONE doc per duplicate group: the member LEAST similar to
+    * its cluster centroid (the paper's keeper rule — it preserves each
+    * cluster's outer shell, which carries the most learning signal). The
+    * clustering is what makes the quadratic pass affordable at 10^10
+    * docs: pairs are evaluated within a cell only, so the cost is
+    * Σ|cell|² ≈ n²/k, and cross-cell near-dups are deliberately forfeited
+    * (the paper's approximation — raise nCells to trade recall for cost).
+    *
+    * Scale shape: assignment is one broadcast-model map stage (the model
+    * is k×dim floats); the within-cell pair pass reuses
+    * [[cosineNearDupPairs]]' triangle-tile discipline WITH the cell in
+    * the join key — (cell, ga, gb) — so even a skewed giant cell splits
+    * into B(B+1)/2 bounded tiles; components via
+    * [[Corpus.connectedComponents]] (no driver-side graph); the keeper is
+    * a `min_by((cent_cos, vec_id))` hash agg (partial-aggregable, no
+    * per-group window). Seed-deterministic, not bit-deterministic (the
+    * Lloyd means are distributed fp avgs — [[ivfCentroids]]' documented
+    * contract), so evidence is property/parity tests, not oracle hashes.
+    *
+    * Returns every doc in a duplicate group: (vec_id, cell, rep,
+    * cent_cos, is_keeper); docs in no near-dup pair are implicitly all
+    * keepers (the [[Corpus.dedupClusters]] contract). */
+  def semDedup(spark: SparkSession, vecs: DataFrame, threshold: Double,
+      nCells: Int = 4, iters: Int = 2, blocks: Int = 4): DataFrame = {
+    val cents = ivfCentroids(vecs, nCells, iters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val cellOf = udf { emb: Seq[Float] =>
+      val v = normalize(emb.toArray)
+      var best = 0; var bestDot = Double.MinValue
+      val cs = bc.value
+      var c = 0
+      while (c < cs.length) {
+        val d = dot(v, cs(c)); if (d > bestDot) { bestDot = d; best = c }; c += 1
+      }
+      best
+    }
+    import spark.implicits._
+    val centDim = cents.zipWithIndex.toSeq
+      .map { case (cvec, i) => (i, cvec.toSeq) }.toDF("cell", "centroid")
+    val assigned = vecs
+      .select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
+      .join(broadcast(centDim), Seq("cell"))
+      .withColumn("cent_cos", round(cosine_sim(col("embedding"), col("centroid")), 4))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cent_cos"))
+    val withG = assigned.withColumn("g",
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+    val left = withG.select(col("cell"), col("vec_id").as("ia"),
+      col("embedding").as("e_a"), col("g").as("ga"),
+      explode(sequence(col("g"), lit(blocks - 1))).as("gb"))
+    val right = withG.select(col("cell"), col("vec_id").as("ib"),
+      col("embedding").as("e_b"),
+      explode(sequence(lit(0), col("g"))).as("ga"), col("g").as("gb"))
+    val pairs = left.join(right, Seq("cell", "ga", "gb"))
+      .filter(col("ga") < col("gb") || col("ia") < col("ib"))
+      .filter(cosine_sim(col("e_a"), col("e_b")) >= threshold)
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val labeled = Corpus.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("rep"))
+      .join(assigned.select(col("vec_id"), col("cell"), col("cent_cos")), Seq("vec_id"))
+    val keepers = labeled.groupBy("rep")
+      .agg(min_by(col("vec_id"), struct(col("cent_cos"), col("vec_id"))).as("keeper"))
+    labeled.join(keepers, Seq("rep"))
+      .select(col("vec_id"), col("cell"), col("rep"), col("cent_cos"),
+        (col("vec_id") === col("keeper")).as("is_keeper"))
+  }
+
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
     val withG = vecs.select(col("vec_id"), col("embedding"),
       pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("g"))

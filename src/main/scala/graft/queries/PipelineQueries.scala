@@ -407,7 +407,60 @@ object PipelineQueries {
     // local-dedup index at ~2/(w+1) density with the shared-run
     // guarantee (pinned in MlSpec).
     "q94_winnow" -> ((s, dir) =>
-      Dedup.winnowFingerprints(docs(s, dir), k = 3, w = 4))
+      Dedup.winnowFingerprints(docs(s, dir), k = 3, w = 4)),
+
+    // exact-k stratified allocation: EXACTLY 8 docs per source by a
+    // deterministic hash permutation (q48's permille cut only hits k in
+    // expectation); WindowGroupLimit keeps the rank partial-aggregated.
+    "q98_sample_exact_k" -> ((s, dir) =>
+      Corpus.exactStratifiedSample(docs(s, dir), k = 8)),
+
+    // quality-keeper near-dup dedup: per duplicate cluster keep the
+    // longest member (RefinedWeb-style), not the min-id one.
+    "q99_dedup_keep_best" -> ((s, dir) =>
+      Corpus.dedupKeepBest(docs(s, dir), threshold = 0.5)),
+
+    // fractional contamination profile: per training doc, the share of
+    // its distinct 3-grams found in the eval slice (q47's graded signal,
+    // zero-overlap docs included).
+    "q100_contamination_share" -> ((s, dir) =>
+      Corpus.contaminationShare(docs(s, dir), col("doc_id") % 37 === 0)),
+
+    // syndication/mirror-host pairs: host-grain rollup of cross-host
+    // near-dup document pairs (wire-copy mirror detection).
+    "q101_syndication" -> ((s, dir) =>
+      Corpus.syndicationPairs(docs(s, dir), threshold = 0.5)),
+
+    // SemDeDup: embedding-space dedup (cluster → within-cell cosine pairs
+    // → keep the member least similar to its centroid). Rows-only by
+    // design: k-means is seed-deterministic fp (ivfCentroids' contract) —
+    // parity with the exact pair operator, keeper rule and structure are
+    // pinned in MlSpec.
+    "q104_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(s, emb(s, dir), threshold = 0.35, nCells = 4)),
+
+    // host-quality blocklist: per-source share of under-length docs →
+    // domain-level block flag (C4/Dolma URL-blocklist signal).
+    "q102_host_quality" -> ((s, dir) =>
+      Corpus.hostQualityBlocklist(docs(s, dir),
+        minTokens = HostQualityMinTokens, maxBadFrac = HostQualityMaxBadFrac)),
+
+    // index DELETE lifecycle end-to-end (takedown path): index the corpus,
+    // tombstone one host's docs (O(deleted), no segment rewrite), compact
+    // (reclaims + recomputes globals exactly) — scores must equal BM25
+    // over the surviving corpus. Rebuilt every run so the delete path is
+    // always exercised (q58's discipline).
+    "q103_index_delete" -> ((s, dir) => {
+      val path = s"${graft.core.Constants.workDir}/models/bm25del_" +
+        s"${java.nio.file.Paths.get(dir).getFileName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val d = docs(s, dir)
+      Search.saveIndex(d, path)
+      Search.deleteDocs(s, path,
+        d.filter(col("source") === DeletedHost).select("doc_id"))
+      Search.compactIndex(s, path)
+      Search.bm25ScoresFromIndex(s, path, Bm25QueryTerms)
+    })
   )
 
   /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
@@ -502,8 +555,19 @@ object PipelineQueries {
        | WHERE abs(pa - pb) <= $ProxWindow""".stripMargin
 
   /** Shared by q53 (inline) and q57 (persisted index) — same relation. */
-  private val Bm25OracleSql: String =
-    s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+  /** q102's gate constants — interpolated into the oracle so engine and
+    * oracle cannot drift (the a2 discipline). */
+  val HostQualityMinTokens: Int = 60
+  val HostQualityMaxBadFrac: Double = 0.6
+
+  /** q103's tombstoned host. */
+  val DeletedHost: String = "src7"
+
+  /** The BM25 relation over `documents` restricted by `whereClause`
+    * ("" = full corpus, q53/q57/q58; a filter = q103's post-delete
+    * index). */
+  private def bm25OracleSqlOver(whereClause: String): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents $whereClause),
        |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
@@ -516,6 +580,8 @@ object PipelineQueries {
        |                 / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))), 4) AS bm25
        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
        | GROUP BY doc_id""".stripMargin
+
+  private val Bm25OracleSql: String = bm25OracleSqlOver("")
 
   /** The documents table with PII spans injected as a pure function of
     * doc_id (the word-soup fixture contains none) — mirrored
@@ -1200,6 +1266,109 @@ object PipelineQueries {
         |              generate_series(1, greatest(len(grams)-3, 1)),
         |              j -> list_aggregate(list_slice(grams, j, j+3), 'min'))) AS fps
         |        FROM g WHERE len(grams) >= 1)
-        |SELECT doc_id, unnest(fps) AS fingerprint FROM w""".stripMargin
+        |SELECT doc_id, unnest(fps) AS fingerprint FROM w""".stripMargin,
+
+    // Same LCG as Corpus.exactStratifiedSample, pmod spelled sign-safe.
+    "q98_sample_exact_k" ->
+      """SELECT source, doc_id, lang, rnk FROM (
+        |  SELECT source, doc_id, lang,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY (((doc_id * 48271 + 11) % 1000003) + 1000003) % 1000003,
+        |                    doc_id) AS rnk
+        |    FROM documents) t
+        | WHERE rnk <= 8""".stripMargin,
+
+    // q46's recursive-CTE components + quality attach + per-cluster argmax
+    // (row_number mirrors max_by over the (n_tokens, -doc_id) struct).
+    "q99_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |pairs AS (SELECT a, b FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         round(len(list_intersect(a.s, b.s)) * 1.0
+        |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) AS p
+        | WHERE jaccard >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b AS src, a AS dst FROM pairs),
+        |cc AS (SELECT src AS node, src AS root FROM edges
+        |       UNION
+        |       SELECT e.dst AS node, cc.root FROM cc JOIN edges e ON cc.node = e.src),
+        |lab AS (SELECT node AS doc_id, min(root) AS rep FROM cc GROUP BY node),
+        |nt AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |         FROM documents),
+        |l2 AS (SELECT lab.doc_id AS doc_id, rep,
+        |              count(*) OVER (PARTITION BY rep) AS cluster_size, n_tokens
+        |         FROM lab JOIN nt USING (doc_id)),
+        |k AS (SELECT rep, doc_id AS keeper FROM (
+        |        SELECT rep, doc_id,
+        |               row_number() OVER (PARTITION BY rep
+        |                 ORDER BY n_tokens DESC, doc_id ASC) AS rn
+        |          FROM l2) AS r WHERE rn = 1)
+        |SELECT l2.doc_id, l2.rep, cluster_size, n_tokens, keeper,
+        |       l2.doc_id = keeper AS is_keeper
+        |  FROM l2 JOIN k USING (rep)""".stripMargin,
+
+    // q47's join skeleton + the zero-overlap mass re-attached; the ratio
+    // divides the same two ints on both sides.
+    "q100_contamination_share" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        |  FROM t),
+        |sh AS (SELECT doc_id, unnest(s) AS s FROM g),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+        |ov AS (SELECT c.doc_id, count(*) AS n_overlap
+        |         FROM (SELECT doc_id, s FROM sh WHERE doc_id % 37 <> 0) AS c
+        |         JOIN ev USING (s)
+        |        GROUP BY c.doc_id)
+        |SELECT g.doc_id, CAST(len(g.s) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+        |       round(CASE WHEN len(g.s) >= 1
+        |                  THEN coalesce(n_overlap, 0) * 1.0 / len(g.s)
+        |                  ELSE 0.0 END, 4) AS contamination
+        |  FROM g LEFT JOIN ov USING (doc_id)
+        | WHERE g.doc_id % 37 <> 0""".stripMargin,
+
+    // q33's pair relation rolled up to the host (source) pair grain.
+    "q101_syndication" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |pairs AS (SELECT a, b FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         round(len(list_intersect(a.s, b.s)) * 1.0
+        |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) AS p
+        | WHERE jaccard >= 0.5),
+        |d AS (SELECT doc_id, source FROM documents)
+        |SELECT least(da.source, db.source) AS host_a,
+        |       greatest(da.source, db.source) AS host_b,
+        |       count(*) AS n_shared
+        |  FROM pairs
+        |  JOIN d da ON da.doc_id = pairs.a
+        |  JOIN d db ON db.doc_id = pairs.b
+        | WHERE da.source <> db.source
+        | GROUP BY 1, 2""".stripMargin,
+
+    // Gate constants interpolated from the same Scala vals the entry uses.
+    "q102_host_quality" ->
+      s"""WITH t AS (SELECT source, len(string_split(text,' ')) AS n FROM documents),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(count(*) FILTER (n < $HostQualityMinTokens) AS BIGINT) AS n_bad
+         |        FROM t GROUP BY source)
+         |SELECT source, n_docs, n_bad,
+         |       round(n_bad * 1.0 / n_docs, 4) AS bad_frac,
+         |       n_bad * 1.0 / n_docs > $HostQualityMaxBadFrac AS blocked
+         |  FROM a""".stripMargin,
+
+    // After delete+compact the index holds exactly the surviving corpus.
+    "q103_index_delete" ->
+      bm25OracleSqlOver(s"WHERE source <> '$DeletedHost'")
   )
 }

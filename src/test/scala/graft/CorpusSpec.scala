@@ -569,4 +569,101 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id", "source").as[(Long, String)].collect().toSet
     assert(got === Set((11L, "s1"), (13L, "s1")))
   }
+
+  test("exactStratifiedSample: exact k per stratum, short strata whole, key-stable, group-limit plan") {
+    // Strata of size 12 / 12 / 3 with k = 5: exact allocation for the big
+    // strata, the short stratum kept whole.
+    val docs = ((0L until 12L).map(i => (i, "a", "en", "s0")) ++
+      (100L until 112L).map(i => (i, "b", "en", "s1")) ++
+      Seq((200L, "c", "en", "s2"), (201L, "c", "en", "s2"), (202L, "c", "en", "s2")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.exactStratifiedSample(docs, k = 5)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc === Map("s0" -> 5L, "s1" -> 5L, "s2" -> 3L))
+    // Rank is dense 1..k within each stratum.
+    val ranks = out.select("source", "rnk").as[(String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(ranks("s0") === (1 to 5) && ranks("s2") === (1 to 3))
+    // Key-stable: same selected SET under a different partitioning.
+    val out2 = Corpus.exactStratifiedSample(docs.repartition(7, col("lang")), k = 5)
+    assert(out.select("doc_id").as[Long].collect().toSet ===
+      out2.select("doc_id").as[Long].collect().toSet)
+    // Scale pin: the rank runs through WindowGroupLimit with a PARTIAL pass
+    // below the exchange (maps emit ≤ k rows per stratum, never the stratum).
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(plan.contains("Partial"), "partial group-limit below the exchange\n" + plan.take(800))
+  }
+
+  test("dedupKeepBest: longest cluster member wins, min-id tie-break, one keeper per cluster") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      // Cluster A: 2L is the longest member and must beat the min-id rep.
+      (1L, base, "en"),
+      (2L, base + " w11 w12", "en"),
+      // Cluster B: identical texts → equal n_tokens → min doc_id keeps.
+      (10L, "x1 x2 x3 x4 x5", "en"),
+      (11L, "x1 x2 x3 x4 x5", "en"),
+      // Unclustered: never appears (same contract as dedupClusters).
+      (20L, "z1 z2 z3 z4 z5 z6", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.dedupKeepBest(docs, threshold = 0.5)
+      .select("doc_id", "rep", "cluster_size", "n_tokens", "keeper", "is_keeper")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.map(_._1).toSet === Set(1L, 2L, 10L, 11L))
+    val byDoc = got.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._5 === 2L && !byDoc(1L)._6, "longer member 2 is A's keeper")
+    assert(byDoc(2L)._5 === 2L && byDoc(2L)._6)
+    assert(byDoc(10L)._5 === 10L && byDoc(10L)._6, "tie → min doc_id keeps")
+    assert(byDoc(11L)._5 === 10L && !byDoc(11L)._6)
+    // Exactly one keeper per cluster.
+    val keepersPerRep = got.groupBy(_._2).view.mapValues(_.count(_._6)).toMap
+    assert(keepersPerRep.values.forall(_ == 1))
+  }
+
+  test("contaminationShare: graded overlap, zero-overlap mass kept, sub-n docs 0.0") {
+    val docs = Seq(
+      (0L, "a b c d e", "en"),        // eval (doc_id % 2 == 0 below)
+      (1L, "a b c x y z", "en"),      // 4 grams, shares "a b c" → 1/4
+      (3L, "p q r s", "en"),          // 2 grams, no overlap → 0.0
+      (5L, "a b", "en"))              // sub-3-token → n_grams 0, 0.0
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.contaminationShare(docs, col("doc_id") % 2 === 0)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 3L, 5L))
+    assert(got(1L) === ((1L, 4L, 1L, 0.25)))
+    assert(got(3L) === ((3L, 2L, 0L, 0.0)))
+    assert(got(5L) === ((5L, 0L, 0L, 0.0)))
+  }
+
+  test("hostQualityBlocklist: per-host bad share, block flag at the threshold boundary") {
+    val docs = Seq(
+      (1L, "a b", "s0"), (2L, "c d", "s0"), (3L, "e f g h", "s0"), // 2/3 bad
+      (4L, "a b c d", "s1"), (5L, "x y", "s1"),                    // 1/2 bad
+      (6L, "p q r s", "s2"))                                       // 0/1 bad
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.hostQualityBlocklist(docs, minTokens = 3, maxBadFrac = 0.5)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s0") === (("s0", 3L, 2L, 0.6667, true)))
+    // exactly AT the threshold is NOT blocked (strict >)
+    assert(got("s1") === (("s1", 2L, 1L, 0.5, false)))
+    assert(got("s2") === (("s2", 1L, 0L, 0.0, false)))
+  }
+
+  test("syndicationPairs: cross-host near-dup rollup, same-host pairs excluded, ordered hosts") {
+    val a = "m1 m2 m3 m4 m5 m6 m7 m8"
+    val b = "n1 n2 n3 n4 n5 n6 n7 n8"
+    val docs = Seq(
+      (1L, a, "en", "hostB"), (2L, a, "en", "hostA"),   // cross-host dup
+      (3L, b, "en", "hostA"), (4L, b, "en", "hostC"),   // cross-host dup
+      (5L, a, "en", "hostB"),                           // same-host dup w/ 1
+      (6L, "u1 u2 u3 u4 u5", "en", "hostC"))            // unique
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.syndicationPairs(docs, threshold = 0.5)
+      .as[(String, String, Long)].collect().toSet
+    // doc pairs (1,2),(2,5) cross hostA/hostB; (3,4) crosses hostA/hostC;
+    // (1,5) is same-host and must not count.
+    assert(got === Set(("hostA", "hostB", 2L), ("hostA", "hostC", 1L)))
+  }
 }

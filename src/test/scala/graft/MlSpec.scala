@@ -385,6 +385,38 @@ class MlSpec extends AnyFunSuite {
     assert(got === truth)
   }
 
+  test("semDedup: one-cell groups == exact pair components; keeper = min-(cent_cos, id)") {
+    val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val got = Similarity.semDedup(spark, e, threshold = 0.35, nCells = 1)
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    assert(got.nonEmpty, "fixture has no near-dup embedding pairs at 0.35")
+    // with ONE cell nothing is forfeited: duplicate groups must equal the
+    // components of the exact tiled pair relation.
+    val truth = graft.ml.Corpus.connectedComponents(
+      Similarity.cosineNearDupPairs(e, 0.35).select($"a", $"b"))
+      .select("doc_id", "rep").as[(Long, Long)].collect().toMap
+    assert(got.map(r => r._1 -> r._3).toMap === truth)
+    // exactly one keeper per group — the member minimizing (cent_cos, id),
+    // i.e. the paper's least-centroid-similar representative.
+    for ((rep, ms) <- got.groupBy(_._3)) {
+      assert(ms.count(_._5) === 1, s"rep $rep keeper count != 1")
+      assert(ms.find(_._5).get._1 === ms.minBy(m => (m._4, m._1))._1,
+        s"rep $rep keeper is not the min-(cent_cos, id) member")
+    }
+  }
+
+  test("semDedup: cells only FORFEIT pairs — a k=4 duplicate group never spans k=1 components") {
+    val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val oneRep = Similarity.semDedup(spark, e, 0.35, nCells = 1)
+      .select("vec_id", "rep").as[(Long, Long)].collect().toMap
+    val four = Similarity.semDedup(spark, e, 0.35, nCells = 4)
+      .select("vec_id", "rep").as[(Long, Long)].collect()
+    for ((_, grp) <- four.groupBy(_._2)) {
+      assert(grp.map(m => oneRep(m._1)).toSet.size === 1,
+        "a k=4 duplicate group split across k=1 components")
+    }
+  }
+
   test("prefix+length-filtered ngram jaccard == unfiltered inverted-index truth") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val got = Dedup.ngramJaccardPairs(docs, threshold = 0.5)

@@ -23,7 +23,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("query naming convention and minimum coverage") {
-    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
     assert(SparkEntry.queries.size >= 34)
     assert(SparkEntry.oracleSql.size >= 30)
   }

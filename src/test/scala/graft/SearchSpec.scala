@@ -146,6 +146,52 @@ class SearchSpec extends AnyFunSuite {
     assert(segs === Seq("seg=3"), s"live segments: $segs")
   }
 
+  test("deleteDocs: tombstones hide docs immediately; compaction reclaims + exact parity") {
+    val q = Seq("spark", "merge", "vector")
+    val dir = java.nio.file.Files.createTempDirectory("bm25del").toString + "/idx"
+    Search.saveIndex(corpus, dir)
+    Search.deleteDocs(spark, dir, Seq(1L, 5L).toDF("doc_id"))
+    // Immediately invisible to every doc-level reader (Lucene semantics:
+    // df/stats drift until merge, but deleted docs never surface).
+    val pre = Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap
+    assert(pre.keySet === Set(2L, 3L), s"tombstoned docs leaked: ${pre.keySet}")
+    assert(Search.booleanDocsFromIndex(spark, dir, Seq("spark"), Nil)
+      .as[Long].collect().toSet === Set(2L))
+    assert(Search.phraseDocsFromIndex(spark, dir, "spark merge")
+      .as[Long].collect().isEmpty, "phrase reader ignored the tombstone")
+    // Pre-merge scores use the STALE (pre-delete) df/stats — pin one value.
+    val stale = bm25Ref(tf = 1, df = 2, dl = 6, n = 5, avgdl = 19.0 / 5)
+    assert(math.abs(pre(2L) - stale) < 5e-5, s"got ${pre(2L)}, want stale-df $stale")
+    // Compaction reclaims: exact parity with the surviving corpus.
+    Search.compactIndex(spark, dir)
+    val survivors = corpus.filter(!$"doc_id".isin(1L, 5L))
+    assert(Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap ===
+      Search.bm25Scores(survivors, q).as[(Long, Double)].collect().toMap)
+    // Tombstone dirs cleared; appends after the merge behave normally.
+    assert(!new java.io.File(s"$dir/tombs").exists() ||
+      new java.io.File(s"$dir/tombs").listFiles().isEmpty)
+    Search.updateIndex(spark, dir, Seq((9L, "vector vector")).toDF("doc_id", "text"))
+    val after = Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap
+    assert(after.keySet === Set(2L, 3L, 9L))
+    assert(after === Search.bm25Scores(
+      survivors.unionByName(Seq((9L, "vector vector")).toDF("doc_id", "text")), q)
+      .as[(Long, Double)].collect().toMap)
+  }
+
+  test("deleteDocs: tombstones survive an append; delete-then-update ordering") {
+    val q = Seq("spark", "merge", "vector")
+    val dir = java.nio.file.Files.createTempDirectory("bm25del2").toString + "/idx"
+    Search.saveIndex(corpus.filter($"doc_id" <= 3), dir)
+    Search.deleteDocs(spark, dir, Seq(3L).toDF("doc_id"))
+    Search.updateIndex(spark, dir, corpus.filter($"doc_id" > 3))
+    val got = Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 5L), "tombstone lost across an append")
+  }
+
   test("snippets: clamped first-occurrence window; absent term filtered") {
     val rows = Seq(
       (1L, "a b c spark d e f g"),   // interior: full ±3 window
