@@ -774,6 +774,60 @@ object Corpus {
           .otherwise(0.0), 4).as("contamination"))
   }
 
+  /** Corpus datasheet (op 108): the per-language summary table every
+    * dataset release ships ("Datasheets for Datasets", Gebru et al. 2021
+    * — and the first page of any Pile/Dolma-style corpus report): doc
+    * and source counts, token totals and extremes, mean doc length, and
+    * each language's share of the token stream. One pass, exact.
+    *
+    * Plan: token counts are a map column (no explode — `size(split)`);
+    * ONE lang-grain hash agg (count-distinct on (lang, source) — the
+    * shuffle carries lang×source keys, dim-sized); the corpus total
+    * rides a 1-row broadcast. Ratios are single int/int divisions —
+    * bit-identical in the oracle. */
+  def datasheet(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("lang"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val byLang = per.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("source").as("n_sources"),
+      sum("n_tokens").as("total_tokens"),
+      min("n_tokens").as("min_tokens"),
+      max("n_tokens").as("max_tokens"))
+    val total = per.agg(sum("n_tokens").cast("double").as("corpus_tokens"))
+    byLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_sources"), col("total_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 4).as("mean_tokens"),
+        round(col("total_tokens") / col("corpus_tokens"), 4).as("token_share"))
+  }
+
+  /** Per-host boilerplate-shingle mining (op 109): the word-3-grams that
+    * appear in at least `minFrac` of a host's documents — site templates
+    * (subscribe footers, nav chrome, cookie banners) surface as
+    * near-universal shingles while real content never crosses the
+    * threshold. The extraction-QA pass that tells a crawler its parser
+    * is leaking template text into `text`, and the phrase-grain
+    * complement of [[dedupParagraphs]] (which needs the boilerplate to
+    * be a whole paragraph).
+    *
+    * Plan: the shingle kernel is native and per-doc-distinct, so the
+    * postings explode feeds ONE (source, shingle) hash agg with map-side
+    * combine (q49's token-stats shape at the shingle grain); per-source
+    * doc totals ride a broadcast dim; the int/int fraction is
+    * bit-identical in the oracle. */
+  def boilerplateShingles(docs: DataFrame, minFrac: Double): DataFrame = {
+    val postings = docs.select(col("source"), col("doc_id"),
+      explode(Dedup.shingles3(col("text"))).as("shingle"))
+    val counts = postings.groupBy("source", "shingle")
+      .agg(count(lit(1)).as("n_docs_with")) // shingles3 dedups per doc
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    counts.join(broadcast(totals), Seq("source"))
+      .filter(col("n_docs_with").cast("double") / col("n_docs") >= minFrac)
+      .select(col("source"), col("shingle"), col("n_docs_with"), col("n_docs"),
+        round(col("n_docs_with").cast("double") / col("n_docs"), 4).as("doc_frac"))
+  }
+
   /** Syndication/mirror-host detection (op 104): which HOST pairs
     * republish each other's content — the host-grain rollup of the
     * near-dup pair relation (a news crawler uses it to collapse wire-copy

@@ -443,6 +443,38 @@ object Similarity {
     * n), every tile an independent task, kernel inside codegen. This is how
     * the 1000-executor cluster runs an exact pairwise pass.
     */
+  /** Embedding outlier detection (op 110): per group (label/source/topic),
+    * each vector's cosine to its OWN group centroid, flagging members
+    * below `threshold` — the embedding-space quality audit (mislabeled,
+    * garbage, or off-topic docs sit far from their group's mass; the
+    * z-score op's (q71) semantic sibling). Returns
+    * (vec_id, grp, cent_cos, is_outlier) for every vector.
+    *
+    * Plan: the centroid is a distributed posexplode avg on the
+    * (grp, pos) grain (partial-aggregable; only groups×dim doubles
+    * shuffle), rebuilt into an ordered array and re-attached with a
+    * broadcast join (group-cardinality dim); the cosine is the native
+    * codegen'd kernel — one map stage over the corpus. Centroids are fp
+    * sums (order-dependent last-ulp — ivfCentroids' documented
+    * contract), so the op is rows-only with property tests, not an
+    * oracle hash. */
+  def embeddingOutliers(vecs: DataFrame, groupCol: String,
+      threshold: Double): DataFrame = {
+    val cents = vecs
+      .select(col(groupCol).as("grp"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("grp", "pos").agg(avg("v").as("m"))
+      .groupBy("grp")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as("centroid"))
+    vecs
+      .select(col("vec_id"), col(groupCol).as("grp"), col("embedding"))
+      .join(broadcast(cents), Seq("grp"))
+      .select(col("vec_id"), col("grp"),
+        round(cosine_sim(col("embedding"), col("centroid")), 4).as("cent_cos"))
+      .withColumn("is_outlier", col("cent_cos") < threshold)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): embedding-space dedup —
     * k-means cluster the corpus, find within-cluster cosine near-dup

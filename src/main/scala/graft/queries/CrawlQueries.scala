@@ -323,6 +323,24 @@ object CrawlQueries {
           round(col("n_crawled") * lit(1.0) / col("n_seeds"), 4))
     }),
 
+    // op 111: retroactive robots-compliance audit — the captures whose
+    // CANONICAL resource current robots rules disallow (robots change
+    // after the fact; CommonCrawl-style releases re-filter retroactively).
+    // Same broadcast-dim + pure-Catalyst evaluator as the forward filter
+    // (q04); reports the RAW capture url + ts an operator must purge.
+    "q105_robots_violations" -> ((s, dir) => {
+      val caps = pages(s, dir)
+        .filter(Canonicalize.isHttpScheme(col("url")))
+        .select(
+          col("url").as("raw_url"), col("warc_ts"),
+          Canonicalize.canonicalUrl(col("url")).as("url"),
+          Canonicalize.hostOf(col("url")).as("host"))
+        .filter(col("url").isNotNull)
+      Robots.tag(caps, fix(s, dir, "robots"))
+        .filter(col("robots_excluded"))
+        .select(col("host"), col("raw_url"), col("warc_ts"))
+    }),
+
     // op 20: frontier cardinality accounting — exact distinct (oracle-able;
     // approx_count_distinct is asserted within 5% in RelationalExtraSpec).
     "q10_frontier_stats" -> ((s, dir) =>
@@ -775,6 +793,18 @@ object CrawlQueries {
          |             / count(*), 4) AS coverage
          |  FROM seeds s LEFT JOIN cap ON s.url = cap.url
          | GROUP BY s.host""".stripMargin,
+
+    // The violation predicate mirrors q04's allow clause, negated, on the
+    // canonical path; raw_url/warc_ts come from the capture row.
+    "q105_robots_violations" ->
+      s"""$PagesCte,
+         |p AS (SELECT host, raw_url, warc_ts,
+         |             regexp_replace(url, '^https://[^/]*', '') AS path
+         |        FROM canon)
+         |SELECT host, raw_url, warc_ts
+         |  FROM p
+         | WHERE path LIKE '/private/%'
+         |    OR (host = 'src13.example.com' AND path LIKE '/articles/%')""".stripMargin,
 
     "q13_running_totals" ->
       s"""$PagesCte,

@@ -445,6 +445,25 @@ object PipelineQueries {
       Corpus.hostQualityBlocklist(docs(s, dir),
         minTokens = HostQualityMinTokens, maxBadFrac = HostQualityMaxBadFrac)),
 
+    // corpus datasheet: the per-language release summary (doc/source
+    // counts, token totals/extremes, mean length, token share).
+    "q106_datasheet" -> ((s, dir) => Corpus.datasheet(docs(s, dir))),
+
+    // per-host boilerplate-shingle mining over footer-injected docs (the
+    // word-soup fixture has no natural templates — the injection mirrors
+    // q91's discipline and is replicated in the oracle CTE).
+    "q107_boilerplate" -> ((s, dir) =>
+      Corpus.boilerplateShingles(boilerplateDocs(docs(s, dir)), minFrac = 0.5)),
+
+    // embedding outlier audit: per-label centroid cosine, below-threshold
+    // members flagged. Rows-only by design: centroids are distributed fp
+    // means (order-dependent last ulp) — planted-outlier and
+    // self-consistency properties pinned in MlSpec.
+    // threshold 0.0 = anti-correlated with the group's mass: ~11% of the
+    // near-random fixture vectors — the audit's actionable tail.
+    "q108_embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(emb(s, dir), groupCol = "label", threshold = 0.0)),
+
     // index DELETE lifecycle end-to-end (takedown path): index the corpus,
     // tombstone one host's docs (O(deleted), no segment rewrite), compact
     // (reclaims + recomputes globals exactly) — scores must equal BM25
@@ -582,6 +601,19 @@ object PipelineQueries {
        | GROUP BY doc_id""".stripMargin
 
   private val Bm25OracleSql: String = bm25OracleSqlOver("")
+
+  /** q107's documents with a per-source boilerplate footer appended to 3
+    * of every 4 docs (doc_id % 4 != 0) — the site-template text the miner
+    * must surface (the word-soup fixture has no natural templates);
+    * mirrored character-for-character in the q107 oracle CTE. Boundary
+    * shingles (footer words paired with each doc's distinct tail) stay
+    * doc-specific and must NOT cross the threshold. */
+  private def boilerplateDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 4 =!= 0,
+          concat(lit(" subscribe to "), col("source"),
+            lit(" newsletter updates today"))).otherwise(lit(""))).as("text"))
 
   /** The documents table with PII spans injected as a pure function of
     * doc_id (the word-soup fixture contains none) — mirrored
@@ -1369,6 +1401,42 @@ object PipelineQueries {
 
     // After delete+compact the index holds exactly the surviving corpus.
     "q103_index_delete" ->
-      bm25OracleSqlOver(s"WHERE source <> '$DeletedHost'")
+      bm25OracleSqlOver(s"WHERE source <> '$DeletedHost'"),
+
+    "q106_datasheet" ->
+      """WITH per AS (SELECT lang, source,
+        |              CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |         FROM documents),
+        |by_lang AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |  FROM per GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS corpus_tokens FROM per)
+        |SELECT lang, n_docs, n_sources, total_tokens, min_tokens, max_tokens,
+        |       round(total_tokens * 1.0 / n_docs, 4) AS mean_tokens,
+        |       round(total_tokens / corpus_tokens, 4) AS token_share
+        |  FROM by_lang CROSS JOIN tot""".stripMargin,
+
+    // The footer injection mirrors boilerplateDocs character-for-character.
+    "q107_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |       text || CASE WHEN doc_id % 4 <> 0
+        |                    THEN ' subscribe to ' || source || ' newsletter updates today'
+        |                    ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM d),
+        |sh AS (SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+        |  FROM t),
+        |c AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS n_docs_with
+        |        FROM sh GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM documents GROUP BY 1)
+        |SELECT c.source, shingle, n_docs_with, n_docs,
+        |       round(n_docs_with * 1.0 / n_docs, 4) AS doc_frac
+        |  FROM c JOIN n USING (source)
+        | WHERE n_docs_with * 1.0 / n_docs >= 0.5""".stripMargin
   )
 }

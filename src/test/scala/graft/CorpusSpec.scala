@@ -636,6 +636,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(5L) === ((5L, 0L, 0L, 0.0)))
   }
 
+  test("datasheet: per-lang counts, extremes, mean and token share (hand truth)") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s0"),     // 3 tokens
+      (2L, "d e f g h", "en", "s1"), // 5
+      (3L, "x y", "fr", "s0"))       // 2
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.datasheet(docs)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 2L, 2L, 8L, 3L, 5L, 4.0, 0.8)))
+    assert(got("fr") === (("fr", 1L, 1L, 2L, 2L, 2L, 2.0, 0.2)))
+  }
+
+  test("boilerplateShingles: template shingles cross the threshold, content never does") {
+    val footer = " subscribe now please do"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta" + footer, "s0"),
+      (2L, "epsilon zeta eta theta" + footer, "s0"),
+      (3L, "iota kappa lambda mu" + footer, "s0"),
+      (4L, "nu xi omicron pi", "s0")) // one doc without the template
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.boilerplateShingles(docs, minFrac = 0.6)
+      .as[(String, String, Long, Long, Double)].collect()
+    // footer-internal shingles ("subscribe now please", "now please do")
+    // appear in 3/4 docs; boundary shingles are doc-specific (1/4 < 0.6).
+    assert(got.map(_._2).toSet === Set("subscribe now please", "now please do"))
+    assert(got.forall(r => r._3 === 3L && r._4 === 4L && r._5 === 0.75))
+  }
+
   test("hostQualityBlocklist: per-host bad share, block flag at the threshold boundary") {
     val docs = Seq(
       (1L, "a b", "s0"), (2L, "c d", "s0"), (3L, "e f g h", "s0"), // 2/3 bad

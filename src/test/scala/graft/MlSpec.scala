@@ -385,6 +385,23 @@ class MlSpec extends AnyFunSuite {
     assert(got === truth)
   }
 
+  test("embeddingOutliers: planted outlier flagged, cluster members pass, every row present") {
+    // Group 0 clusters around +x; vec 99 points the opposite way.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.05f), 0), (2L, Seq(0.95f, 0.1f), 0),
+      (3L, Seq(1.0f, 0.0f), 0), (99L, Seq(-1.0f, 0.0f), 0),
+      (10L, Seq(0.0f, 1.0f), 1), (11L, Seq(0.05f, 0.98f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ml.Similarity.embeddingOutliers(vecs, "label", threshold = 0.5)
+      .as[(Long, Int, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 99L, 10L, 11L))
+    assert(got(99L)._4, "planted opposite-direction vector not flagged")
+    for (id <- Seq(1L, 2L, 3L, 10L, 11L))
+      assert(!got(id)._4, s"cluster member $id misflagged (cos ${got(id)._3})")
+    // flag is exactly the reported-cosine threshold rule (self-consistency)
+    assert(got.values.forall(r => r._4 === (r._3 < 0.5)))
+  }
+
   test("semDedup: one-cell groups == exact pair components; keeper = min-(cent_cos, id)") {
     val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val got = Similarity.semDedup(spark, e, threshold = 0.35, nCells = 1)
