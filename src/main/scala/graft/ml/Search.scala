@@ -137,6 +137,33 @@ object Search {
     * doc_id for determinism), rounds only the output. orderBy+limit
     * plans as TakeOrderedAndProject: per-partition partial top-k, no
     * global sort (pinned in SearchSpec). */
+  /** Freshness-weighted BM25 (op 112): news ranking is relevance ×
+    * RECENCY — score = bm25 · 2^(−age/halfLife), the half-life decay
+    * boost every news-search tier applies on top of lexical relevance
+    * (yesterday's identical story must rank below today's). `docs` must
+    * carry `published_ts`; `now` is the caller's pinned clock (never
+    * wall-clock — determinism).
+    *
+    * Plan: the decay is computed on the DOC grain and joined AFTER the
+    * BM25 aggregation (one doc-grain equi-join against the
+    * (doc_id, published_ts) projection — the multiply never enters the
+    * per-term scoring agg, and the postings side still carries only the
+    * query slice). Float discipline: age is integer seconds over one
+    * exact /86400.0; the decay pow and the final multiply are single
+    * libm ops mirrored operand-for-operand in the oracle; 4-dp rounding
+    * absorbs sub-ulp drift (the q53 ln precedent). */
+  def bm25FreshScores(docs: DataFrame, queryTerms: Seq[String],
+      nowEpochSec: Long, halfLifeDays: Double): DataFrame = {
+    val raw = scoresRaw(docs.select(col("doc_id"), col("text")), queryTerms)
+    val ages = docs.select(col("doc_id"),
+      ((lit(nowEpochSec) - unix_timestamp(col("published_ts"))).cast("double")
+        / lit(86400.0)).as("age_days"))
+    raw.join(ages, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(col("bm25_raw") *
+          pow(lit(0.5), col("age_days") / lit(halfLifeDays)), 4).as("fresh_bm25"))
+  }
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame =
     scoresRaw(docs, queryTerms)
       .orderBy(col("bm25_raw").desc, col("doc_id"))

@@ -445,6 +445,15 @@ object PipelineQueries {
       Corpus.hostQualityBlocklist(docs(s, dir),
         minTokens = HostQualityMinTokens, maxBadFrac = HostQualityMaxBadFrac)),
 
+    // freshness-weighted BM25: relevance × half-life recency decay (the
+    // news-search ranking); published_ts from the fixture publish mapping,
+    // NOW = the pinned fixture clock.
+    "q109_fresh_bm25" -> ((s, dir) =>
+      Search.bm25FreshScores(
+        docs(s, dir).withColumn("published_ts",
+          expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')")),
+        Bm25QueryTerms, graft.core.Constants.NowEpochSec, halfLifeDays = 7.0)),
+
     // corpus datasheet: the per-language release summary (doc/source
     // counts, token totals/extremes, mean length, token share).
     "q106_datasheet" -> ((s, dir) => Corpus.datasheet(docs(s, dir))),
@@ -1402,6 +1411,29 @@ object PipelineQueries {
     // After delete+compact the index holds exactly the surviving corpus.
     "q103_index_delete" ->
       bm25OracleSqlOver(s"WHERE source <> '$DeletedHost'"),
+
+    // The q53 CTE with the UNROUNDED sum, then the decay multiply mirrored
+    // operand-for-operand (integer-second age / 86400.0 / half-life).
+    "q109_fresh_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |raw AS (SELECT doc_id,
+         |       sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+         |           / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))) AS bm25_raw
+         |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+         | GROUP BY doc_id)
+         |SELECT doc_id,
+         |       round(bm25_raw * pow(0.5,
+         |             ((${graft.core.Constants.NowEpochSec} -
+         |               epoch(TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id)))
+         |              / 86400.0) / 7.0), 4) AS fresh_bm25
+         |  FROM raw""".stripMargin,
 
     "q106_datasheet" ->
       """WITH per AS (SELECT lang, source,

@@ -146,6 +146,26 @@ class SearchSpec extends AnyFunSuite {
     assert(segs === Seq("seg=3"), s"live segments: $segs")
   }
 
+  test("bm25FreshScores: score == bm25 × half-life decay; newer identical doc outranks older") {
+    val now = 1000000L
+    val day = 86400L
+    val docs = Seq(
+      (1L, "spark merge", now - day),        // 1 day old
+      (2L, "spark merge", now - 14 * day),   // 14 days old, same text
+      (3L, "vector", now))                   // fresh
+      .toDF("doc_id", "text", "pub_sec")
+      .withColumn("published_ts", col("pub_sec").cast("timestamp"))
+    val got = Search.bm25FreshScores(docs, Seq("spark", "merge", "vector"), now, 7.0)
+      .as[(Long, Double)].collect().toMap
+    val plain = Search.bm25Scores(docs, Seq("spark", "merge", "vector"))
+      .as[(Long, Double)].collect().toMap
+    for ((id, age) <- Seq(1L -> 1.0, 2L -> 14.0, 3L -> 0.0)) {
+      val want = plain(id) * math.pow(0.5, age / 7.0)
+      assert(math.abs(got(id) - want) < 5e-4, s"doc $id: got ${got(id)}, want $want")
+    }
+    assert(got(1L) > got(2L), "newer identical doc must outrank the older copy")
+  }
+
   test("deleteDocs: tombstones hide docs immediately; compaction reclaims + exact parity") {
     val q = Seq("spark", "merge", "vector")
     val dir = java.nio.file.Files.createTempDirectory("bm25del").toString + "/idx"
