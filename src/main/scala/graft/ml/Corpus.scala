@@ -774,6 +774,55 @@ object Corpus {
           .otherwise(0.0), 4).as("contamination"))
   }
 
+  /** Sequence packing (op 113): assign documents to fixed token-budget
+    * training sequences (every LLM pretraining pipeline packs documents
+    * into ~2k–8k-token contexts to avoid padding waste). Exact first-fit
+    * is inherently sequential; the distributed single-pass rule used here
+    * is CHUNKED packing: documents take a deterministic global hash order
+    * (the shared LCG key) and pack_id = cum_tokens_before div budget — a
+    * boundary-crossing document stays in the pack where it starts, so a
+    * pack can overflow by at most (max doc len − 1) tokens. That bounded
+    * overflow is the price of a one-pass distributed rule, and the bound
+    * is pinned in CorpusSpec.
+    *
+    * Scale shape: the global running sum is
+    * [[graft.operators.GlobalOrder.withRunningSumAndRank]] — the
+    * range-partitioned two-phase prefix sum (no single-task global
+    * window); everything else is map algebra. Deterministic and
+    * key-stable across partitionings (pinned). Returns
+    * (doc_id, n_tokens, cum_before, pack_id). */
+  def sequencePack(docs: DataFrame, packBudget: Long, parts: Int = 32): DataFrame = {
+    require(packBudget > 0, "pack budget must be > 0")
+    val hkey = pmod(col("doc_id") * 48271L + 11L, lit(1000003L))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"), hkey.as("hkey"))
+    graft.operators.GlobalOrder.withRunningSumAndRank(
+      toks, valueCol = "n_tokens",
+      order = Seq(col("hkey").asc, col("doc_id").asc),
+      parts = parts, sumCol = "cum_tokens", rankCol = "grank")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_tokens") - col("n_tokens")).as("cum_before"),
+        expr(s"(cum_tokens - n_tokens) div ${packBudget}L").as("pack_id"))
+  }
+
+  /** Curriculum ordering (op 114): the corpus in training order — global
+    * rank by LM quality (the CCNet discipline: Wenzek et al. 2020 order
+    * their corpus by LM score and take quality-decreasing buckets;
+    * curriculum-learning pipelines feed the rank directly). Score = the
+    * op-61 unigram log-prob (4-dp-rounded, so the rank cuts on the
+    * ROUNDED score — the q63/q72 rounded-rank-cut rule: a sub-ulp float
+    * wiggle cannot move a rank boundary).
+    *
+    * Scale shape: the rank is [[graft.operators.GlobalOrder.withRank]] —
+    * a range-partitioned global rank, never an empty-partition window
+    * funneling the corpus through one task. Returns
+    * (doc_id, mean_logp, curriculum_rank). */
+  def curriculum(docs: DataFrame, parts: Int = 32): DataFrame =
+    graft.operators.GlobalOrder.withRank(
+      TextAnalysis.unigramLogProb(docs),
+      Seq(col("mean_logp").desc, col("doc_id").asc), parts, "curriculum_rank")
+      .select(col("doc_id"), col("mean_logp"), col("curriculum_rank"))
+
   /** Corpus datasheet (op 108): the per-language summary table every
     * dataset release ships ("Datasheets for Datasets", Gebru et al. 2021
     * — and the first page of any Pile/Dolma-style corpus report): doc

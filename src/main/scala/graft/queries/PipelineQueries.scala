@@ -445,6 +445,16 @@ object PipelineQueries {
       Corpus.hostQualityBlocklist(docs(s, dir),
         minTokens = HostQualityMinTokens, maxBadFrac = HostQualityMaxBadFrac)),
 
+    // sequence packing: documents → fixed 256-token training contexts by
+    // the chunked single-pass rule (distributed prefix sum; bounded
+    // overflow pinned in CorpusSpec).
+    "q110_sequence_pack" -> ((s, dir) =>
+      Corpus.sequencePack(docs(s, dir), packBudget = 256L)),
+
+    // curriculum ordering: global rank by the q55 LM-quality score
+    // (range-partitioned rank, cuts on the rounded score).
+    "q111_curriculum" -> ((s, dir) => Corpus.curriculum(docs(s, dir))),
+
     // freshness-weighted BM25: relevance × half-life recency decay (the
     // news-search ranking); published_ts from the fixture publish mapping,
     // NOW = the pinned fixture clock.
@@ -1411,6 +1421,37 @@ object PipelineQueries {
     // After delete+compact the index holds exactly the surviving corpus.
     "q103_index_delete" ->
       bm25OracleSqlOver(s"WHERE source <> '$DeletedHost'"),
+
+    // DuckDB's // is the same floor-integral division as Spark's div for
+    // the non-negative domain here; the LCG order mirrors sequencePack.
+    "q110_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |        (((doc_id * 48271 + 11) % 1000003) + 1000003) % 1000003 AS hkey
+        |   FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY hkey, doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             - n_tokens AS BIGINT) AS cum_before
+        |   FROM t)
+        |SELECT doc_id, n_tokens, cum_before,
+        |       CAST(cum_before // 256 AS BIGINT) AS pack_id
+        |  FROM s""".stripMargin,
+
+    // q55's score CTE + a global rank ON THE ROUNDED SCORE (doc_id ties).
+    "q111_curriculum" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS k FROM tok GROUP BY doc_id, tok),
+        |f AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n_total FROM f),
+        |sc AS (SELECT doc_id,
+        |         round(sum(k * ln(c / n_total)) / sum(k), 4) AS mean_logp
+        |    FROM dt JOIN f USING (tok) CROSS JOIN tot
+        |   GROUP BY doc_id)
+        |SELECT doc_id, mean_logp,
+        |       CAST(row_number() OVER (ORDER BY mean_logp DESC, doc_id) AS BIGINT)
+        |         AS curriculum_rank
+        |  FROM sc""".stripMargin,
 
     // The q53 CTE with the UNROUNDED sum, then the decay multiply mirrored
     // operand-for-operand (integer-second age / 86400.0 / half-life).

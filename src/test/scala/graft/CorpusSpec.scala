@@ -636,6 +636,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(5L) === ((5L, 0L, 0L, 0.0)))
   }
 
+  test("sequencePack == scalar chunked packing; bounded overflow; partitioning-stable") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val budget = 256L
+    val got = Corpus.sequencePack(docs, budget)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // scalar truth: same LCG order, same running sum, same div rule
+    def hkey(id: Long) = (((id * 48271L + 11L) % 1000003L) + 1000003L) % 1000003L
+    val scalar = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ", -1).length.toLong) }
+      .sortBy { case (id, _) => (hkey(id), id) }
+    var cum = 0L
+    for ((id, n) <- scalar) {
+      assert(got(id) === ((id, n, cum, cum / budget)), s"doc $id")
+      cum += n
+    }
+    // bounded overflow: a pack exceeds the budget by < max doc length
+    val maxLen = scalar.map(_._2).max
+    val packTotals = got.values.groupBy(_._4).view.mapValues(_.map(_._2).sum)
+    assert(packTotals.values.forall(_ < budget + maxLen),
+      "pack overflow exceeded the chunked-packing bound")
+    // key-stable under a different partitioning
+    val again = Corpus.sequencePack(docs.repartition(7), budget)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
+
+  test("curriculum: global rank == scalar reorder of the q55 scores; parts-invariant") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val got = Corpus.curriculum(docs)
+      .as[(Long, Double, Long)].collect()
+    val byScore = got.sortBy { case (id, s, _) => (-s, id) }
+    assert(byScore.map(_._3).toSeq === (1L to got.length), "rank order broken")
+    val again = Corpus.curriculum(docs.repartition(5), parts = 3)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(again === got.toSet, "curriculum not invariant to partitioning/parts")
+  }
+
   test("datasheet: per-lang counts, extremes, mean and token share (hand truth)") {
     val docs = Seq(
       (1L, "a b c", "en", "s0"),     // 3 tokens
