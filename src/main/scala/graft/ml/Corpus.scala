@@ -328,6 +328,16 @@ object Corpus {
   def sampleBucket(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(docId * 48271L + 11L, lit(1000L)).cast("int")
 
+  /** The shared wide-modulus permutation key over doc_id (the LCG family of
+    * [[sampleBucket]] at modulus 1000003, where ranking ties are rare) —
+    * the ONE definition behind every hash-ordered operator
+    * ([[mixtureSample]], [[tokenBudgetMixture]], [[exactStratifiedSample]],
+    * [[sequencePack]]); the oracles mirror it as
+    * `(((doc_id*48271+11) % 1000003) + 1000003) % 1000003`. A constant
+    * change here must hit those four oracle strings in lockstep. */
+  private def hashOrderKey: org.apache.spark.sql.Column =
+    pmod(col("doc_id") * 48271L + 11L, lit(1000003L))
+
   def stratifiedSample(docs: DataFrame, permille: Int): DataFrame =
     docs
       .withColumn("bucket", sampleBucket(col("doc_id")))
@@ -376,7 +386,7 @@ object Corpus {
     val quotas = caps.crossJoin(broadcast(caps.agg(min("cap").as("t"))))
       .select(col("source"),
         floor(col("t") * col("p")).cast("long").as("quota"))
-    val hkey = pmod(col("doc_id") * 48271L + 11L, lit(1000003L))
+    val hkey = hashOrderKey
     val ranked = graft.operators.GlobalOrder.withRank(
       docs.join(broadcast(quotas), Seq("source"))
         .select(col("source"), col("doc_id"), col("quota"), hkey.as("hkey")),
@@ -414,7 +424,7 @@ object Corpus {
     val quotas = targets
       .map { case (src, p) => (src, math.floor(p / z * totalTokens).toLong) }
       .toDF("source", "quota")
-    val hkey = pmod(col("doc_id") * 48271L + 11L, lit(1000003L))
+    val hkey = hashOrderKey
     val toks = docs.join(broadcast(quotas), Seq("source"))
       .select(col("source"), col("doc_id"), col("quota"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -699,7 +709,7 @@ object Corpus {
   def exactStratifiedSample(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be > 0")
-    val hkey = pmod(col("doc_id") * 48271L + 11L, lit(1000003L))
+    val hkey = hashOrderKey
     docs
       .select(col("source"), col("doc_id"), col("lang"), hkey.as("hkey"))
       .withColumn("rnk", row_number().over(
@@ -793,7 +803,7 @@ object Corpus {
     * (doc_id, n_tokens, cum_before, pack_id). */
   def sequencePack(docs: DataFrame, packBudget: Long, parts: Int = 32): DataFrame = {
     require(packBudget > 0, "pack budget must be > 0")
-    val hkey = pmod(col("doc_id") * 48271L + 11L, lit(1000003L))
+    val hkey = hashOrderKey
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"), hkey.as("hkey"))
     graft.operators.GlobalOrder.withRunningSumAndRank(
@@ -877,18 +887,6 @@ object Corpus {
         round(col("n_docs_with").cast("double") / col("n_docs"), 4).as("doc_frac"))
   }
 
-  /** Syndication/mirror-host detection (op 104): which HOST pairs
-    * republish each other's content — the host-grain rollup of the
-    * near-dup pair relation (a news crawler uses it to collapse wire-copy
-    * mirrors into one canonical source and to seed per-host dedup
-    * priors). A pair of distinct hosts counts once per cross-host
-    * near-dup document pair (q33's exact PPJoin relation). Returns
-    * (host_a < host_b, n_shared).
-    *
-    * Plan: the document pair set is already candidate-bounded by PPJoin
-    * prefix pruning; attaching hosts is two 8-byte equi-joins against a
-    * (doc_id, source) projection; the rollup is one hash agg on the host
-    * pair — host-pair cardinality, not corpus cardinality. */
   /** Host-quality blocklist (op 105): per host (source), the share of its
     * documents failing the quality gate — the domain-level curation signal
     * (C4/Dolma maintain URL blocklists; a host whose pages are mostly
@@ -911,6 +909,18 @@ object Corpus {
         round(col("n_bad").cast("double") / col("n_docs"), 4).as("bad_frac"),
         (col("n_bad").cast("double") / col("n_docs") > maxBadFrac).as("blocked"))
 
+  /** Syndication/mirror-host detection (op 104): which HOST pairs
+    * republish each other's content — the host-grain rollup of the
+    * near-dup pair relation (a news crawler uses it to collapse wire-copy
+    * mirrors into one canonical source and to seed per-host dedup
+    * priors). A pair of distinct hosts counts once per cross-host
+    * near-dup document pair (q33's exact PPJoin relation). Returns
+    * (host_a < host_b, n_shared).
+    *
+    * Plan: the document pair set is already candidate-bounded by PPJoin
+    * prefix pruning; attaching hosts is two 8-byte equi-joins against a
+    * (doc_id, source) projection; the rollup is one hash agg on the host
+    * pair — host-pair cardinality, not corpus cardinality. */
   def syndicationPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold)
     val src = docs.select(col("doc_id"), col("source"))

@@ -137,38 +137,44 @@ object Search {
     * doc_id for determinism), rounds only the output. orderBy+limit
     * plans as TakeOrderedAndProject: per-partition partial top-k, no
     * global sort (pinned in SearchSpec). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame =
+    scoresRaw(docs, queryTerms)
+      .orderBy(col("bm25_raw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
+
   /** Freshness-weighted BM25 (op 112): news ranking is relevance ×
     * RECENCY — score = bm25 · 2^(−age/halfLife), the half-life decay
     * boost every news-search tier applies on top of lexical relevance
     * (yesterday's identical story must rank below today's). `docs` must
-    * carry `published_ts`; `now` is the caller's pinned clock (never
-    * wall-clock — determinism).
+    * carry a non-null `published_ts` (rows with a null date are dropped —
+    * an undated article has no freshness to weight); `now` is the
+    * caller's pinned clock (never wall-clock — determinism). Age clamps
+    * at 0: a future-dated article (embargo stamps, clock skew) counts as
+    * maximally fresh, never as a >1 boost.
     *
     * Plan: the decay is computed on the DOC grain and joined AFTER the
     * BM25 aggregation (one doc-grain equi-join against the
     * (doc_id, published_ts) projection — the multiply never enters the
     * per-term scoring agg, and the postings side still carries only the
     * query slice). Float discipline: age is integer seconds over one
-    * exact /86400.0; the decay pow and the final multiply are single
-    * libm ops mirrored operand-for-operand in the oracle; 4-dp rounding
+    * exact /86400.0; the clamp, decay pow and final multiply are single
+    * ops mirrored operand-for-operand in the oracle; 4-dp rounding
     * absorbs sub-ulp drift (the q53 ln precedent). */
   def bm25FreshScores(docs: DataFrame, queryTerms: Seq[String],
       nowEpochSec: Long, halfLifeDays: Double): DataFrame = {
     val raw = scoresRaw(docs.select(col("doc_id"), col("text")), queryTerms)
-    val ages = docs.select(col("doc_id"),
-      ((lit(nowEpochSec) - unix_timestamp(col("published_ts"))).cast("double")
-        / lit(86400.0)).as("age_days"))
+    val ages = docs
+      .filter(col("published_ts").isNotNull)
+      .select(col("doc_id"),
+        greatest(lit(0.0),
+          (lit(nowEpochSec) - unix_timestamp(col("published_ts"))).cast("double")
+            / lit(86400.0)).as("age_days"))
     raw.join(ages, Seq("doc_id"))
       .select(col("doc_id"),
         round(col("bm25_raw") *
           pow(lit(0.5), col("age_days") / lit(halfLifeDays)), 4).as("fresh_bm25"))
   }
-
-  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame =
-    scoresRaw(docs, queryTerms)
-      .orderBy(col("bm25_raw").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
 
   /** Persisted inverted index, Lucene-style segment model — the
     * index-once/query-many deployment split a news-indexing engine
@@ -210,6 +216,19 @@ object Search {
   def updateIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, epoch: Long = -1L): Unit = {
     val m = readManifest(path)
+    // Fail fast on re-adding a tombstoned doc_id: the readers' global
+    // anti-join would hide the NEW copy, and the next compaction would
+    // drop its rows before clearing the tombstone — silent, permanent
+    // loss. Costs one small semi-join job, and only while tombstones are
+    // outstanding (compact first, then re-add).
+    if (m.tombs.nonEmpty) {
+      val readded = newDocs.select(col("doc_id"))
+        .join(readTombs(spark, path, m).get, Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(readded == 0L,
+        s"updateIndex at $path re-adds tombstoned doc_ids; compactIndex " +
+          "first to clear tombstones, or use fresh doc_ids")
+    }
     val seg = m.segs.max + 1
     writeSegment(newDocs, path, seg)
     writeGlobalsIncremental(spark, path, m, seg)

@@ -160,6 +160,22 @@ object Similarity {
     * the last ulp across parallelism levels, so the quantizer is
     * SEED-deterministic, not bit-deterministic. Downstream correctness is
     * recall-based (MlSpec), never exact-output-based, by design. */
+  /** The nearest-centroid assignment UDF over a broadcast model — the ONE
+    * definition shared by the Lloyd trainer, the IVF probe path, and
+    * semDedup (a tie-break or normalization change must hit all three). */
+  private def cellOfUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
+    udf { emb: Seq[Float] =>
+      val v = normalize(emb.toArray)
+      var best = 0; var bestDot = Double.MinValue
+      val cs = bc.value
+      var c = 0
+      while (c < cs.length) {
+        val d = dot(v, cs(c)); if (d > bestDot) { bestDot = d; best = c }; c += 1
+      }
+      best
+    }
+
   def ivfCentroids(vecs: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
     val spark = vecs.sparkSession
     var centroids: Array[Array[Float]] = vecs
@@ -170,16 +186,7 @@ object Similarity {
       .map(r => normalize(r.getSeq[Float](1).toArray))
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val cellOf = udf { emb: Seq[Float] =>
-        val v = normalize(emb.toArray)
-        var best = 0; var bestDot = Double.MinValue
-        val cs = bc.value
-        var c = 0
-        while (c < cs.length) {
-          val d = dot(v, cs(c)); if (d > bestDot) { bestDot = d; best = c }; c += 1
-        }
-        best
-      }
+      val cellOf = cellOfUdf(bc)
       val means = vecs
         .select(cellOf(col("embedding")).as("cell"), col("embedding"))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -235,16 +242,7 @@ object Similarity {
   def knnIvfModel(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
       k: Int, cents: Array[Array[Float]], nProbe: Int = 4): DataFrame = {
     val bc = spark.sparkContext.broadcast(cents)
-    val cellOf = udf { emb: Seq[Float] =>
-      val v = normalize(emb.toArray)
-      var best = 0; var bestDot = Double.MinValue
-      val cs = bc.value
-      var c = 0
-      while (c < cs.length) {
-        val d = dot(v, cs(c)); if (d > bestDot) { bestDot = d; best = c }; c += 1
-      }
-      best
-    }
+    val cellOf = cellOfUdf(bc)
     val probeCells = udf { emb: Seq[Float] =>
       val v = normalize(emb.toArray)
       val cs = bc.value
@@ -504,44 +502,44 @@ object Similarity {
       nCells: Int = 4, iters: Int = 2, blocks: Int = 4): DataFrame = {
     val cents = ivfCentroids(vecs, nCells, iters)
     val bc = spark.sparkContext.broadcast(cents)
-    val cellOf = udf { emb: Seq[Float] =>
-      val v = normalize(emb.toArray)
-      var best = 0; var bestDot = Double.MinValue
-      val cs = bc.value
-      var c = 0
-      while (c < cs.length) {
-        val d = dot(v, cs(c)); if (d > bestDot) { bestDot = d; best = c }; c += 1
-      }
-      best
-    }
+    val cellOf = cellOfUdf(bc)
     import spark.implicits._
     val centDim = cents.zipWithIndex.toSeq
       .map { case (cvec, i) => (i, cvec.toSeq) }.toDF("cell", "centroid")
+    // THREE consumers read the assignment (both tile sides + the keeper
+    // label join) and the per-row UDF does k×dim dot products — persist so
+    // the corpus is assigned once, not three times (the curate/shingle
+    // discipline); the small clustered output checkpoints eagerly so the
+    // returned frame is self-contained before the cache is released.
     val assigned = vecs
       .select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
       .join(broadcast(centDim), Seq("cell"))
       .withColumn("cent_cos", round(cosine_sim(col("embedding"), col("centroid")), 4))
       .select(col("vec_id"), col("embedding"), col("cell"), col("cent_cos"))
-    val withG = assigned.withColumn("g",
-      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
-    val left = withG.select(col("cell"), col("vec_id").as("ia"),
-      col("embedding").as("e_a"), col("g").as("ga"),
-      explode(sequence(col("g"), lit(blocks - 1))).as("gb"))
-    val right = withG.select(col("cell"), col("vec_id").as("ib"),
-      col("embedding").as("e_b"),
-      explode(sequence(lit(0), col("g"))).as("ga"), col("g").as("gb"))
-    val pairs = left.join(right, Seq("cell", "ga", "gb"))
-      .filter(col("ga") < col("gb") || col("ia") < col("ib"))
-      .filter(cosine_sim(col("e_a"), col("e_b")) >= threshold)
-      .select(col("ia").as("a"), col("ib").as("b"))
-    val labeled = Corpus.connectedComponents(pairs)
-      .select(col("doc_id").as("vec_id"), col("rep"))
-      .join(assigned.select(col("vec_id"), col("cell"), col("cent_cos")), Seq("vec_id"))
-    val keepers = labeled.groupBy("rep")
-      .agg(min_by(col("vec_id"), struct(col("cent_cos"), col("vec_id"))).as("keeper"))
-    labeled.join(keepers, Seq("rep"))
-      .select(col("vec_id"), col("cell"), col("rep"), col("cent_cos"),
-        (col("vec_id") === col("keeper")).as("is_keeper"))
+      .persist()
+    try {
+      val withG = assigned.withColumn("g",
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+      val left = withG.select(col("cell"), col("vec_id").as("ia"),
+        col("embedding").as("e_a"), col("g").as("ga"),
+        explode(sequence(col("g"), lit(blocks - 1))).as("gb"))
+      val right = withG.select(col("cell"), col("vec_id").as("ib"),
+        col("embedding").as("e_b"),
+        explode(sequence(lit(0), col("g"))).as("ga"), col("g").as("gb"))
+      val pairs = left.join(right, Seq("cell", "ga", "gb"))
+        .filter(col("ga") < col("gb") || col("ia") < col("ib"))
+        .filter(cosine_sim(col("e_a"), col("e_b")) >= threshold)
+        .select(col("ia").as("a"), col("ib").as("b"))
+      val labeled = Corpus.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("rep"))
+        .join(assigned.select(col("vec_id"), col("cell"), col("cent_cos")), Seq("vec_id"))
+      val keepers = labeled.groupBy("rep")
+        .agg(min_by(col("vec_id"), struct(col("cent_cos"), col("vec_id"))).as("keeper"))
+      labeled.join(keepers, Seq("rep"))
+        .select(col("vec_id"), col("cell"), col("rep"), col("cent_cos"),
+          (col("vec_id") === col("keeper")).as("is_keeper"))
+        .localCheckpoint(true)
+    } finally assigned.unpersist(false)
   }
 
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {

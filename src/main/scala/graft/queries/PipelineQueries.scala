@@ -1471,7 +1471,7 @@ object PipelineQueries {
          | GROUP BY doc_id)
          |SELECT doc_id,
          |       round(bm25_raw * pow(0.5,
-         |             ((${graft.core.Constants.NowEpochSec} -
+         |             greatest(0, (${graft.core.Constants.NowEpochSec} -
          |               epoch(TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id)))
          |              / 86400.0) / 7.0), 4) AS fresh_bm25
          |  FROM raw""".stripMargin,

@@ -164,6 +164,17 @@ class SearchSpec extends AnyFunSuite {
       assert(math.abs(got(id) - want) < 5e-4, s"doc $id: got ${got(id)}, want $want")
     }
     assert(got(1L) > got(2L), "newer identical doc must outrank the older copy")
+    // future-dated docs clamp to age 0 (never a >1 boost); null dates drop
+    val weird = Seq(
+      (7L, "vector", Some(now + 30 * day)), // embargo/clock-skew future date
+      (8L, "vector", None))                 // undated
+      .toDF("doc_id", "text", "pub_sec")
+      .withColumn("published_ts", col("pub_sec").cast("timestamp"))
+    val g2 = Search.bm25FreshScores(weird, Seq("vector"), now, 7.0)
+      .as[(Long, Double)].collect().toMap
+    val p2 = Search.bm25Scores(weird, Seq("vector")).as[(Long, Double)].collect().toMap
+    assert(g2.keySet === Set(7L), "null published_ts row must drop")
+    assert(math.abs(g2(7L) - p2(7L)) < 5e-4, "future date must clamp to decay 1.0")
   }
 
   test("deleteDocs: tombstones hide docs immediately; compaction reclaims + exact parity") {
@@ -210,6 +221,17 @@ class SearchSpec extends AnyFunSuite {
     val got = Search.bm25ScoresFromIndex(spark, dir, q)
       .as[(Long, Double)].collect().toMap
     assert(got.keySet === Set(1L, 2L, 5L), "tombstone lost across an append")
+    // Re-adding a tombstoned doc_id before a compaction would be silently
+    // hidden by every reader and dropped at the merge — fail fast instead.
+    val ex = intercept[IllegalArgumentException] {
+      Search.updateIndex(spark, dir, Seq((3L, "fresh copy")).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("tombstoned"))
+    // after the merge clears the tombstone, the same re-add is legal
+    Search.compactIndex(spark, dir)
+    Search.updateIndex(spark, dir, Seq((3L, "merge merge")).toDF("doc_id", "text"))
+    assert(Search.bm25ScoresFromIndex(spark, dir, q)
+      .as[(Long, Double)].collect().toMap.keySet === Set(1L, 2L, 3L, 5L))
   }
 
   test("snippets: clamped first-occurrence window; absent term filtered") {
