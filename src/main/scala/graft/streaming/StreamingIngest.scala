@@ -156,6 +156,26 @@ object StreamingIngest {
         graft.ml.Search.indexBatch(batch, indexPath, epochId): Unit
       }
 
+  /** Live takedowns — the streaming flavor of the index DELETE lifecycle
+    * (op 106), completing the streaming CRUD story next to
+    * [[liveIndexStream]]: each micro-batch of doc_ids tombstones via
+    * [[graft.ml.Search.deleteDocs]] (O(deleted), manifest commit;
+    * readers hide the docs immediately, the next compaction reclaims).
+    * Replay safety needs no epoch guard here: tombstoning is IDEMPOTENT —
+    * a foreachBatch retry re-writes the same doc_id set and the readers'
+    * distinct union is unchanged (unlike segment appends, which would
+    * double). Empty batches skip the manifest churn. Single-writer
+    * contract: takedowns and index appends must not run concurrently
+    * against one index path (deleteDocs and updateIndex both
+    * read-modify-write the manifest). */
+  def liveTakedownStream(docIds: DataFrame, indexPath: String): DataStreamWriter[Row] =
+    docIds.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ml.Search.deleteDocs(batch.sparkSession, indexPath, batch)
+      }
+
   /** Streaming trending terms — the live flavor of the batch burst
     * detector (Search.trendingTerms): per event-time window, each term's
     * document frequency, with late data bounded by the watermark. The

@@ -158,6 +158,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(Search.bm25ScoresFromIndex(spark, idx, terms).count() === (live.size + 1).toLong)
   }
 
+  test("live takedowns: streamed deletes hide docs; replay idempotent; merge == filtered corpus") {
+    import graft.ml.Search
+    val idx = java.nio.file.Files.createTempDirectory("livedel").toString + "/idx"
+    val batchDocs = spark.read.parquet(pagesDir)
+      .select(xxhash64(coalesce($"text", lit("\u0000<null>"))).as("doc_id"),
+        coalesce($"text", lit("")).as("text"))
+      .groupBy("doc_id").agg(first("text").as("text"))
+    Search.saveIndex(batchDocs, idx)
+    val terms = Seq("the", "a", "of")
+    val before = Search.bm25ScoresFromIndex(spark, idx, terms)
+      .as[(Long, Double)].collect().toMap
+    // live takedowns: every even doc_id arrives on the stream for deletion
+    val dels = StreamingIngest.docDedupStream(
+      StreamingIngest.pagesStream(spark, pagesDir))
+      .select($"text_hash".as("doc_id"))
+      .filter($"doc_id" % 2 === 0)
+    val q = StreamingIngest.liveTakedownStream(dels, idx).start()
+    try q.processAllAvailable() finally q.stop()
+    val after = Search.bm25ScoresFromIndex(spark, idx, terms)
+      .as[(Long, Double)].collect().toMap
+    assert(after.keySet === before.keySet.filter(_ % 2 != 0),
+      "streamed takedowns not hidden from the reader")
+    // tombstoning is idempotent: re-delivering the same delete set
+    // (foreachBatch retry) changes nothing.
+    Search.deleteDocs(spark, idx, batchDocs.filter($"doc_id" % 2 === 0).select("doc_id"))
+    assert(Search.bm25ScoresFromIndex(spark, idx, terms)
+      .as[(Long, Double)].collect().toMap === after, "replayed delete mutated results")
+    // the merge reclaims: exact parity with the filtered corpus.
+    Search.compactIndex(spark, idx)
+    assert(Search.bm25ScoresFromIndex(spark, idx, terms)
+      .as[(Long, Double)].collect().toMap ===
+      Search.bm25Scores(batchDocs.filter($"doc_id" % 2 =!= 0), terms)
+        .as[(Long, Double)].collect().toMap)
+  }
+
   test("streaming trending-term counts equal the batch windowed aggregation") {
     val stream = StreamingIngest.pagesStream(spark, pagesDir)
     StreamingIngest.drainToMemory(spark,
