@@ -933,4 +933,161 @@ object Corpus {
       .groupBy("host_a", "host_b")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW document
+    * by how much more likely its tokens are under a TARGET-domain unigram
+    * LM than under the raw-pool LM — `(Σ_t k_t · (ln p̂_T(t) − ln p̂_R(t)))
+    * / Σ_t k_t`, add-one smoothed over the joint vocabulary so tokens
+    * absent from one side stay finite. Resampling raw data by these
+    * weights tilts a web-scale pool toward the target domain (DSIR uses
+    * hashed n-gram features; the unigram form is its oracle-expressible
+    * core — the hashed swap-in changes only the token key).
+    *
+    * `targetPred` marks the in-domain rows (they train p̂_T and are
+    * excluded from the output); returns (doc_id, n_tokens, dsir_weight)
+    * for every raw document, weight rounded to 4 dp.
+    *
+    * Plan shape at 100 TB: one vocabulary-grain conditional-sum agg trains
+    * BOTH models in a single pass (map-side combine collapses the token
+    * stream pre-shuffle, the q55 discipline); |V| and the two totals ride
+    * a 1-row broadcast; the per-(doc, tok) frame joins the model on the
+    * token key (vocabulary-sized — AQE broadcasts from measured size, no
+    * forced broadcast). Float discipline: counts are integers carried in
+    * doubles, so each smoothed ratio is built from exact operands and the
+    * log-ratio is bit-identical in the oracle; only the final sums'
+    * addition order differs, absorbed by the 4-dp rounding. */
+  def importanceWeights(docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column): DataFrame = {
+    val toksE = docs.select(col("doc_id"), targetPred.as("is_target"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = toksE.groupBy("tok").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).cast("double").as("ct"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).cast("double").as("cr"))
+    val totals = counts.agg(
+      count(lit(1)).cast("double").as("v"),
+      sum("ct").as("nt"), sum("cr").as("nr"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (log((col("ct") + lit(1.0)) / (col("nt") + col("v"))) -
+          log((col("cr") + lit(1.0)) / (col("nr") + col("v")))).as("lr"))
+    val dt = toksE.filter(!col("is_target"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("k"))
+    dt.join(model, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("long").as("n_tokens"),
+        round(sum(col("k") * col("lr")) / sum("k"), 4).as("dsir_weight"))
+  }
+
+  /** Overlapping token-window chunking — the embedding/RAG prep step
+    * (long documents must be cut to the encoder's context before the
+    * q34/q35 similarity family sees them): each document yields windows of
+    * `window` tokens starting every `stride` tokens, while the start is
+    * inside the document. `stride < window` overlaps chunks (context
+    * continuity across cuts); the trailing chunk is whatever remains.
+    * Returns (doc_id, chunk_id, n_tokens, chunk_text) — chunk_id is the
+    * window ordinal, so (doc_id, chunk_id) is the stable key an embedding
+    * table joins back on.
+    *
+    * Plan shape at 100 TB: a pure generator stage — split / sequence /
+    * posexplode / slice / array_join are all codegen'd builtins, the
+    * per-doc expansion is ⌈n/stride⌉ (bounded by doc length), and nothing
+    * shuffles; chunking pipelines into the scan and the downstream
+    * embedding stage partitions on (doc_id, chunk_id). */
+  def chunkWindows(docs: DataFrame, window: Int = 20,
+      stride: Int = 10): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be positive")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), size(col("tk")) - 1, lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        least(size(col("tk")) - col("col"), lit(window)).as("n_tokens"),
+        array_join(slice(col("tk"), col("col") + 1, lit(window)), " ").as("chunk_text"))
+  }
+
+  /** Greedy leftmost non-overlapping merge of adjacent (a, b) symbol
+    * pairs — the BPE apply step, shared by [[bpeTrain]]'s per-round
+    * rewrite and the test-side reference encoder. */
+  private[ml] def mergeAdjacent(syms: Seq[String], a: String,
+      b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    * tokenizer-learning pass every LLM data pipeline runs over its corpus:
+    * start from characters (plus a word-final marker so "low" and "lower"
+    * learn distinct word-end units), repeatedly count adjacent symbol
+    * pairs and merge the most frequent one. Returns the learned merge
+    * table (rank, left, right, pair_count) in learning order — the whole
+    * tokenizer model.
+    *
+    * Scale shape — the production insight is that BPE statistics live at
+    * the VOCABULARY grain, not the corpus grain: one corpus scan collapses
+    * the token stream to (word, count) with map-side combine, and every
+    * one of the `numMerges` iterations runs over that vocabulary-sized
+    * frame (pair counting = arrays_zip explode + hash agg weighted by word
+    * count; at 100 TB the vocabulary is millions of rows while the corpus
+    * is trillions of tokens). Each round collects exactly ONE row — the
+    * argmax merge rule, deterministic via (count desc, pair asc) — which
+    * is driver-sized by definition (the IVF-centroid precedent); the
+    * rewrite applies that rule with a Scala UDF over the vocabulary frame
+    * (never the corpus), and `localCheckpoint` truncates lineage each
+    * round so the plan stays constant-size (the CC discipline).
+    *
+    * Iterative argmax (each round's input depends on the previous merge)
+    * is not expressible as one SQL query — rows-only; CorpusSpec pins the
+    * full merge table against a scalar reference implementation. */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 24): DataFrame = {
+    require(numMerges >= 1, "need at least one merge")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeUdf = udf((syms: Seq[String], a: String, b: String) =>
+      mergeAdjacent(syms, a, b))
+    // One corpus scan → vocabulary grain; chars via slice(split(w, ""), 1,
+    // len) (Java split keeps a trailing "" at limit -1), then the marker.
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).cast("double").as("wc"))
+      .select(col("wc"), concat(
+        slice(split(col("word"), ""), lit(1), length(col("word"))),
+        array(lit("</w>"))).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val best = vocab
+        .select(col("wc"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").cast("long").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val l: String = row.getString(0)
+        val rr: String = row.getString(1)
+        val cnt: Long = row.getLong(2)
+        merges += ((r, l, rr, cnt))
+        val prev = vocab
+        vocab = vocab
+          .select(col("wc"), mergeUdf(col("syms"), lit(l), lit(rr)).as("syms"))
+          .localCheckpoint(true)
+        prev.unpersist()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
 }

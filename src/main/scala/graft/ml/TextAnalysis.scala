@@ -249,4 +249,40 @@ object TextAnalysis {
       size(toks(col("text"))).as("ws_tokens"),
       regexp_count(col("text"), lit(TokenRegex)).as("re_tokens"),
       size(array_distinct(toks(col("text")))).as("uniq_tokens"))
+
+  /** Document policy gate (C4 §2.1 / Dolma-style corpus cleanup): every
+    * public web-text pipeline runs a rule gate BEFORE the statistical
+    * filters — a source/domain blocklist plus a banned-lexicon share cut
+    * (C4 drops any page with a "List of Dirty, Naughty ... Words" hit;
+    * Dolma ships explicit URL blocklists). Returns EVERY document with its
+    * evidence and a verdict, so the gate composes as `filter(verdict =
+    * 'kept')` while the audit view (what was dropped and why) is the same
+    * frame — the shape a datasheet / appeals process needs.
+    *
+    * Verdict precedence: source blocklist first (domain-level policy
+    * outranks content evidence), then the lexicon share cut, else kept.
+    *
+    * Plan shape at 100 TB: a pure map stage — the blocklist compiles to a
+    * literal IN set (policy blocklists are config-sized; a multi-million-
+    * entry list would swap in a broadcast-dim left join on `source`, the
+    * q04 robots shape) and the banned count runs through the native
+    * codegen'd `tokens_in_count` kernel, so the gate pipelines into the
+    * scan with no shuffle, no UDF, and prunes mass before anything
+    * downstream shuffles. The share compare reuses the exact int/int
+    * double both sides round identically. */
+  def policyGate(docs: DataFrame,
+      blockedSources: Seq[String] = Seq("src13", "src4"),
+      banned: Seq[String] = Seq("error", "slow"),
+      maxBannedFrac: Double = 0.12): DataFrame = {
+    val nBanned = markerScore(col("text"), banned)
+    val frac = col("n_banned").cast("double") / col("n_tokens")
+    docs
+      .select(col("doc_id"), col("source"),
+        nBanned.as("n_banned"), size(toks(col("text"))).as("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_banned"), col("n_tokens"),
+        round(frac, 4).as("banned_frac"),
+        when(col("source").isInCollection(blockedSources), "blocked_source")
+          .when(frac > maxBannedFrac, "blocked_lexicon")
+          .otherwise("kept").as("verdict"))
+  }
 }

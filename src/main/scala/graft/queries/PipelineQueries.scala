@@ -498,7 +498,28 @@ object PipelineQueries {
         d.filter(col("source") === DeletedHost).select("doc_id"))
       Search.compactIndex(s, path)
       Search.bm25ScoresFromIndex(s, path, Bm25QueryTerms)
-    })
+    }),
+
+    // DSIR importance weights: score every raw doc by the target-vs-raw
+    // unigram log-likelihood ratio (target domain = the English slice) —
+    // the data-selection weight a resampling pass keys on.
+    "q112_dsir_weights" -> ((s, dir) =>
+      Corpus.importanceWeights(docs(s, dir), col("lang") === "en")),
+
+    // document policy gate: source blocklist + banned-lexicon share cut,
+    // every doc with evidence and verdict (the audit-view shape).
+    "q113_policy_gate" -> ((s, dir) => TextAnalysis.policyGate(docs(s, dir))),
+
+    // distributed BPE training: 24 merges over the corpus vocabulary.
+    // Rows-only by design (iterative argmax is not one SQL query);
+    // CorpusSpec pins the merge table against a scalar reference.
+    "q114_bpe_train" -> ((s, dir) =>
+      Corpus.bpeTrain(docs(s, dir), numMerges = 24)),
+
+    // overlapping token-window chunking (embedding/RAG prep): 20-token
+    // windows every 10 tokens, keyed (doc_id, chunk_id).
+    "q115_chunk_windows" -> ((s, dir) =>
+      Corpus.chunkWindows(docs(s, dir), window = 20, stride = 10))
   )
 
   /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
@@ -1510,6 +1531,53 @@ object PipelineQueries {
         |SELECT c.source, shingle, n_docs_with, n_docs,
         |       round(n_docs_with * 1.0 / n_docs, 4) AS doc_frac
         |  FROM c JOIN n USING (source)
-        | WHERE n_docs_with * 1.0 / n_docs >= 0.5""".stripMargin
+        | WHERE n_docs_with * 1.0 / n_docs >= 0.5""".stripMargin,
+
+    // Mirrors importanceWeights clause-for-clause: one conditional-sum
+    // vocabulary table trains both models, |V| and the totals ride a
+    // 1-row cross join, and every smoothed ratio is built from exact
+    // integer-valued doubles so ln((c+1)/(N+V)) is bit-identical; only
+    // the final sums' addition order differs (4 dp absorbs it).
+    "q112_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,
+        |             unnest(string_split(text,' ')) AS tok FROM documents),
+        |c AS (SELECT tok,
+        |        CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS ct,
+        |        CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS DOUBLE) AS cr
+        |      FROM tok GROUP BY tok),
+        |vt AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+        |              sum(ct) AS nt, sum(cr) AS nr FROM c),
+        |m AS (SELECT tok, ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)) AS lr
+        |        FROM c CROSS JOIN vt),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS k
+        |         FROM tok WHERE NOT is_t GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |       round(sum(k * lr) / sum(k), 4) AS dsir_weight
+        |  FROM dt JOIN m USING (tok) GROUP BY doc_id""".stripMargin,
+
+    // Blocklist + lexicon share, verdict precedence mirrored; the share
+    // is the same exact int/int double on both sides.
+    "q113_policy_gate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, source, len(tk) AS n_tokens,
+        |        len(list_filter(tk, x -> x IN ('error','slow'))) AS n_banned FROM t)
+        |SELECT doc_id, source, n_banned, n_tokens,
+        |       round(n_banned * 1.0 / n_tokens, 4) AS banned_frac,
+        |       CASE WHEN source IN ('src13','src4') THEN 'blocked_source'
+        |            WHEN n_banned * 1.0 / n_tokens > 0.12 THEN 'blocked_lexicon'
+        |            ELSE 'kept' END AS verdict
+        |  FROM c""".stripMargin,
+
+    // Start offsets = generate_series(0, len-1, stride); DuckDB list
+    // slicing is 1-based inclusive with end clamping, matching Spark
+    // slice(tk, st+1, window).
+    "q115_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, tk,
+        |        unnest(generate_series(0, len(tk)-1, 10)) AS st FROM t)
+        |SELECT doc_id, CAST(st // 10 AS BIGINT) AS chunk_id,
+        |       CAST(least(len(tk) - st, 20) AS INT) AS n_tokens,
+        |       array_to_string(tk[st+1 : st+20], ' ') AS chunk_text
+        |  FROM s""".stripMargin
   )
 }

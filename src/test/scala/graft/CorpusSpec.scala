@@ -732,4 +732,108 @@ class CorpusSpec extends AnyFunSuite {
     // (1,5) is same-host and must not count.
     assert(got === Set(("hostA", "hostB", 2L), ("hostA", "hostC", 1L)))
   }
+
+  test("bpeTrain == scalar reference BPE (counts, tie-breaks, greedy-leftmost apply)") {
+    // Independent scalar re-implementation (Sennrich et al. 2016 reference
+    // shape): word counts → per-round overlapping pair counts → argmax by
+    // (count desc, pair asc) → greedy leftmost non-overlapping merge.
+    def refBpe(words: Map[String, Long], numMerges: Int): Seq[(Int, String, String, Long)] = {
+      def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      var vocab: Map[Vector[String], Long] =
+        words.map { case (w, c) => (w.split("").toVector :+ "</w>") -> c }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += c
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rr), cnt) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
+          out += ((r, l, rr, cnt))
+          vocab = vocab.toSeq.map { case (s, c) => applyMerge(s, l, rr) -> c }.toMap
+          r += 1
+        }
+      }
+      out.result()
+    }
+    // Classic BPE corpus plus an aaa-run (exercises overlapping-pair
+    // counting AND leftmost non-overlap application) across two docs.
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest newest widest aaa"),
+      (2L, "low lower newest widest widest aaa aaa new new"))
+      .toDF("doc_id", "text")
+    val wordCounts = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    val want = refBpe(wordCounts, numMerges = 12)
+    val got = Corpus.bpeTrain(docs, numMerges = 12)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+  }
+
+  test("bpeTrain stops early when every word is one symbol") {
+    // 'a b' exhausts after two merges (a+</w>, b+</w>): no pairs remain.
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val got = Corpus.bpeTrain(docs, numMerges = 10)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got.length === 2)
+    assert(got(0) === ((1, "a", "</w>", 2L))) // count 2 beats b's 1
+    assert(got(1) === ((2, "b", "</w>", 1L)))
+  }
+
+  test("chunkWindows: offsets, overlap, trailing remainder, non-overlap reconstruction") {
+    val docs = Seq((7L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val got = Corpus.chunkWindows(docs, window = 3, stride = 2)
+      .as[(Long, Long, Int, String)].collect().sortBy(_._2)
+    assert(got.toSeq === Seq(
+      (7L, 0L, 3, "t1 t2 t3"), (7L, 1L, 3, "t3 t4 t5"),
+      (7L, 2L, 3, "t5 t6 t7"), (7L, 3L, 1, "t7")))
+    // stride == window ⇒ chunks partition the doc: concatenation restores it.
+    val nonOv = Corpus.chunkWindows(docs, window = 3, stride = 3)
+      .as[(Long, Long, Int, String)].collect().sortBy(_._2)
+    assert(nonOv.map(_._4).mkString(" ") === "t1 t2 t3 t4 t5 t6 t7")
+    // consistency: n_tokens is the chunk's own token count, bounded by window.
+    for ((_, _, n, txt) <- got) assert(n === txt.split(" ").length && n <= 3)
+  }
+
+  test("importanceWeights == scalar mirror; target-like raw docs score higher; target excluded") {
+    val docs = Seq(
+      (1L, "tgt tgt alpha", "T"), (2L, "tgt beta", "T"),  // target side
+      (3L, "tgt alpha raw", "R"),                         // raw, target-like
+      (4L, "raw raw beta", "R"),                          // raw, off-domain
+      (5L, "zzz", "R"))                                   // raw-only token
+      .toDF("doc_id", "text", "grp")
+    val rows = docs.as[(Long, String, String)].collect()
+    val toks = rows.flatMap { case (id, t, g) => t.split(" ").map(tok => (id, g == "T", tok)) }
+    val vocab = toks.map(_._3).distinct.sorted
+    val v = vocab.length.toDouble
+    val ct = vocab.map(w => w -> toks.count(t => t._2 && t._3 == w).toDouble).toMap
+    val cr = vocab.map(w => w -> toks.count(t => !t._2 && t._3 == w).toDouble).toMap
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    def lr(w: String) =
+      math.log((ct(w) + 1.0) / (nt + v)) - math.log((cr(w) + 1.0) / (nr + v))
+    def weight(id: Long): Double = {
+      val ws = rows.find(_._1 == id).get._2.split(" ")
+      val raw = ws.groupBy(identity).map { case (w, occ) => occ.length * lr(w) }.sum / ws.length
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Corpus.importanceWeights(docs, col("grp") === "T")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(3L, 4L, 5L), "target docs excluded")
+    for (id <- Seq(3L, 4L, 5L))
+      assert(got(id) === ((id, rows.find(_._1 == id).get._2.split(" ").length.toLong, weight(id))))
+    // target-like raw doc on top; the all-raw doc ranks below even the
+    // unseen-token doc (smoothing caps the unseen penalty).
+    assert(got(3L)._3 > got(5L)._3 && got(5L)._3 > got(4L)._3)
+  }
 }

@@ -159,6 +159,26 @@ class MlSpec extends AnyFunSuite {
       (4L, 0, 0, 0.0, "neutral")))
   }
 
+  test("policyGate: blocklist precedence, strict lexicon threshold, audit evidence") {
+    val docs = Seq(
+      (1L, "error error slow x", "okA"),  // 3/4 banned → blocked_lexicon
+      (2L, "all clean text here", "badB"), // blocked source, zero hits
+      (3L, "error a b c", "badB"),        // source precedence over lexicon
+      (4L, "all clean text here", "okA"), // kept
+      (5L, "error a a a", "okA"))         // 1/4 == threshold → kept (strict >)
+      .toDF("doc_id", "text", "source")
+    val got = graft.ml.TextAnalysis.policyGate(docs,
+      blockedSources = Seq("badB"), banned = Seq("error", "slow"),
+      maxBannedFrac = 0.25)
+      .as[(Long, String, Int, Int, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "okA", 3, 4, 0.75, "blocked_lexicon")))
+    assert(got(2L) === ((2L, "badB", 0, 4, 0.0, "blocked_source")))
+    assert(got(3L) === ((3L, "badB", 1, 4, 0.25, "blocked_source")))
+    assert(got(4L) === ((4L, "okA", 0, 4, 0.0, "kept")))
+    assert(got(5L) === ((5L, "okA", 1, 4, 0.25, "kept")))
+  }
+
   test("repetition signals match hand truth (Gopher-family filter)") {
     val docs = Seq(
       (1L, "a a a a"),          // top=4/4, uniq=1/4, 3grams: {a a a} of 2 → dup 0.5
