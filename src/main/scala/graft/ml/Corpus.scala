@@ -1090,4 +1090,42 @@ object Corpus {
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
+
+  /** Apply a learned BPE merge table ([[bpeTrain]]'s output) to the
+    * corpus: per document, the BPE token count next to the whitespace
+    * token count and the tokens-per-word fertility ratio — the metric a
+    * tokenizer release is judged by, and the unit every token-budget op
+    * (packing, mixture, pricing) actually needs once a real tokenizer
+    * replaces whitespace counting.
+    *
+    * Encode rule: merges apply in rank order, one greedy-leftmost pass
+    * each — equivalent to the reference encoder's repeated lowest-rank
+    * merge, because a rule's product symbol cannot feed an EARLIER rule
+    * (that rule was learned before the product symbol existed).
+    *
+    * Scale shape: the merge table is the model — k rules, collected
+    * driver-side by definition; encoding runs on the DISTINCT-WORD frame
+    * (vocabulary grain, same insight as training) and rejoins the corpus
+    * token stream on the word key (AQE broadcasts the vocabulary side
+    * from measured size; the production swap-in is an 8-byte
+    * xxhash64(word) join key — the q33 discipline). The corpus-side agg
+    * is a two-level hash agg with map-side combine. */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val rules: Seq[(String, String)] = merges.select(col("rank"), col("left"), col("right"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val encodeLen = udf((word: String) => {
+      var syms: Seq[String] = word.split("").toSeq :+ "</w>"
+      rules.foreach { case (a, b) => if (syms.length > 1) syms = mergeAdjacent(syms, a, b) }
+      syms.length
+    })
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val wordLens = words.select("word").distinct()
+      .withColumn("n_sym", encodeLen(col("word")))
+    words.join(wordLens, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tokens"), sum("n_sym").as("bpe_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4).as("tokens_per_word"))
+  }
 }

@@ -175,6 +175,83 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Fuzzy decontamination: which corpus documents are NEAR-duplicates of
+    * an eval/benchmark document (token-set Jaccard ≥ `threshold`)? The
+    * fuzzy complement of the exact n-gram overlap gate
+    * ([[Corpus.decontaminate]]): paraphrased or lightly-edited benchmark
+    * text shares few verbatim 8-grams but keeps a near-identical token
+    * SET, so it slips the exact gate and lands here.
+    *
+    * `evalPred` marks the eval rows inside `docs`; returns, for every
+    * CONTAMINATED raw document, (doc_id, n_eval_matches, max_jaccard) —
+    * the count of eval documents it matches and its worst similarity.
+    *
+    * Asymmetric MinHash+LSH: [[minhashPairs]]'s machinery with the band
+    * join CROSSING the corpus/eval boundary instead of self-joining.
+    * Identical token sets collapse to one representative PER SIDE (the
+    * self-join's collapse would swallow a corpus doc that exactly equals
+    * an eval doc — the most contaminated case of all; per-side reps keep
+    * it as a cross pair with identical signatures, caught by every band),
+    * and members re-attach at the end via the setkey. Recall at the
+    * threshold: minhash_sig is a pure function of the token set, so the
+    * cross-side pair relation over (corpus ts, eval ts) bands exactly as
+    * the q31 self-join does over the same sets — the exhaustive-recall
+    * test extends to this operator directly (pinned in MlSpec; the q31
+    * oracle-validity argument, which is what licenses the all-pairs
+    * DuckDB oracle).
+    *
+    * Scale shape: same as [[minhashPairs]] — the band join carries
+    * (rep, band, key) only; attach joins are shuffled 8-byte equi-joins
+    * with no forced broadcast (the eval side is benchmark-sized and AQE
+    * will broadcast it from measured size); the member expansion joins on
+    * the setkey at the contaminated-rep grain, not the corpus grain. */
+  def minhashMatchesAgainst(docs: DataFrame, evalPred: Column,
+      threshold: Double = 0.95, numHashes: Int = 128, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val tokset = array_sort(array_distinct(tokens(col("text"))))
+    val sided = docs
+      .repartition(col("doc_id")) // parallelize the signature kernel (cf. minhashPairs)
+      .select(col("doc_id"), evalPred.as("is_eval"), tokset.as("ts"))
+      .withColumn("setkey", xxhash64(concat_ws(" ", col("ts"))))
+    val reps = sided.groupBy("is_eval", "setkey")
+      .agg(min("doc_id").as("rep"), first("ts").as("ts"))
+    val withSig = reps.select(col("is_eval"), col("rep"),
+      minhash_sig(col("ts"), numHashes).as("sig"))
+    val bandCols = (0 until bands).map { bnd =>
+      val slice = (0 until rows).map(r => col("sig").getItem(bnd * rows + r))
+      struct(lit(bnd).as("band"), xxhash64(slice :+ lit(bnd): _*).as("key"))
+    }
+    val exploded = withSig
+      .select(col("is_eval"), col("rep"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("is_eval"), col("rep"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = exploded.filter(!col("is_eval"))
+      .select(col("band"), col("key"), col("rep").as("crep"))
+      .join(exploded.filter(col("is_eval"))
+        .select(col("band"), col("key"), col("rep").as("erep")), Seq("band", "key"))
+      .select("crep", "erep").distinct()
+    val ctoks = reps.filter(!col("is_eval")).select(col("rep").as("crep"), col("ts").as("ts_c"))
+    val etoks = reps.filter(col("is_eval")).select(col("rep").as("erep"), col("ts").as("ts_e"))
+    val matched = cand
+      .join(ctoks, Seq("crep")).join(etoks, Seq("erep"))
+      .withColumn("jaccard", round(jaccardSortedUdf(col("ts_c"), col("ts_e")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("crep", "erep", "jaccard")
+    // Matches are counted at the eval DOCUMENT grain: an eval rep stands
+    // for every eval doc sharing its token set.
+    val evalSizes = sided.filter(col("is_eval"))
+      .groupBy("setkey").agg(count(lit(1)).as("n_eval"))
+      .join(reps.filter(col("is_eval")).select(col("setkey"), col("rep").as("erep")), Seq("setkey"))
+      .select("erep", "n_eval")
+    val perCrep = matched
+      .join(evalSizes, Seq("erep"))
+      .groupBy("crep")
+      .agg(sum("n_eval").as("n_eval_matches"), max("jaccard").as("max_jaccard"))
+    sided.filter(!col("is_eval")).select(col("doc_id"), col("setkey"))
+      .join(reps.filter(!col("is_eval")).select(col("setkey"), col("rep").as("crep")), Seq("setkey"))
+      .join(perCrep, Seq("crep"))
+      .select(col("doc_id"), col("n_eval_matches"), col("max_jaccard"))
+  }
+
   /** SimHash near-duplicate pairs: (a, b, hamming_dist ≤ maxDist).
     * Exact for maxDist ≤ 3 via 4×16-bit band join (pigeonhole). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {

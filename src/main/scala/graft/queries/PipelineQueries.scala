@@ -519,7 +519,23 @@ object PipelineQueries {
     // overlapping token-window chunking (embedding/RAG prep): 20-token
     // windows every 10 tokens, keyed (doc_id, chunk_id).
     "q115_chunk_windows" -> ((s, dir) =>
-      Corpus.chunkWindows(docs(s, dir), window = 20, stride = 10))
+      Corpus.chunkWindows(docs(s, dir), window = 20, stride = 10)),
+
+    // BPE encode with the learned q114 merges: per-doc BPE token count +
+    // tokens-per-word fertility. Rows-only (depends on the learned merge
+    // table); scalar-encode parity pinned in CorpusSpec.
+    "q116_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.bpeEncode(d, Corpus.bpeTrain(d, numMerges = 24))
+    }),
+
+    // fuzzy decontamination: corpus docs that are token-set NEAR-dups of
+    // an eval doc (paraphrase contamination the exact n-gram gate q47/q52
+    // misses). Oracle = the all-pairs cross-side J>=0.95 join, valid via
+    // the exhaustive-recall test (the q31 argument, pinned in MlSpec).
+    "q117_fuzzy_decontam" -> ((s, dir) =>
+      Dedup.minhashMatchesAgainst(docs(s, dir),
+        evalPred = col("doc_id") % 25 === 0, threshold = 0.95))
   )
 
   /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
@@ -1578,6 +1594,21 @@ object PipelineQueries {
         |SELECT doc_id, CAST(st // 10 AS BIGINT) AS chunk_id,
         |       CAST(least(len(tk) - st, 20) AS INT) AS n_tokens,
         |       array_to_string(tk[st+1 : st+20], ' ') AS chunk_text
-        |  FROM s""".stripMargin
+        |  FROM s""".stripMargin,
+
+    // All-pairs cross-side truth at the corpus-doc grain (valid because
+    // banding recall is exhaustively 1.0 — the q31 precedent, extended to
+    // the cross join by signature purity; pinned in MlSpec). Per-pair
+    // jaccard is rounded BEFORE max on both sides.
+    "q117_fuzzy_decontam" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 25 = 0 AS is_e,
+        |              list_sort(list_distinct(string_split(text,' '))) AS ts
+        |         FROM documents),
+        |p AS (SELECT c.doc_id,
+        |             round(len(list_intersect(c.ts, e.ts)) * 1.0
+        |                   / len(list_distinct(list_concat(c.ts, e.ts))), 4) AS j
+        |        FROM toks c JOIN toks e ON NOT c.is_e AND e.is_e)
+        |SELECT doc_id, count(*) AS n_eval_matches, max(j) AS max_jaccard
+        |  FROM p WHERE j >= 0.95 GROUP BY doc_id""".stripMargin
   )
 }

@@ -791,6 +791,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(1) === ((2, "b", "</w>", 1L)))
   }
 
+  test("bpeEncode == scalar reference encode; empty merge table = chars+1 per word") {
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "newest newest low wide"))
+      .toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(docs, numMerges = 8)
+    val rules = merges.select("rank", "left", "right")
+      .as[(Int, String, String)].collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    def encLen(word: String): Long = {
+      var syms: Vector[String] = word.split("").toVector :+ "</w>"
+      for ((a, b) <- rules) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    def expected(id: Long, text: String): (Long, Long, Long, Double) = {
+      val ws = text.split(" ")
+      val bpe = ws.map(encLen).sum
+      (id, ws.length.toLong, bpe,
+        BigDecimal(bpe.toDouble / ws.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Corpus.bpeEncode(docs, merges)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(expected(1L, "low lower lowest low"), expected(2L, "newest newest low wide")))
+    // merges strictly shrink the encoding vs the character baseline...
+    val empty = Seq.empty[(Int, String, String, Long)].toDF("rank", "left", "right", "pair_count")
+    val raw = Corpus.bpeEncode(docs, empty)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // ...which is chars+1 symbols per word (the </w> marker).
+    assert(raw.map(_._3) === Seq(
+      "low lower lowest low".split(" ").map(_.length + 1L).sum,
+      "newest newest low wide".split(" ").map(_.length + 1L).sum))
+    assert(got.zip(raw).forall { case (g, r) => g._3 < r._3 })
+  }
+
   test("chunkWindows: offsets, overlap, trailing remainder, non-overlap reconstruction") {
     val docs = Seq((7L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
     val got = Corpus.chunkWindows(docs, window = 3, stride = 2)

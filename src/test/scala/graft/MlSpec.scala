@@ -244,6 +244,49 @@ class MlSpec extends AnyFunSuite {
       s"banding recall < 1.0 on sf0.01 (got ${got.size}, truth ${truth.size}) — q31 oracle invalid")
   }
 
+  test("minhashMatchesAgainst: exact cross-dup caught, eval-doc counting, member expansion") {
+    val shared = (1 to 20).map(i => s"t$i")
+    val docs = Seq(
+      (100L, shared.mkString(" ")),            // eval
+      (101L, shared.mkString(" ")),            // eval, identical set to 100
+      (102L, "x y z"),                         // eval, disjoint vocabulary
+      (1L, shared.mkString(" ")),              // corpus: EXACT eval dup (J=1.0)
+      (5L, shared.reverse.mkString(" ")),      // corpus: same SET as 1 (order differs)
+      (2L, shared.take(19).mkString(" ")),     // corpus: J=19/20=0.95, at threshold
+      (3L, shared.take(10).mkString(" ")),     // corpus: J=0.5, below
+      (4L, "z y x"))                           // corpus: exact dup of eval 102
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashMatchesAgainst(docs, col("doc_id") >= 100L, threshold = 0.95)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // identical-set cross pairs survive the per-side collapse (the self-join
+    // collapse would swallow them); eval matches count eval DOCS (100+101).
+    assert(got === Map(
+      1L -> ((2L, 1.0)), 5L -> ((2L, 1.0)),
+      2L -> ((2L, 0.95)),
+      4L -> ((1L, 1.0))))
+  }
+
+  test("minhashMatchesAgainst == cross all-pairs truth on sf0.01 (q117 oracle precondition)") {
+    // Same argument as the q31 test: exact verification pins precision 1.0,
+    // so set equality == banding recall 1.0 on the driver's correctness sf —
+    // which is what licenses q117's all-pairs DuckDB oracle.
+    val docs = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+    val pred = col("doc_id") % 25 === 0
+    val got = Dedup.minhashMatchesAgainst(docs, pred, threshold = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    val toks = docs.select($"doc_id", pred.as("is_e"),
+      array_sort(array_distinct(split($"text", " "))).as("ts"))
+    val truth = toks.filter(!$"is_e").select($"doc_id", $"ts".as("ts_c"))
+      .crossJoin(toks.filter($"is_e").select($"ts".as("ts_e")))
+      .withColumn("j", round(Dedup.jaccard($"ts_c", $"ts_e"), 4))
+      .filter($"j" >= 0.95)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max($"j").as("mj"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(truth.nonEmpty, "fixture must exercise the operator")
+    assert(got === truth,
+      s"cross banding recall < 1.0 on sf0.01 (got ${got.size}, truth ${truth.size}) — q117 oracle invalid")
+  }
+
   test("simhash banding finds EXACTLY the hamming<=3 pairs (pigeonhole)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet").limit(200)
     val got = Dedup.simhashPairs(docs, maxDist = 3)
