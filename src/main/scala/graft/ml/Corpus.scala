@@ -1091,6 +1091,33 @@ object Corpus {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** CCNet quality bucketing (Wenzek et al. 2020 §4.4): split the corpus
+    * into head / middle / tail TERCILES of the LM quality score — the
+    * released CommonCrawl grouping downstream consumers mix by (train on
+    * head, ablate with middle, drop tail). Head = best quality = highest
+    * mean log-prob; cuts are strict `>` so docs AT a cut fall to the
+    * lower bucket (mirrored in the oracle).
+    *
+    * Plan shape: the q55 scoring subtree (two-level hash agg +
+    * vocabulary join), then ONE exact-percentile agg over the doc-grain
+    * score frame for both cuts (value→count map bounded by the 4-dp
+    * score domain; the GK sketch is the unbounded-domain path, cf.
+    * lengthQuantilesApprox), cuts re-attached by a 1-row broadcast.
+    * Cut-comparison safety: scores are 4-dp multiples (1e-4 apart ≫ ulp),
+    * so a sub-ulp interpolation difference between engines can never
+    * flip a doc across a cut. */
+  def qualityBuckets(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.unigramLogProb(docs)
+    val cuts = scored.agg(
+      percentile(col("mean_logp"), array(lit(1.0 / 3), lit(2.0 / 3))).as("cs"))
+      .select(element_at(col("cs"), 1).as("c1"), element_at(col("cs"), 2).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens"), col("mean_logp"),
+        when(col("mean_logp") > col("c2"), "head")
+          .when(col("mean_logp") > col("c1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Apply a learned BPE merge table ([[bpeTrain]]'s output) to the
     * corpus: per document, the BPE token count next to the whitespace
     * token count and the tokens-per-word fertility ratio — the metric a

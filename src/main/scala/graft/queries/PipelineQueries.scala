@@ -535,7 +535,12 @@ object PipelineQueries {
     // the exhaustive-recall test (the q31 argument, pinned in MlSpec).
     "q117_fuzzy_decontam" -> ((s, dir) =>
       Dedup.minhashMatchesAgainst(docs(s, dir),
-        evalPred = col("doc_id") % 25 === 0, threshold = 0.95))
+        evalPred = col("doc_id") % 25 === 0, threshold = 0.95)),
+
+    // CCNet head/middle/tail quality bucketing: LM-score terciles (exact
+    // percentile cuts, strict > at the boundary).
+    "q118_quality_buckets" -> ((s, dir) =>
+      Corpus.qualityBuckets(docs(s, dir)))
   )
 
   /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
@@ -1609,6 +1614,26 @@ object PipelineQueries {
         |                   / len(list_distinct(list_concat(c.ts, e.ts))), 4) AS j
         |        FROM toks c JOIN toks e ON NOT c.is_e AND e.is_e)
         |SELECT doc_id, count(*) AS n_eval_matches, max(j) AS max_jaccard
-        |  FROM p WHERE j >= 0.95 GROUP BY doc_id""".stripMargin
+        |  FROM p WHERE j >= 0.95 GROUP BY doc_id""".stripMargin,
+
+    // q55's scoring CTEs + quantile_cont tercile cuts (the q77/q96
+    // percentile precedent); fractions interpolated from the same Scala
+    // doubles; strict > mirrored. Scores are 4-dp multiples, so sub-ulp
+    // interpolation drift cannot flip a doc across a cut.
+    "q118_quality_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+         |dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS k FROM tok GROUP BY doc_id, tok),
+         |f AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY tok),
+         |tot AS (SELECT sum(c) AS n_total FROM f),
+         |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |              round(sum(k * ln(c / n_total)) / sum(k), 4) AS mean_logp
+         |         FROM dt JOIN f USING (tok) CROSS JOIN tot GROUP BY doc_id),
+         |cu AS (SELECT quantile_cont(mean_logp, ${1.0 / 3}) AS c1,
+         |              quantile_cont(mean_logp, ${2.0 / 3}) AS c2 FROM sc)
+         |SELECT doc_id, n_tokens, mean_logp,
+         |       CASE WHEN mean_logp > c2 THEN 'head'
+         |            WHEN mean_logp > c1 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |  FROM sc CROSS JOIN cu""".stripMargin
   )
 }

@@ -791,6 +791,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(1) === ((2, "b", "</w>", 1L)))
   }
 
+  test("qualityBuckets: tercile cuts over the LM score, at-cut docs fall to the lower bucket") {
+    // 6 docs built from a 3-word vocabulary so the unigram scores are
+    // hand-computable: docs of only the most common word score highest.
+    val docs = Seq(
+      (1L, "c c c c"), (2L, "c c c b"), (3L, "c c b b"),
+      (4L, "c b b a"), (5L, "b b a a"), (6L, "a a a a"))
+      .toDF("doc_id", "text")
+    val got = Corpus.qualityBuckets(docs)
+      .as[(Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    // Scores are strictly decreasing in doc_id here (more 'c' = more
+    // common = higher mean logp), so terciles are {1,2} head, {3,4}
+    // middle, {5,6} tail — EXCEPT docs exactly AT an interpolated cut
+    // drop to the lower bucket. Compute the truth the same way.
+    val scored = graft.ml.TextAnalysis.unigramLogProb(docs)
+      .as[(Long, Long, Double)].collect().sortBy(_._3)
+    val xs = scored.map(_._3)
+    def typ7(p: Double): Double = {
+      val h = (xs.length - 1) * p
+      val lo = xs(h.toInt)
+      lo + (h - h.toInt) * (xs(math.min(h.toInt + 1, xs.length - 1)) - lo)
+    }
+    val (c1, c2) = (typ7(1.0 / 3), typ7(2.0 / 3))
+    for ((id, n, s) <- scored) {
+      val want = if (s > c2) "head" else if (s > c1) "middle" else "tail"
+      assert(got(id) === ((id, n, s, want)), s"doc $id score $s cuts ($c1,$c2)")
+    }
+    assert(Set("head", "middle", "tail").subsetOf(got.values.map(_._4).toSet))
+  }
+
   test("bpeEncode == scalar reference encode; empty merge table = chars+1 per word") {
     val docs = Seq(
       (1L, "low lower lowest low"),
