@@ -136,6 +136,26 @@ object expressions {
     override def prettyName: String = "shingles_n"
   }
 
+  /** ALL word n-grams in token order — the positional sibling of
+    * [[ShinglesN]] (which dedups to first occurrence): element i IS the
+    * n-gram starting at token position i, so `posexplode` over it yields
+    * (token_pos, gram) directly. Needed by occurrence-grain consumers
+    * (exact-substring dedup, q119) where both multiplicity and position
+    * carry meaning that the distinct set erases. Same split(' ')
+    * semantics and zero-copy byte-range construction. */
+  case class ShinglesAllN(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "shingle width must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.shinglesAllN(v.asInstanceOf[UTF8String], n)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.shinglesAllN($x, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShinglesAllN =
+      copy(child = newChild)
+    override def prettyName: String = "shingles_all_n"
+  }
+
   /** Count of whitespace tokens of a string that belong to a FIXED plan-time
     * word set — the lexicon-scan kernel under sentiment (q61/q62), language
     * ID (q37) and the stopword ratio (q38). Replaces the
@@ -202,6 +222,8 @@ object expressions {
   def shingles3(c: Column): Column = shingles_n(c, 3)
   def shingles_n(c: Column, n: Int): Column =
     Bridge.column(ShinglesN(Bridge.expression(c), n))
+  def shingles_all_n(c: Column, n: Int): Column =
+    Bridge.column(ShinglesAllN(Bridge.expression(c), n))
   def pct_decode_unreserved(c: Column): Column =
     Bridge.column(PctDecodeUnreserved(Bridge.expression(c)))
   def tokens_in_count(c: Column, words: Seq[String]): Column =
@@ -219,6 +241,8 @@ object expressions {
     Bridge.registerFunction(spark, "shingles3", es => ShinglesN(es.head, 3))
     Bridge.registerFunction(spark, "shingles_n", es =>
       ShinglesN(es(0), es(1).eval().asInstanceOf[Number].intValue()))
+    Bridge.registerFunction(spark, "shingles_all_n", es =>
+      ShinglesAllN(es(0), es(1).eval().asInstanceOf[Number].intValue()))
     Bridge.registerFunction(spark, "pct_decode_unreserved", es => PctDecodeUnreserved(es.head))
     Bridge.registerFunction(spark, "tokens_in_count", es =>
       TokensInCount(es.head, es.tail.map(_.eval().asInstanceOf[UTF8String].toString)))
@@ -362,6 +386,37 @@ object NativeOps {
     val it = seen.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ALL word n-grams in token order (see [[expressions.ShinglesAllN]]):
+    * the non-dedup positional sibling of [[shinglesN]] — same split(' ')
+    * boundary scan, one zero-copy UTF8String view per window, element i =
+    * the n-gram at token position i. */
+  def shinglesAllN(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val nb = b.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var tokStart = 0
+    while (i <= nb) {
+      if (i == nb || b(i) == ' ') {
+        starts.add(tokStart); ends.add(i)
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    var m = starts.size()
+    while (m > 0 && ends.get(m - 1) - starts.get(m - 1) == 0) m -= 1 // drop trailing empties
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](m - n + 1)
+    var k = 0
+    while (k + n - 1 < m) {
+      out(k) = UTF8String.fromBytes(b, starts.get(k), ends.get(k + n - 1) - starts.get(k))
+      k += 1
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 

@@ -1155,4 +1155,79 @@ object Corpus {
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
         round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4).as("tokens_per_word"))
   }
+
+  /** Hashed bag-of-words features (the Weinberger et al. 2009 hashing
+    * trick): one row per (doc_id, idx) with idx = pmod(xxhash64(token),
+    * dim) and v = token-count / doc-length (tf-normalized so long docs
+    * don't dominate the gradient), plus a constant bias feature at
+    * idx = dim. The feature space is FIXED at plan time — no vocabulary
+    * collection, no fitting pass — which is what makes the trick the
+    * standard at web scale. */
+  private[graft] def hashedFeatures(docs: DataFrame, dim: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val tok = base
+      .select(col("doc_id"), size(col("tk")).cast("double").as("n"),
+        explode(col("tk")).as("tok"))
+      .groupBy(col("doc_id"),
+        pmod(xxhash64(col("tok")), lit(dim.toLong)).cast("int").as("idx"))
+      .agg((count(lit(1)) / first("n")).as("v"))
+    tok.select(col("doc_id"), col("idx"), col("v"))
+      .unionByName(base.select(col("doc_id"), lit(dim).as("idx"), lit(1.0).as("v")))
+  }
+
+  /** Model-based quality classification — the GPT-3/LLaMA-family filter
+    * (Brown et al. 2020, App. A): a logistic-regression classifier over
+    * [[hashedFeatures]] trained to distinguish a high-quality target
+    * slice (`targetPred`) from the raw corpus, then every document scored
+    * by it. The discriminative sibling of q112's generative DSIR
+    * log-ratio: it LEARNS which token rates separate the slices instead
+    * of assuming the unigram model.
+    *
+    * Training is full-batch gradient descent, `iters` rounds. Per round:
+    * (1) margins — one doc-grain hash agg over the CACHED feature frame
+    * (weights ride in as a dim+1 literal array, element_at per row);
+    * (2) gradient — one idx-grain hash agg of v·(σ(margin) − y),
+    * collecting exactly dim+1 rows (the model is driver-sized BY
+    * DEFINITION, like bpeTrain's argmax row — the corpus never moves).
+    * At 10^10 docs each round is two shuffles of (doc_id, double) /
+    * (int, double) pairs; the trained model is ~dim doubles, the
+    * train-once/score-many deployment shape. Scores are fp-sum-order
+    * dependent (like q104's k-means) → rows-only query entry; CorpusSpec
+    * pins scalar-GD parity and planted-signal separation. */
+  def qualityClassifier(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+      dim: Int = 64, iters: Int = 10, lr: Double = 1.0): DataFrame = {
+    require(dim >= 2 && iters >= 1 && lr > 0, "need dim >= 2, iters >= 1, lr > 0")
+    val feats = hashedFeatures(docs, dim).persist()
+    val labels = docs
+      .select(col("doc_id"), coalesce(targetPred.cast("double"), lit(0.0)).as("y"))
+      .persist()
+    try {
+      val nDocs = labels.count().toDouble
+      def margins(w: Array[Double]): DataFrame = feats
+        .withColumn("wv", element_at(typedlit(w.toSeq), col("idx") + 1) * col("v"))
+        .groupBy("doc_id").agg(sum("wv").as("m"))
+      val w = new Array[Double](dim + 1)
+      for (_ <- 1 to iters) {
+        val resid = labels.join(margins(w), Seq("doc_id"))
+          .select(col("doc_id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"))
+        val g = new Array[Double](dim + 1)
+        feats.join(resid, Seq("doc_id"))
+          .groupBy("idx").agg(sum(col("v") * col("r")).as("g"))
+          .collect()
+          .foreach(row => g(row.getAs[Int]("idx")) = row.getAs[Double]("g"))
+        var i = 0
+        while (i <= dim) { w(i) -= lr * g(i) / nDocs; i += 1 }
+      }
+      margins(w).join(labels, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 4).as("score"),
+          (col("m") > 0).as("target_like"),
+          (col("y") > 0.5).as("is_target"))
+        .localCheckpoint(true) // materialize before the feature cache drops
+    } finally {
+      feats.unpersist()
+      labels.unpersist()
+    }
+  }
 }

@@ -448,4 +448,93 @@ object Dedup {
           expr(s"transform(sequence(1, greatest(size(grams) - ${w - 1}, 1)), " +
             s"j -> array_min(slice(grams, j, $w)))"))).as("fingerprint"))
   }
+
+  /** C4/CCNet-style normalization fold for dedup keys: lowercase,
+    * punctuation → space, whitespace runs collapsed, trimmed. Written in
+    * the regex subset shared by Java regex and RE2 so the DuckDB oracle
+    * runs the SAME patterns (the piiScrub discipline). Punctuation maps
+    * to SPACE, not empty — "end.Start" must not glue into "endstart". */
+  def normalizedText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Normalized exact dedup (the C4/RefinedWeb "fuzzy-exact" tier between
+    * byte-exact dedup and MinHash): duplicate groups under
+    * [[normalizedText]] — trivial reformattings (case, punctuation,
+    * spacing) collapse; real edits don't. Output is corpus-grain:
+    * (doc_id, keeper_id, group_size, is_dup), keeper = min doc_id of the
+    * group, singletons keep themselves.
+    *
+    * Scale shape: same two-phase hash-first plan as [[exactByText]] — the
+    * corpus-wide shuffle carries xxhash64(norm) keys only; normalized text
+    * re-shuffles ONLY for hash groups with multiplicity > 1 (exact under
+    * collisions), and the keeper re-attach join is bounded by the
+    * duplicate volume, not the corpus. */
+  def normalizedDupGroups(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      normalizedText(col("text")).as("norm"))
+      .withColumn("nh", xxhash64(col("norm")))
+    val counts = hashed.groupBy("nh").agg(count(lit(1)).as("n"))
+    val singles = hashed
+      .join(counts.filter(col("n") === 1), Seq("nh"), "left_semi")
+      .select(col("doc_id"), col("doc_id").as("keeper_id"),
+        lit(1L).as("group_size"), lit(false).as("is_dup"))
+    val multiRows = hashed
+      .join(counts.filter(col("n") > 1), Seq("nh"), "left_semi")
+    val multiGroups = multiRows.groupBy("nh", "norm")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("group_size"))
+    val multi = multiRows.join(multiGroups, Seq("nh", "norm"))
+      .select(col("doc_id"), col("keeper_id"), col("group_size"),
+        (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+    singles.unionByName(multi)
+  }
+
+  /** Exact-substring duplicate SPANS (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr pass):
+    * every maximal token range that is covered by a duplicated L-token
+    * window, keeping the corpus-wide FIRST occurrence (min (doc_id, pos))
+    * of each window as canonical. Output grain is one row per merged span:
+    * (doc_id, span_start, span_end, span_len), token positions 0-based
+    * inclusive — the ranges a span-removal rewrite would cut. Within-doc
+    * repeats count: the second occurrence of a window inside one document
+    * is a duplicate of its first.
+    *
+    * Scale shape (the 100 TB story): positional L-gram postings carry
+    * (doc_id, pos, xxhash64(gram)) — 8-byte keys, never gram text (equal
+    * to the string-keyed oracle absent 64-bit collisions; the q85 trade).
+    * Occurrence stats are ONE hash agg on the gram key (count +
+    * min-struct canonical — partial-agg friendly, no window/sort over the
+    * postings), re-attached by ONE shuffled equi-join; duplicated grams
+    * are a tiny survivor set at web scale. The interval merge
+    * (gaps-and-islands) windows PARTITION BY doc_id over dup positions
+    * only — per-doc state is bounded by document length, never corpus
+    * size. No broadcast, no driver collection.
+    */
+  def duplicateSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(L >= 2, "window length must be >= 2")
+    val grams = docs
+      .repartition(col("doc_id")) // parallelize the shingle kernel (cf. minhashPairs)
+      .select(col("doc_id"),
+        posexplode(graft.functions.expressions.shingles_all_n(col("text"), L)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("gh"))
+    val stats = grams.groupBy("gh").agg(
+      count(lit(1)).as("n"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = grams
+      .join(stats.filter(col("n") > 1), Seq("gh"))
+      .filter(!(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + (L - 1)).as("en"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("en")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    dups
+      .withColumn("new_island",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("span_start"), max("en").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
 }

@@ -155,6 +155,36 @@ object TextAnalysis {
           .as("mean_logp"))
   }
 
+  /** Per-document token-entropy quality signal: the Shannon entropy of a
+    * document's OWN unigram distribution, `H = ln(n) - sum(k ln k) / n`
+    * over per-doc token counts k (algebraically identical to
+    * `-sum(p ln p)` but every ln argument is an exact integer-valued
+    * double, so engine and oracle compute bit-identical operands — the
+    * q55 discipline), plus the ln(n_uniq)-normalized variant in [0, 1].
+    * Low H flags the degenerate repetition Gopher's fraction heuristics
+    * (q51) see only partially — a doc alternating two tokens has
+    * top_token_frac 0.5 but entropy ln 2; a keyword-stuffing page scores
+    * near 0. Complements q55/q87: those score AGAINST a corpus model,
+    * this is model-free and per-doc.
+    *
+    * Plan shape: one two-level hash agg (doc, tok) → doc — the shuffle
+    * carries per-doc distinct-token counts, never the token stream; a
+    * pure map stage after. No window, no join, no UDF. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("k"))
+    dt.groupBy("doc_id")
+      .agg(
+        sum("k").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_uniq"),
+        (log(sum("k")) - sum(col("k") * log(col("k"))) / sum("k")).as("h"))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        round(col("h"), 4).as("entropy"),
+        round(when(col("n_uniq") > 1, col("h") / log(col("n_uniq").cast("double")))
+          .otherwise(lit(0.0)), 4).as("norm_entropy"))
+  }
+
   /** Bigram LM quality — [[unigramLogProb]]'s next rung on the CCNet
     * ladder (Wenzek et al. 2020 rank with a 5-gram KenLM; the bigram MLE
     * is the largest n that stays oracle-expressible): per document the

@@ -540,7 +540,39 @@ object PipelineQueries {
     // CCNet head/middle/tail quality bucketing: LM-score terciles (exact
     // percentile cuts, strict > at the boundary).
     "q118_quality_buckets" -> ((s, dir) =>
-      Corpus.qualityBuckets(docs(s, dir)))
+      Corpus.qualityBuckets(docs(s, dir))),
+
+    // Exact-substring duplicate spans (Lee et al. 2021 ExactSubstr):
+    // merged token ranges covered by duplicated 8-token windows, corpus
+    // first occurrence kept canonical.
+    "q119_substring_dedup" -> ((s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), L = 8)),
+
+    // Per-doc token-entropy quality signal (model-free repetition
+    // detector next to q51's Gopher fractions and q55's corpus LM).
+    "q120_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(docs(s, dir))),
+
+    // Normalized ("fuzzy-exact") dedup: the corpus plus case/punctuation
+    // variants of every doc_id % 3 == 0 doc (new ids +100000, mirrored in
+    // the oracle CTE — the q91 synthesis pattern; the base corpus has no
+    // byte-exact dups, so the variants are what the fold must collapse
+    // and byte-exact dedup must NOT).
+    "q121_normalized_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text"))
+      Dedup.normalizedDupGroups(d.unionByName(variants))
+    }),
+
+    // Model-based quality filtering (GPT-3 App. A): logistic regression
+    // over hashed-tf features, target = the English slice (the q112
+    // convention). Rows-only: scores are fp-sum-order dependent
+    // (iterative GD, like q104's k-means) — scalar-GD parity + planted
+    // separation pinned in CorpusSpec.
+    "q122_quality_classifier" -> ((s, dir) =>
+      Corpus.qualityClassifier(docs(s, dir), col("lang") === "en"))
   )
 
   /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
@@ -1634,6 +1666,72 @@ object PipelineQueries {
          |       CASE WHEN mean_logp > c2 THEN 'head'
          |            WHEN mean_logp > c1 THEN 'middle'
          |            ELSE 'tail' END AS bucket
-         |  FROM sc CROSS JOIN cu""".stripMargin
+         |  FROM sc CROSS JOIN cu""".stripMargin,
+
+    // Positional 8-grams with 1-based list indexing shifted to the
+    // engine's 0-based pos; canonical first occurrence via row_number
+    // over (doc_id, pos) — the engine's min-struct agg on the same key
+    // (string grams here vs the engine's xxhash64 keys: equal absent
+    // 64-bit collisions, the q85 trade). Interval merge is textbook
+    // gaps-and-islands: prev running-max end, new island when the next
+    // start clears it by more than 1.
+    "q119_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, i-1 AS pos,
+        |        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+        |        tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS gram
+        |   FROM t, unnest(generate_series(1, len(tk)-7)) AS u(i)),
+        |s AS (SELECT doc_id, pos,
+        |        count(*) OVER (PARTITION BY gram) AS n,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |      FROM g),
+        |d AS (SELECT doc_id, pos FROM s WHERE n > 1 AND rn > 1),
+        |i AS (SELECT doc_id, pos AS st, pos + 7 AS en,
+        |        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |      FROM d),
+        |isl AS (SELECT doc_id, st, en,
+        |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY st ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM i)
+        |SELECT doc_id, CAST(min(st) AS BIGINT) AS span_start,
+        |       CAST(max(en) AS BIGINT) AS span_end,
+        |       CAST(max(en) - min(st) + 1 AS BIGINT) AS span_len
+        |  FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    // H = ln(n) - sum(k ln k)/n: every ln argument is an exact
+    // integer-valued double on both sides (the q55 discipline);
+    // round(…,4) on the final doubles.
+    "q120_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS k FROM tok GROUP BY doc_id, tok),
+        |a AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_uniq,
+        |             ln(sum(k)) - sum(k * ln(k)) / sum(k) AS h
+        |        FROM dt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_uniq, round(h, 4) AS entropy,
+        |       round(CASE WHEN n_uniq > 1 THEN h / ln(CAST(n_uniq AS DOUBLE))
+        |                  ELSE 0.0 END, 4) AS norm_entropy
+        |  FROM a""".stripMargin,
+
+    // Variant synthesis mirrored from the query entry; normalization fold
+    // spelled with the same regexes (RE2 'g' flag == Spark's replace-all
+    // default). Keeper/group via window on the normalized key — the
+    // engine's two-phase hash plan equals it absent xxhash64 collisions.
+    "q121_normalized_dedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 100000, upper(text) || ' !!'
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |             ' +', ' ', 'g')) AS norm
+        |  FROM u),
+        |g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keeper_id,
+        |             count(*) OVER (PARTITION BY norm) AS group_size
+        |        FROM n)
+        |SELECT doc_id, keeper_id, CAST(group_size AS BIGINT) AS group_size,
+        |       doc_id <> keeper_id AS is_dup
+        |  FROM g""".stripMargin
   )
 }

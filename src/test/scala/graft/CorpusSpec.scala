@@ -906,4 +906,53 @@ class CorpusSpec extends AnyFunSuite {
     // unseen-token doc (smoothing caps the unseen penalty).
     assert(got(3L)._3 > got(5L)._3 && got(5L)._3 > got(4L)._3)
   }
+
+  test("qualityClassifier: scalar-GD parity and planted-signal separation") {
+    val target = (1L to 8L).map(i =>
+      (i, ("quality prose facts figures sources " * 2).trim + " extra" * (i % 3).toInt, true))
+    val raw = (11L to 18L).map(i =>
+      (i, ("spam junk click buy cheap now " * 2).trim + " ads" * (i % 3).toInt, false))
+    val docs = (target ++ raw).toDF("doc_id", "text", "is_t")
+    val dim = 32; val iters = 20; val lr = 2.0
+    val got = Corpus.qualityClassifier(docs, col("is_t"), dim, iters, lr)
+      .as[(Long, Double, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // perfect separation on separable vocab + label passthrough
+    val tMin = (1L to 8L).map(got(_)._1).min
+    val rMax = (11L to 18L).map(got(_)._1).max
+    assert(tMin > rMax, s"target min $tMin !> raw max $rMax")
+    assert((1L to 8L).forall(d => got(d)._2 && got(d)._3))
+    assert((11L to 18L).forall(d => !got(d)._2 && !got(d)._3))
+    // scalar full-batch GD on the SAME hashed features == the op's scores
+    val feats = Corpus.hashedFeatures(docs, dim)
+      .as[(Long, Int, Double)].collect()
+    val ys = docs.select($"doc_id", $"is_t".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    val byDoc = feats.groupBy(_._1)
+    val w = Array.fill(dim + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val resid = byDoc.map { case (d, fs) =>
+        val m = fs.map(f => w(f._2) * f._3).sum
+        d -> (1.0 / (1.0 + math.exp(-m)) - ys(d))
+      }
+      val g = Array.fill(dim + 1)(0.0)
+      feats.foreach(f => g(f._2) += f._3 * resid(f._1))
+      for (i <- 0 to dim) w(i) -= lr * g(i) / ys.size
+    }
+    for ((d, fs) <- byDoc) {
+      val p = 1.0 / (1.0 + math.exp(-fs.map(f => w(f._2) * f._3).sum))
+      assert(math.abs(p - got(d)._1) < 6e-5, s"doc $d: scalar $p vs ${got(d)._1}")
+    }
+  }
+
+  test("qualityClassifier: uninformative features on a balanced slice stay at 0.5") {
+    // Identical text everywhere + exactly half target: every gradient
+    // coordinate is a sum of cancelling ±v/2 pairs, so w stays ~0 and
+    // every score is the base rate.
+    val docs = (1L to 8L).map(i => (i, "same words every time", i % 2 == 0))
+      .toDF("doc_id", "text", "is_t")
+    val got = Corpus.qualityClassifier(docs, col("is_t"), dim = 16, iters = 5)
+      .as[(Long, Double, Boolean, Boolean)].collect()
+    assert(got.forall(r => math.abs(r._2 - 0.5) < 1e-9))
+  }
 }

@@ -198,6 +198,80 @@ class MlSpec extends AnyFunSuite {
   }
   private def round2(x: Double): Double = math.round(x * 10000).toDouble / 10000
 
+  test("native shingles_all_n: all positional grams, repeats kept, == scalar reference") {
+    def ref(text: String, n: Int): Seq[String] = {
+      val t = text.split(' ')
+      (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+    }
+    val cases = Seq(
+      "a b c d e",
+      "a b c a b c a b c",       // repeats MUST survive (the ShinglesN difference)
+      "a  b c", " a b c", "a b c   ",
+      "a b", "a", "", "   ",
+      "wörter über straße zwei")
+    val got = cases.toDF("text")
+      .select($"text",
+        graft.functions.expressions.shingles_all_n($"text", 3).as("sh"))
+      .as[(String, Seq[String])].collect().toMap
+    for (c <- cases) assert(got(c) === ref(c, 3), s"all-grams diverge on '$c'")
+    // element index == token position (posexplode contract for q119)
+    assert(got("a b c a b c a b c")(3) === "a b c")
+    // driver-side kernel == codegen path
+    import org.apache.spark.unsafe.types.UTF8String
+    val driver = graft.functions.NativeOps.shinglesAllN(UTF8String.fromString(cases(1)), 3)
+    assert((0 until driver.numElements()).map(driver.getUTF8String(_).toString)
+      === got(cases(1)))
+  }
+
+  test("duplicateSpans: canonical first kept, within-doc repeats, interval merge") {
+    val docs = Seq(
+      // doc 1 holds the corpus-first occurrence of "a b c" / "b c d" — no spans.
+      (1L, "a b c d e f"),
+      // cross-doc dup prefix (pos 0,1 → merged [0,3]) and a second
+      // within-doc copy (pos 7,8 → merged [7,10]); gap 4..6 splits islands.
+      (2L, "a b c d x y z a b c d"),
+      // doc-internal repeat only: first occurrence canonical, second cut.
+      (5L, "p q r s p q r s"),
+      (9L, "solo words only here")
+    ).toDF("doc_id", "text")
+    val got = graft.ml.Dedup.duplicateSpans(docs, L = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (2L, 0L, 3L, 4L),
+      (2L, 7L, 10L, 4L),
+      (5L, 4L, 7L, 4L)))
+  }
+
+  test("tokenEntropy: hand truth incl. degenerate single-token distribution") {
+    val docs = Seq(
+      (1L, "a a a a"),    // H = 0, norm 0 (n_uniq = 1 guard)
+      (2L, "a b a b"),    // H = ln 2, norm 1
+      (3L, "a a b")       // H = ln 3 - (2 ln 2)/3
+    ).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.tokenEntropy(docs)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((4L, 1L, 0.0, 0.0)))
+    assert(got(2L) === ((4L, 2L, round2(math.log(2)), 1.0)))
+    val h3 = math.log(3) - 2 * math.log(2) / 3
+    assert(got(3L) === ((3L, 2L, round2(h3), round2(h3 / math.log(2)))))
+  }
+
+  test("normalizedDupGroups: formatting variants collapse, real edits do not") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "hello  world!!"),
+      (4L, "hello worlds"),   // a real edit — never grouped
+      (7L, "Numbers 42 stay")
+    ).toDF("doc_id", "text")
+    val got = graft.ml.Dedup.normalizedDupGroups(docs)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 3L, false), (2L, 1L, 3L, true), (3L, 1L, 3L, true),
+      (4L, 4L, 1L, false), (7L, 7L, 1L, false)))
+  }
+
   test("minhash+LSH pairs: perfect precision, high recall vs brute force (sf0.001)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val got = Dedup.minhashPairs(docs, threshold = 0.95)
