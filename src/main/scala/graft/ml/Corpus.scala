@@ -558,6 +558,103 @@ object Corpus {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_tokens_est"))
 
+  /** Byte-level merge of serialized DataSketches frequency sketches —
+    * the associative partial/final kernel under [[frequencySketches]] /
+    * [[mergeFrequencySketches]]. Buffer stays serialized (Encoders.BINARY
+    * — spill/shuffle-safe with no kryo gamble on library internals); a
+    * deser→merge→ser round-trip costs O(maxMapSize) and runs once per
+    * INPUT SKETCH (one per partition×key), never per token. */
+  private object FreqMerge
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.memory.Memory
+    private def merged(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        val serde = new ArrayOfStringsSerDe
+        val s = ItemsSketch.getInstance(Memory.wrap(x), serde)
+        s.merge(ItemsSketch.getInstance(Memory.wrap(y), serde))
+        s.toByteArray(serde)
+      }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merged(b, a)
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = merged(x, y)
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Per-source token-frequency heavy-hitter sketches (Misra–Gries-family
+    * ItemsSketch, Apache DataSketches) — the FREQUENCY sibling of the HLL
+    * distinct trio: bounded memory (maxMapSize counters, power of 2) no
+    * matter the vocabulary, mergeable segments → corpus with no rescan,
+    * deterministic error bound n/maxMapSize with the NO_FALSE_NEGATIVES
+    * guarantee (every item above threshold + error is returned).
+    *
+    * Build is ONE pass: mapPartitions folds each partition's token stream
+    * into per-source sketches (the documented imperative-per-partition
+    * exception — a sketch update loop has no Column form), emitting one
+    * (source, sketch) row per partition×source; the groupBy then merges
+    * sketch-sized payloads only. At 100 TB the shuffle carries
+    * partitions×sources×O(maxMapSize) bytes — independent of token count. */
+  def frequencySketches(docs: DataFrame, maxMapSize: Int = 1024): DataFrame = {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+      "maxMapSize must be a power of 2 >= 8")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        val sks = scala.collection.mutable.HashMap.empty[String, ItemsSketch[String]]
+        it.foreach { case (src, text) =>
+          if (text != null) {
+            val sk = sks.getOrElseUpdate(src, new ItemsSketch[String](maxMapSize))
+            // split(' ') grain — same tokenization as every Column-side op
+            text.split(' ').foreach(sk.update)
+          }
+        }
+        val serde = new ArrayOfStringsSerDe
+        sks.iterator.map { case (src, sk) => (src, sk.toByteArray(serde)) }
+      }
+      .toDF("source", "sk")
+      .groupBy("source")
+      .agg(udaf(FreqMerge).apply(col("sk")).as("sk"))
+  }
+
+  /** Union-merge a frequency-sketch table into ONE corpus-level sketch —
+    * the segments → corpus re-aggregation (cf. [[mergeTokenSketches]]). */
+  def mergeFrequencySketches(sketches: DataFrame): DataFrame =
+    sketches.agg(udaf(FreqMerge).apply(col("sk")).as("sk"))
+
+  /** Extract heavy hitters from a (…, sk) sketch table: one row per
+    * frequent item with its estimate and deterministic bounds
+    * (lb ≤ true ≤ ub), NO_FALSE_NEGATIVES — every item whose true count
+    * exceeds threshold + maxError is guaranteed present. When the active
+    * item count never exceeds the purge point (~0.75·maxMapSize) the
+    * sketch is in its EXACT regime: est == lb == ub == true count, which
+    * is what licenses the q125 DuckDB oracle at fixture vocabulary size;
+    * the eviction-regime guarantees are pinned in CorpusSpec. */
+  def heavyHitters(sketches: DataFrame, threshold: Long = 0): DataFrame = {
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.memory.Memory
+    val hh = udf((b: Array[Byte]) =>
+      if (b == null || b.isEmpty) Seq.empty[(String, Long, Long, Long)]
+      else {
+        val sk = ItemsSketch.getInstance(Memory.wrap(b), new ArrayOfStringsSerDe)
+        sk.getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
+          .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+          .toSeq
+      })
+    val keys = sketches.columns.filter(_ != "sk").map(col)
+    sketches.select(keys :+ explode(hh(col("sk"))).as("h"): _*)
+      .select(keys :+ col("h._1").as("token") :+ col("h._2").as("est") :+
+        col("h._3").as("lb") :+ col("h._4").as("ub"): _*)
+  }
+
   /** Per-language top-k tokens by frequency (tie-break token asc): the
     * corpus-statistics pass (vocabulary head) of a training-data pipeline.
     * Explode → two-level hash agg (partial map-side combine collapses the
@@ -1154,6 +1251,66 @@ object Corpus {
       .agg(count(lit(1)).as("ws_tokens"), sum("n_sym").as("bpe_tokens"))
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
         round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4).as("tokens_per_word"))
+  }
+
+  /** Corpus n-gram diversity — distinct-n (Li et al. 2016): per (lang, n)
+    * the unique-to-total n-gram ratio for n = 1..maxN. The release-audit
+    * metric that catches mode-collapsed or template-heavy corpora (low
+    * distinct-2/3 with normal distinct-1).
+    *
+    * Single corpus scan: all maxN gram arrays are computed in ONE
+    * projection (native `shingles_all_n` per width), tagged by `stack`,
+    * then exploded — no per-width re-scan, no lambda HOF. The distinct
+    * count runs on xxhash64(gram) (8-byte keys, never gram text on the
+    * distinct shuffle; equal to the string-keyed oracle absent 64-bit
+    * collisions — the q85 trade). */
+  def distinctN(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, "need maxN >= 1")
+    val withArrays = docs.select(col("lang") +:
+      (1 to maxN).map(n =>
+        graft.functions.expressions.shingles_all_n(col("text"), n).as(s"sh$n")): _*)
+    val stackExpr =
+      s"stack($maxN, " + (1 to maxN).map(n => s"$n, sh$n").mkString(", ") + ")"
+    withArrays
+      .select(col("lang"), expr(stackExpr).as(Seq("n", "grams")))
+      .select(col("lang"), col("n"), explode(col("grams")).as("g"))
+      .groupBy("lang", "n")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(xxhash64(col("g"))).as("n_uniq"))
+      .select(col("lang"), col("n"), col("n_grams"), col("n_uniq"),
+        round(col("n_uniq").cast("double") / col("n_grams"), 4).as("distinct_frac"))
+  }
+
+  /** Zipf rank-frequency slope per language: the OLS slope of ln(tf) on
+    * ln(rank) over the top-K tokens — natural text sits near −1 (Zipf's
+    * law); machine-generated or template spam drifts flat. A corpus-health
+    * audit next to [[datasheet]] and [[distinctN]].
+    *
+    * Plan: token counts per (lang, tok) collapse with map-side combine;
+    * the rank window runs on the VOCABULARY-grain frame (partition =
+    * one language's vocab, never documents — the q49 discipline); the
+    * slope is one closed-form agg of ln sums. Every ln argument (rank,
+    * integer tf) is an exact integer-valued double on both engine and
+    * oracle sides (the q55 discipline); round(…,4) absorbs sum order. */
+  def zipfSlope(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2, "need at least two ranks for a slope")
+    val tf = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val ranked = tf
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("lang").orderBy(desc("tf"), asc("tok"))))
+      .filter(col("rank") <= topK)
+      .select(col("lang"),
+        log(col("rank").cast("double")).as("x"), log(col("tf")).as("y"))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n").cast("long").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
   }
 
   /** Hashed bag-of-words features (the Weinberger et al. 2009 hashing

@@ -572,7 +572,24 @@ object PipelineQueries {
     // (iterative GD, like q104's k-means) — scalar-GD parity + planted
     // separation pinned in CorpusSpec.
     "q122_quality_classifier" -> ((s, dir) =>
-      Corpus.qualityClassifier(docs(s, dir), col("lang") === "en"))
+      Corpus.qualityClassifier(docs(s, dir), col("lang") === "en")),
+
+    // distinct-n diversity audit (Li et al. 2016): unique/total n-gram
+    // ratio per (lang, n) for n = 1..3, one corpus scan.
+    "q123_distinct_n" -> ((s, dir) => Corpus.distinctN(docs(s, dir))),
+
+    // Zipf rank-frequency slope per language over the top-100 tokens —
+    // natural text ≈ −1, template spam drifts flat.
+    "q124_zipf_slope" -> ((s, dir) => Corpus.zipfSlope(docs(s, dir))),
+
+    // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
+    // per source. At the fixture's 31-token vocabulary the 64-counter
+    // sketch never purges → EXACT regime (est == lb == ub == true count),
+    // which licenses the plain-counts oracle; the eviction-regime bounds
+    // and the segments→corpus merge identity are pinned in CorpusSpec.
+    "q125_heavy_hitters" -> ((s, dir) =>
+      Corpus.heavyHitters(
+        Corpus.frequencySketches(docs(s, dir), maxMapSize = 64), threshold = 30L))
   )
 
   /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
@@ -1732,6 +1749,53 @@ object PipelineQueries {
         |        FROM n)
         |SELECT doc_id, keeper_id, CAST(group_size AS BIGINT) AS group_size,
         |       doc_id <> keeper_id AS is_dup
-        |  FROM g""".stripMargin
+        |  FROM g""".stripMargin,
+
+    // One UNION ALL branch per width (DuckDB has no stack); the engine's
+    // hash-keyed distinct equals the string distinct absent xxhash64
+    // collisions (q85 trade). distinct_frac is one division of exact
+    // integers (the q66 discipline).
+    "q123_distinct_n" ->
+      """WITH t AS (SELECT lang, string_split(text,' ') AS tk FROM documents),
+        |g AS (SELECT lang, 1 AS n, unnest(tk) AS g FROM t
+        |      UNION ALL
+        |      SELECT lang, 2, unnest(list_transform(generate_series(1, len(tk)-1),
+        |             i -> tk[i] || ' ' || tk[i+1])) FROM t
+        |      UNION ALL
+        |      SELECT lang, 3, unnest(list_transform(generate_series(1, len(tk)-2),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) FROM t)
+        |SELECT lang, n, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(DISTINCT g) AS BIGINT) AS n_uniq,
+        |       round(count(DISTINCT g) * 1.0 / count(*), 4) AS distinct_frac
+        |  FROM g GROUP BY lang, n""".stripMargin,
+
+    // Rank ties broken by token asc on both sides; every ln argument is
+    // an exact integer-valued double (q55 discipline); the closed-form
+    // OLS slope is spelled operand-for-operand; round(…,4) absorbs sum
+    // order.
+    "q124_zipf_slope" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT lang, tok, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+        |r AS (SELECT lang, tf,
+        |             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tf DESC, tok) AS rank
+        |        FROM tf),
+        |k AS (SELECT lang, ln(CAST(rank AS DOUBLE)) AS x, ln(tf) AS y
+        |        FROM r WHERE rank <= 100)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+        |       round((count(*) * sum(x*y) - sum(x) * sum(y)) /
+        |             (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_slope
+        |  FROM k GROUP BY lang""".stripMargin,
+
+    // Valid BECAUSE the sketch is in its exact regime at fixture
+    // vocabulary size (31 < purge point 0.75·64): estimate and both
+    // bounds equal the true count, and getFrequentItems(t) returns
+    // exactly the count >= t items (the threshold is inclusive on the
+    // upper bound — pinned in CorpusSpec).
+    "q125_heavy_hitters" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS token FROM documents),
+        |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        |        FROM tok GROUP BY 1, 2)
+        |SELECT source, token, n AS est, n AS lb, n AS ub
+        |  FROM c WHERE n >= 30""".stripMargin
   )
 }

@@ -945,6 +945,91 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  private def round2(x: Double): Double = math.round(x * 10000).toDouble / 10000
+
+  test("distinctN: hand truth per (lang, n) incl. repeats and sub-n docs") {
+    val docs = Seq(
+      (1L, "a b a b", "en"),   // 1: 4/2, 2: 3/2 ("a b" repeats), 3: 2/2
+      (2L, "x y z", "fr"),     // 1: 3/3, 2: 2/2, 3: 1/1
+      (3L, "k", "fr")          // adds one 1-gram; no 2/3-grams
+    ).toDF("doc_id", "text", "lang")
+    val got = Corpus.distinctN(docs, maxN = 3)
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("en", 1)) === ((4L, 2L, 0.5)))
+    assert(got(("en", 2)) === ((3L, 2L, round2(2.0 / 3))))
+    assert(got(("en", 3)) === ((2L, 2L, 1.0)))
+    assert(got(("fr", 1)) === ((4L, 4L, 1.0)))
+    assert(got(("fr", 2)) === ((2L, 2L, 1.0)))
+    assert(got(("fr", 3)) === ((1L, 1L, 1.0)))
+    assert(!got.contains(("fr", 4)) && got.size === 6)
+  }
+
+  test("zipfSlope: closed-form OLS truth; constant frequencies give slope 0") {
+    val docs = Seq(
+      (1L, "a a a a b b c", "en"),  // tf 4,2,1 → ranks 1,2,3
+      (2L, "p q r", "de")           // all tf 1 → flat → slope 0
+    ).toDF("doc_id", "text", "lang")
+    val got = Corpus.zipfSlope(docs)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val slope = (n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum) /
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(got("en") === ((3L, round2(slope))))
+    assert(got("de")._1 === 3L)
+    assert(math.abs(got("de")._2) === 0.0)
+  }
+
+  test("heavyHitters: exact regime equals true counts; merge == direct global") {
+    val docs = Seq(
+      (1L, "a a a b b c", "s1"),
+      (2L, "a b c c c c", "s1"),
+      (3L, "z z z y", "s2")
+    ).toDF("doc_id", "text", "source")
+    val perSource = Corpus.frequencySketches(docs, maxMapSize = 16)
+    val got = Corpus.heavyHitters(perSource, threshold = 2L)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // true counts: s1 {a:4, b:3, c:5}, s2 {z:3, y:1}; the threshold is
+    // INCLUSIVE on the upper bound (ub >= t), so t=2 drops only y.
+    assert(got === Set(
+      ("s1", "a", 4L, 4L, 4L), ("s1", "b", 3L, 3L, 3L), ("s1", "c", 5L, 5L, 5L),
+      ("s2", "z", 3L, 3L, 3L)))
+    // segments → corpus: per-source sketches merged == one global sketch
+    val mergedHh = Corpus.heavyHitters(
+      Corpus.mergeFrequencySketches(perSource.select("sk")), threshold = 0L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val globalHh = Corpus.heavyHitters(
+      Corpus.frequencySketches(docs.withColumn("source", lit("all")), maxMapSize = 16)
+        .select("sk"), threshold = 0L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(mergedHh === globalHh)
+    assert(mergedHh.map(r => r._1 -> r._2).toMap ===
+      Map("a" -> 4L, "b" -> 3L, "c" -> 5L, "z" -> 3L, "y" -> 1L))
+  }
+
+  test("heavyHitters: eviction regime keeps the no-false-negatives guarantee") {
+    // One dominant token + 60 singletons through an 8-counter sketch:
+    // the sketch MUST purge, bounds must bracket truth, and the heavy
+    // item must survive with est - lb <= maxError.
+    val text = (Seq.fill(100)("hot") ++ (1 to 60).map(i => s"rare$i"))
+      .mkString(" ")
+    val docs = Seq((1L, text, "s")).toDF("doc_id", "text", "source")
+    val sk = Corpus.frequencySketches(docs, maxMapSize = 8)
+    val rows = Corpus.heavyHitters(sk, threshold = 50L)
+      .as[(String, String, Long, Long, Long)].collect()
+    val hot = rows.find(_._2 == "hot")
+    assert(hot.isDefined, "true-heavy item evicted — guarantee broken")
+    val (_, _, est, lb, ub) = hot.get
+    assert(lb <= 100L && 100L <= ub && est >= lb && est <= ub)
+    // every returned item's bounds bracket its true count
+    val truth = text.split(' ').groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    rows.foreach { case (_, tok, _, l, u) =>
+      assert(l <= truth(tok) && truth(tok) <= u, s"bounds miss truth for $tok")
+    }
+  }
+
   test("qualityClassifier: uninformative features on a balanced slice stay at 0.5") {
     // Identical text everywhere + exactly half target: every gradient
     // coordinate is a sum of cancelling ±v/2 pairs, so w stays ~0 and
