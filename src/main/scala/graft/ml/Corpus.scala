@@ -1313,6 +1313,26 @@ object Corpus {
           (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
   }
 
+  /** Token-balanced export shard assignment — the corpus-release writer's
+    * bin-packing step (webdataset/parquet shard exports want near-equal
+    * token mass per shard, not near-equal doc counts). Exact bin packing
+    * is sequential; the distributed rule is LPT round-robin: global rank
+    * by (n_tokens DESC, doc_id) via [[graft.operators.GlobalOrder]]'s
+    * range-partitioned rank (never a partition-less window), shard =
+    * (rank−1) mod numShards. Dealing in descending size order bounds the
+    * max−min shard spread by the largest document's token count (pinned
+    * in CorpusSpec) — the standard greedy guarantee, deterministic and
+    * partitioning-stable (total sort order, doc_id tiebreak). */
+  def shardAssign(docs: DataFrame, numShards: Int, parts: Int = 32): DataFrame = {
+    require(numShards >= 1, "need at least one shard")
+    val sized = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.operators.GlobalOrder
+      .withRank(sized, Seq(col("n_tokens").desc, col("doc_id").asc), parts, "rank")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("rank") - 1) % numShards).cast("int").as("shard"))
+  }
+
   /** Hashed bag-of-words features (the Weinberger et al. 2009 hashing
     * trick): one row per (doc_id, idx) with idx = pmod(xxhash64(token),
     * dim) and v = token-count / doc-length (tf-normalized so long docs

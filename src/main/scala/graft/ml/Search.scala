@@ -143,6 +143,79 @@ object Search {
       .limit(k)
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
 
+  /** Dirichlet-smoothing default (Zhai & Lafferty 2001/2004's standard). */
+  val Mu: Double = 2000.0
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty) — the LANGUAGE-MODEL ranking family next to BM25 (op 59):
+    * score(q, d) = Σ_{t∈q} ln((tf_{t,d} + μ·cf_t/|C|) / (|d| + μ)).
+    * Absent terms still contribute (tf = 0 via the smoothed collection
+    * prior), which is what distinguishes the QL shape from BM25's
+    * matched-terms-only sum; terms with collection frequency 0 are
+    * excluded by construction (their likelihood is undefined).
+    *
+    * Plan: the per-doc×query-term frame is lens × broadcast(|q| term
+    * stats) — a broadcast expand by |q|, never a shuffle — with tf
+    * left-joined from the query-filtered postings (the q53 slice
+    * discipline); |C| comes off the lens frame (Σ dl — no second corpus
+    * scan). Float discipline: tf/cf/dl/|C| are integer-valued doubles;
+    * μ·cf/|C| and the ln operand are spelled operand-for-operand in the
+    * oracle; round(…,4) absorbs sum order (q55). */
+  def qlmScores(docs: DataFrame, queryTerms: Seq[String], mu: Double = Mu): DataFrame = {
+    require(queryTerms.nonEmpty && mu > 0, "need query terms and mu > 0")
+    val inQ = col("term").isin(queryTerms.map(t => t: Any): _*)
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val ctot = lens.agg(sum("dl").as("c_total"))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.filter(inQ).groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val cf = toks.filter(inQ).groupBy("term")
+      .agg(count(lit(1)).cast("double").as("cf"))
+    lens.crossJoin(broadcast(cf.crossJoin(ctot)))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .na.fill(0.0, Seq("tf"))
+      .withColumn("s",
+        log((col("tf") + lit(mu) * col("cf") / col("c_total")) / (col("dl") + lit(mu))))
+      .groupBy("doc_id")
+      .agg(round(sum("s"), 4).as("qlm"))
+  }
+
+  /** Pseudo-relevance-feedback expansion terms (Rocchio/RM1 family): run
+    * the query, take the top-k feedback docs, and rank candidate
+    * expansion terms by their length-normalized feedback mass
+    * Σ_{d∈topk} tf_{t,d}/|d| — the "related query terms" every search
+    * tier derives, and the input to an expanded second-pass retrieval.
+    * Original query terms are excluded.
+    *
+    * Determinism discipline: the feedback set cuts on the 4-dp-ROUNDED
+    * BM25 score (doc_id tiebreak — the q63/q72 rounded-rank rule), and
+    * the expansion rank cuts on the 4-dp-rounded weight (term-asc
+    * tiebreak), so float association noise cannot move either boundary.
+    * Plan: top-k = TakeOrderedAndProject; the feedback corpus is a
+    * left-semi join against k doc_ids; the m-row rank window runs
+    * POST-limit on an m-bounded frame. */
+  def prfExpansionTerms(docs: DataFrame, queryTerms: Seq[String],
+      k: Int = 10, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && m >= 1, "need k >= 1 feedback docs and m >= 1 terms")
+    val top = bm25Scores(docs, queryTerms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .select("doc_id")
+    val tf = docs.join(top, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(!col("term").isin(queryTerms.map(t => t: Any): _*))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val w = tf.groupBy("term")
+      .agg(round(sum(col("tf") / col("dl")), 4).as("weight"))
+      .orderBy(col("weight").desc, col("term").asc).limit(m)
+    w.withColumn("rank",
+      row_number().over(Window.orderBy(col("weight").desc, col("term").asc)))
+  }
+
   /** Freshness-weighted BM25 (op 112): news ranking is relevance ×
     * RECENCY — score = bm25 · 2^(−age/halfLife), the half-life decay
     * boost every news-search tier applies on top of lexical relevance

@@ -589,8 +589,33 @@ object PipelineQueries {
     // and the segments→corpus merge identity are pinned in CorpusSpec.
     "q125_heavy_hitters" -> ((s, dir) =>
       Corpus.heavyHitters(
-        Corpus.frequencySketches(docs(s, dir), maxMapSize = 64), threshold = 30L))
+        Corpus.frequencySketches(docs(s, dir), maxMapSize = 64), threshold = 30L)),
+
+    // Token-balanced export shard assignment (LPT round-robin over the
+    // global token-count rank) — the corpus-release writer's bin-packing
+    // step; range-partitioned rank, never a partition-less window.
+    "q126_shard_assign" -> ((s, dir) =>
+      Corpus.shardAssign(docs(s, dir), numShards = ShardCount)),
+
+    // Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    // Lafferty) — the language-model ranking family next to q53's BM25;
+    // EVERY doc scores (absent terms contribute via the smoothed
+    // collection prior), which is what distinguishes the QL shape.
+    "q127_qlm" -> ((s, dir) =>
+      Search.qlmScores(docs(s, dir), Bm25QueryTerms)),
+
+    // Pseudo-relevance-feedback expansion terms (Rocchio/RM1): top-k
+    // BM25 feedback docs -> length-normalized candidate-term mass ->
+    // top-m ranked expansion terms (query suggestion's second pass).
+    "q128_prf_expansion" -> ((s, dir) =>
+      Search.prfExpansionTerms(docs(s, dir), Bm25QueryTerms, k = PrfK, m = PrfM))
   )
+
+  /** q126's shard count / q128's feedback-set + expansion sizes —
+    * interpolated into the oracles (the a2 discipline). */
+  val ShardCount: Int = 8
+  val PrfK: Int = 10
+  val PrfM: Int = 8
 
   /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
     * deterministic stand-in for newline paragraph breaks) plus two
@@ -1796,6 +1821,62 @@ object PipelineQueries {
         |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
         |        FROM tok GROUP BY 1, 2)
         |SELECT source, token, n AS est, n AS lb, n AS ub
-        |  FROM c WHERE n >= 30""".stripMargin
+        |  FROM c WHERE n >= 30""".stripMargin,
+
+    // The rank is total-ordered ((n_tokens DESC, doc_id) — doc_id unique),
+    // so the engine's range-partitioned GlobalOrder rank equals the
+    // window rank exactly; shard is pure modular arithmetic on it.
+    "q126_shard_assign" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |        FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |        ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rank FROM t)
+         |SELECT doc_id, n_tokens,
+         |       CAST((rank - 1) % $ShardCount AS INT) AS shard
+         |  FROM r""".stripMargin,
+
+    // Dirichlet QL spelled operand-for-operand (mu * cf / c_total is
+    // left-assoc on both sides); every doc appears (lens x cf cross
+    // join), absent terms via coalesce(tf, 0) = the smoothed prior;
+    // all ln arguments are ratios of exact integer-valued doubles;
+    // round(..,4) absorbs the |q|-term sum order (the q53 discipline).
+    "q127_qlm" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |ctot AS (SELECT CAST(sum(dl) AS DOUBLE) AS c_total FROM lens),
+         |tok AS (SELECT doc_id, term
+         |          FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |         WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM tok GROUP BY doc_id, term),
+         |cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM tok GROUP BY term)
+         |SELECT doc_id,
+         |       round(sum(ln((coalesce(tf, 0.0) + ${graft.ml.Search.Mu} * cf / c_total)
+         |                    / (dl + ${graft.ml.Search.Mu}))), 4) AS qlm
+         |  FROM lens CROSS JOIN cf CROSS JOIN ctot
+         |  LEFT JOIN tf USING (doc_id, term)
+         | GROUP BY doc_id""".stripMargin,
+
+    // Feedback set cuts on the 4-dp-ROUNDED bm25 (doc_id tiebreak) and
+    // the expansion rank on the 4-dp-rounded weight (term tiebreak) on
+    // both sides, so float association noise cannot move either
+    // boundary; the BM25 relation is the shared q53 oracle, nested.
+    "q128_prf_expansion" ->
+      s"""WITH bm AS ($Bm25OracleSql),
+         |top AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT $PrfK),
+         |ft AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT d.doc_id,
+         |                      CAST(len(string_split(d.text,' ')) AS DOUBLE) AS dl,
+         |                      unnest(string_split(d.text,' ')) AS term
+         |                 FROM documents d JOIN top USING (doc_id)) AS u
+         |        WHERE term NOT IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, dl, term),
+         |w AS (SELECT term, round(sum(tf / dl), 4) AS weight
+         |        FROM ft GROUP BY term
+         |        ORDER BY weight DESC, term LIMIT $PrfM)
+         |SELECT term, weight,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, term) AS INT) AS rank
+         |  FROM w""".stripMargin
   )
 }

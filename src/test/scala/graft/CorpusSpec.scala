@@ -1040,4 +1040,33 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Double, Boolean, Boolean)].collect()
     assert(got.forall(r => math.abs(r._2 - 0.5) < 1e-9))
   }
+
+  test("shardAssign == sequential LPT round-robin; spread bounded by the max doc") {
+    // Seeded corpus with skewed sizes (one giant doc, many small) — the
+    // regime where doc-count sharding is badly token-unbalanced.
+    val rnd = new scala.util.Random(91)
+    val docs = (1L to 97L).map { i =>
+      val n = if (i == 5L) 400 else 1 + rnd.nextInt(40)
+      (i, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val numShards = 7
+    val got = Corpus.shardAssign(docs, numShards, parts = 8)
+      .as[(Long, Long, Int)].collect()
+
+    // Sequential truth: global sort by (n_tokens desc, doc_id), deal
+    // round-robin.
+    val sizes = docs.as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ", -1).length.toLong) }
+    val truth = sizes.sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((id, n), i) => id -> ((n, i % numShards)) }.toMap
+    assert(got.length === sizes.length)
+    for ((id, n, shard) <- got) {
+      assert((n, shard) === truth(id), s"doc $id")
+    }
+    // Greedy guarantee: max-min token mass across shards <= largest doc.
+    val loads = got.groupBy(_._3).map { case (_, rs) => rs.map(_._2).sum }
+    assert(loads.size === numShards)
+    assert(loads.max - loads.min <= sizes.map(_._2).max,
+      s"spread ${loads.max - loads.min} exceeds the greedy bound")
+  }
 }

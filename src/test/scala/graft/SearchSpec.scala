@@ -752,4 +752,71 @@ class SearchSpec extends AnyFunSuite {
     // counts: fast=2, big=1, spark=1 of 4 seed bigrams total
     assert(got === List(("fast", 2L, 0.5), ("big", 1L, 0.25), ("spark", 1L, 0.25)))
   }
+
+  test("qlmScores matches the scalar Dirichlet formula; every doc scores; smoothing orders ties") {
+    val mu = 50.0 // small mu so tf presence clearly dominates on a tiny corpus
+    val q = Seq("spark", "merge", "vector")
+    // Hand stats over `corpus`: cf(spark)=3, cf(merge)=4, cf(vector)=1,
+    // |C| = 4+6+3+5+1 = 19.
+    val cf = Map("spark" -> 3.0, "merge" -> 4.0, "vector" -> 1.0)
+    val tfs = Map(
+      (1L, "spark") -> 2.0, (1L, "merge") -> 1.0,
+      (2L, "spark") -> 1.0,
+      (3L, "merge") -> 3.0,
+      (5L, "vector") -> 1.0)
+    val dls = Map(1L -> 4.0, 2L -> 6.0, 3L -> 3.0, 4L -> 5.0, 5L -> 1.0)
+    def ref(id: Long): Double = q.map { t =>
+      math.log((tfs.getOrElse((id, t), 0.0) + mu * cf(t) / 19.0) / (dls(id) + mu))
+    }.sum
+    val got = Search.qlmScores(corpus, q, mu).as[(Long, Double)].collect().toMap
+    assert(got.keySet === dls.keySet, "QL scores EVERY doc, matched terms or not")
+    for (id <- dls.keys)
+      assert(math.abs(got(id) - ref(id)) < 5e-5, s"doc $id: got ${got(id)}, want ${ref(id)}")
+    // doc 4 (no query term) must rank below every doc with a hit at equal-ish
+    // length: its score is pure collection prior.
+    assert(got(4L) < got(1L) && got(4L) < got(3L))
+  }
+
+  test("prfExpansionTerms == brute-force feedback expansion over a seeded corpus") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("spark", "merge", "vector", "join", "scan", "sort",
+      "row", "column", "table", "index", "batch", "cache")
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val q = Seq("spark", "merge")
+    val (k, m) = (5, 4)
+    // Brute force: scalar BM25, rounded cut, then length-normalized term mass.
+    val n = docs.size.toDouble
+    val avgdl = docs.map(_._2.split(" ").length).sum / n
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val df = q.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    def bm25(id: Long): Double = {
+      val ts = toks.find(_._1 == id).get._2
+      val dl = ts.length.toDouble
+      q.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * tf * (Search.K1 + 1) /
+          (tf + Search.K1 * ((1 - Search.B) + Search.B * dl / avgdl))
+      }.sum
+    }
+    val matched = toks.filter(_._2.exists(q.contains)).map(_._1)
+    val top = matched
+      .map(id => (id, BigDecimal(bm25(id)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    val mass = toks.filter { case (id, _) => top(id) }
+      .flatMap { case (_, ts) =>
+        val dl = ts.length.toDouble
+        ts.filterNot(q.contains).groupBy(identity).map { case (t, o) => t -> o.size / dl }
+      }
+      .groupBy(_._1).map { case (t, xs) =>
+        t -> BigDecimal(xs.map(_._2).sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val want = mass.toSeq.sortBy { case (t, w) => (-w, t) }.take(m)
+      .zipWithIndex.map { case ((t, w), i) => (t, w, i + 1) }.toList
+    val got = Search.prfExpansionTerms(docs.toDF("doc_id", "text"), q, k, m)
+      .as[(String, Double, Int)].collect().toList.sortBy(_._3)
+    assert(got === want)
+  }
 }
