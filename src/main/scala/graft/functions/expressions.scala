@@ -207,6 +207,55 @@ object expressions {
     override def prettyName: String = "pct_decode_unreserved"
   }
 
+  /** Unicode NFC normalization (canonical composition) — the web-text fold
+    * that makes "e" + U+0301 dedup/search-equal to the precomposed "é".
+    * ASCII fast path returns the input object untouched (the overwhelmingly
+    * common case for crawled English text — zero-copy, no decode). */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.nfcNormalize(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.nfcNormalize($x)")
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+    override def prettyName: String = "nfc_normalize"
+  }
+
+  /** Accent/diacritic folding: NFD decomposition with all non-spacing
+    * combining marks (Unicode category Mn) dropped, then recomposed NFC —
+    * "é"/"ü"/"ñ" → "e"/"u"/"n" (matches DuckDB/utf8proc strip_accents on
+    * the Latin range). Same ASCII zero-copy fast path as [[NfcNormalize]]. */
+  case class StripAccents(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.stripAccents(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.stripAccents($x)")
+    override protected def withNewChildInternal(newChild: Expression): StripAccents =
+      copy(child = newChild)
+    override def prettyName: String = "strip_accents"
+  }
+
+  /** DEFLATE-compressed byte length of a string's UTF-8 bytes (raw
+    * deflate, level 6, no zlib/gzip header) — the numerator of the
+    * compression-ratio quality signal: boilerplate/template spam
+    * compresses far better than natural prose. Deterministic for a given
+    * input (single-shot deflate of the whole buffer). */
+  case class DeflateLen(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.deflateLen(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.deflateLen($x)")
+    override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+      copy(child = newChild)
+    override def prettyName: String = "deflate_len"
+  }
+
   // ---- Column-facing API --------------------------------------------------
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -228,6 +277,12 @@ object expressions {
     Bridge.column(PctDecodeUnreserved(Bridge.expression(c)))
   def tokens_in_count(c: Column, words: Seq[String]): Column =
     Bridge.column(TokensInCount(Bridge.expression(c), words))
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+  def strip_accents(c: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(c)))
+  def deflate_len(c: Column): Column =
+    Bridge.column(DeflateLen(Bridge.expression(c)))
 
   /** Register all native functions for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -246,6 +301,9 @@ object expressions {
     Bridge.registerFunction(spark, "pct_decode_unreserved", es => PctDecodeUnreserved(es.head))
     Bridge.registerFunction(spark, "tokens_in_count", es =>
       TokensInCount(es.head, es.tail.map(_.eval().asInstanceOf[UTF8String].toString)))
+    Bridge.registerFunction(spark, "nfc_normalize", es => NfcNormalize(es.head))
+    Bridge.registerFunction(spark, "strip_accents", es => StripAccents(es.head))
+    Bridge.registerFunction(spark, "deflate_len", es => DeflateLen(es.head))
   }
 }
 
@@ -504,6 +562,53 @@ object NativeOps {
     * CoreSpec pins byte-agreement between the two. */
   def pctDecodeUnreservedScala(s: String): String =
     pctDecodeUnreserved(UTF8String.fromString(s)).toString
+
+  /** True iff every byte is ASCII — the fast-path guard for the unicode
+    * folds (an all-ASCII string is NFC-normal and accent-free by
+    * construction, so the input object is returned untouched). */
+  private def isAscii(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    if (isAscii(b)) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  def stripAccents(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    if (isAscii(b)) return s
+    val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    // Recompose what remains (e.g. Hangul syllables decomposed by NFD).
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  def deflateLen(s: UTF8String): Int = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(6, true) // raw deflate, no zlib header
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
 
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L

@@ -344,6 +344,33 @@ object Corpus {
       .filter(col("bucket") < permille)
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * the "exponential clocks" formulation): each doc gets clock =
+    * −ln(u)/w with u uniform and w = its token count, and the k SMALLEST
+    * clocks are the sample — inclusion probability ∝ token mass, the
+    * draw every token-weighted epoch sampler needs. u comes from the
+    * shared deterministic LCG permutation over doc_id (seedless, rerun-
+    * and partitioning-stable; production swap-in: xxhash64), centered as
+    * (key + 0.5)/M so u is never 0 or 1 and ln is finite.
+    *
+    * Determinism discipline: the cut is on the 6-dp-ROUNDED clock with
+    * doc_id tiebreak (the q63 rrf precision — clocks for heavy docs
+    * cluster near 0, where 4 dp would tie too coarsely), so cross-engine
+    * ln/pow ulp noise cannot move the boundary. Plan shape at 100 TB: a
+    * pure map stage then orderBy+limit = TakeOrderedAndProject
+    * (per-partition partial top-k, no global sort, no window). */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val u = (hashOrderKey.cast("double") + lit(0.5)) / lit(1000003.0)
+    val w = size(split(col("text"), " ")).cast("double")
+    docs
+      .select(col("doc_id"), w.as("n_tokens"),
+        round(-log(u) / w, 6).as("clock"))
+      .orderBy(col("clock").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("clock"))
+  }
+
   /** Domain-mixture resampling — draw the LARGEST corpus that exactly
     * matches a target source distribution (the "data mixing" step of a
     * training pipeline: rebalance a crawl whose natural mix over-weights

@@ -315,4 +315,43 @@ object TextAnalysis {
           .when(frac > maxBannedFrac, "blocked_lexicon")
           .otherwise("kept").as("verdict"))
   }
+
+  /** Unicode normalization pass — crawled web text arrives in mixed
+    * normalization forms (decomposed combining sequences from some CMSes,
+    * precomposed from others), which silently breaks exact dedup, token
+    * matching, and BM25 term equality. `text_nfc` is the NFC fold every
+    * downstream operator should key on; `text_folded` additionally strips
+    * diacritics (the search-side "café" == "cafe" recall fold); `changed`
+    * flags rows the NFC fold actually rewrote (audit: how dirty is the
+    * corpus?).
+    *
+    * Plan shape at 100 TB: a pure map stage over two native codegen'd
+    * expressions ([[graft.functions.expressions.NfcNormalize]] /
+    * `StripAccents`) with an ASCII zero-copy fast path — for the typical
+    * English crawl slice this is a byte-scan per row, no decode, no
+    * allocation, no shuffle. */
+  def unicodeNormalize(docs: DataFrame): DataFrame = {
+    val nfc = graft.functions.expressions.nfc_normalize(col("text"))
+    docs.select(
+      col("doc_id"),
+      nfc.as("text_nfc"),
+      graft.functions.expressions.strip_accents(nfc).as("text_folded"),
+      (nfc =!= col("text")).as("changed"))
+  }
+
+  /** Compression-ratio quality signal (the zlib heuristic next to q51's
+    * Gopher fractions): templated/repetitive spam deflates far below
+    * natural prose, so ratio = deflate_len/n_bytes separates them with no
+    * model. No DuckDB oracle exists for DEFLATE (rows-only entry) — the
+    * kernel is pinned against java.util.zip directly plus ordering
+    * properties in SearchSpec.
+    *
+    * Plan shape at 100 TB: pure map stage, one codegen'd kernel call per
+    * row; ratio arithmetic is exact-int division both sides. */
+  def compressionRatio(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      graft.functions.expressions.deflate_len(col("text")).cast("long").as("n_deflate"))
+      .withColumn("ratio",
+        round(col("n_deflate").cast("double") / col("n_bytes"), 4))
 }

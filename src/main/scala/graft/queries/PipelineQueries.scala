@@ -608,14 +608,48 @@ object PipelineQueries {
     // BM25 feedback docs -> length-normalized candidate-term mass ->
     // top-m ranked expansion terms (query suggestion's second pass).
     "q128_prf_expansion" -> ((s, dir) =>
-      Search.prfExpansionTerms(docs(s, dir), Bm25QueryTerms, k = PrfK, m = PrfM))
+      Search.prfExpansionTerms(docs(s, dir), Bm25QueryTerms, k = PrfK, m = PrfM)),
+
+    // Unicode NFC normalization + accent folding over native codegen'd
+    // expressions (ASCII zero-copy fast path). The fixture corpus is pure
+    // ASCII, so decomposed combining sequences are injected as a pure
+    // function of doc_id (the piiDocs pattern) and mirrored chr-for-chr
+    // in the oracle CTE — those rows must fold, everything else must
+    // pass through unchanged.
+    "q129_unicode_norm" -> ((s, dir) =>
+      TextAnalysis.unicodeNormalize(unicodeDocs(s, dir))),
+
+    // Compression-ratio quality signal (deflate len / byte len): template
+    // spam deflates far below prose. Rows-only: no DEFLATE in DuckDB —
+    // kernel pinned against java.util.zip + ordering properties in
+    // SearchSpec.
+    "q130_compress_ratio" -> ((s, dir) =>
+      TextAnalysis.compressionRatio(docs(s, dir))),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential clocks), weight = token mass — the token-weighted epoch
+    // draw. Deterministic LCG uniform; 6-dp-rounded cut, doc_id tiebreak.
+    "q131_weighted_sample" -> ((s, dir) =>
+      Corpus.weightedSample(docs(s, dir), k = WSampleK))
   )
 
-  /** q126's shard count / q128's feedback-set + expansion sizes —
-    * interpolated into the oracles (the a2 discipline). */
+  /** q126's shard count / q128's feedback-set + expansion sizes / q131's
+    * sample size — interpolated into the oracles (the a2 discipline). */
   val ShardCount: Int = 8
   val PrfK: Int = 10
   val PrfM: Int = 8
+  val WSampleK: Int = 64
+
+  /** The documents table with decomposed-unicode suffixes injected as a
+    * pure function of doc_id (the fixture corpus is pure ASCII; the
+    * oracle CTE mirrors these with chr(769)/chr(776) combining marks).
+    * The literal below is DECOMPOSED on purpose — 'e' + U+0301 / 'e' +
+    * U+0308, what the NFC fold must rewrite (precomposed would make the
+    * fixture a no-op). */
+  private def unicodeDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 9 === 4,
+        lit(" exposé naivë")).otherwise(lit(""))).as("text"))
 
   /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
     * deterministic stand-in for newline paragraph breaks) plus two
@@ -1862,6 +1896,35 @@ object PipelineQueries {
     // the expansion rank on the 4-dp-rounded weight (term tiebreak) on
     // both sides, so float association noise cannot move either
     // boundary; the BM25 relation is the shared q53 oracle, nested.
+    // chr(769)/chr(776) are the same decomposed combining marks the query
+    // entry injects; nfc_normalize/strip_accents are DuckDB's utf8proc
+    // implementations of the same Unicode algorithms the native
+    // expressions run (NFC; NFD-drop-Mn-recompose) — byte-equal on the
+    // Latin fixture domain.
+    "q129_unicode_norm" ->
+      """WITH u AS (SELECT doc_id,
+        |        text || CASE WHEN doc_id % 9 = 4
+        |                     THEN ' expose' || chr(769) || ' naive' || chr(776)
+        |                     ELSE '' END AS t2
+        |        FROM documents)
+        |SELECT doc_id, nfc_normalize(t2) AS text_nfc,
+        |       strip_accents(nfc_normalize(t2)) AS text_folded,
+        |       t2 <> nfc_normalize(t2) AS changed
+        |  FROM u""".stripMargin,
+
+    // Exponential clock spelled operand-for-operand (-ln(u)/w, u =
+    // (pmod-LCG key + 0.5)/1000003); the cut is on the 6-dp-rounded clock
+    // with doc_id tiebreak on both sides, so ln ulp noise cannot move the
+    // sample boundary (the q63 rrf precision).
+    "q131_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        CAST(len(string_split(text,' ')) AS DOUBLE) AS w,
+         |        CAST(((doc_id*48271+11) % 1000003 + 1000003) % 1000003 AS DOUBLE) AS key
+         |        FROM documents)
+         |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+         |       round(-ln((key + 0.5) / 1000003.0) / w, 6) AS clock
+         |  FROM t ORDER BY clock, doc_id LIMIT $WSampleK""".stripMargin,
+
     "q128_prf_expansion" ->
       s"""WITH bm AS ($Bm25OracleSql),
          |top AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT $PrfK),

@@ -1069,4 +1069,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(loads.max - loads.min <= sizes.map(_._2).max,
       s"spread ${loads.max - loads.min} exceeds the greedy bound")
   }
+
+  test("weightedSample == scalar exponential-clocks truth; k >= n returns all") {
+    val rnd = new scala.util.Random(29)
+    val docs = (1L to 120L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(50))("w").mkString(" "))
+    }
+    def clock(id: Long, w: Double): Double = {
+      val key = (((id * 48271L + 11L) % 1000003L) + 1000003L) % 1000003L
+      val u = (key.toDouble + 0.5) / 1000003.0
+      BigDecimal(-math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val truth = docs.map { case (id, t) =>
+      val w = t.split(" ", -1).length.toDouble
+      (id, w.toLong, clock(id, w))
+    }.sortBy { case (id, _, c) => (c, id) }
+    val k = 25
+    val got = graft.ml.Corpus.weightedSample(docs.toDF("doc_id", "text"), k)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._3, r._1)).toSeq
+    assert(got === truth.take(k))
+    // k >= n: the sample is the whole corpus.
+    val all = graft.ml.Corpus.weightedSample(docs.toDF("doc_id", "text"), 500)
+      .as[(Long, Long, Double)].collect()
+    assert(all.length === docs.size)
+  }
 }

@@ -819,4 +819,58 @@ class SearchSpec extends AnyFunSuite {
       .as[(String, Double, Int)].collect().toList.sortBy(_._3)
     assert(got === want)
   }
+
+  test("unicodeNormalize: NFC folds decomposed marks; accents strip; ASCII passes through") {
+    // Escape sequences, not raw glyphs, so the source encoding can't
+    // silently change the normalization form under test.
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "cafe\u0301 latte"),             // DECOMPOSED e + U+0301
+      (3L, "m\u00fchle stra\u00dfe"),      // precomposed u-umlaut; eszett
+      (4L, "nai\u0308ve"))                  // DECOMPOSED i + U+0308
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unicodeNormalize(docs)
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === (("plain ascii text", "plain ascii text", false)))
+    assert(got(2L) === (("caf\u00e9 latte", "cafe latte", true)))
+    // Already NFC: unchanged; folding drops the umlaut but keeps eszett
+    // (its NFD is itself — compatibility decomposition must NOT fire).
+    assert(got(3L) === (("m\u00fchle stra\u00dfe", "muhle stra\u00dfe", false)))
+    assert(got(4L) === (("na\u00efve", "naive", true)))
+    // Idempotence: normalizing the normalized output is the identity.
+    val again = TextAnalysis.unicodeNormalize(
+      docs.sparkSession.createDataFrame(
+        got.toSeq.map { case (id, (nfc, _, _)) => (id, nfc) })
+        .toDF("doc_id", "text"))
+      .as[(Long, String, String, Boolean)].collect()
+    assert(again.forall(!_._4), "NFC output must be a fixed point")
+  }
+
+  test("compressionRatio: kernel == java.util.zip reference; spam compresses below prose") {
+    def refDeflate(s: String): Int = {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192)
+        var t = 0
+        while (!d.finished()) t += d.deflate(buf)
+        t
+      } finally d.end()
+    }
+    val spam = Seq.fill(60)("subscribe now").mkString(" ")
+    val prose = (1 to 60).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val docs = Seq((1L, spam), (2L, prose), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for ((id, txt) <- Seq(1L -> spam, 2L -> prose, 3L -> "x")) {
+      val (nb, nd, ratio) = got(id)
+      assert(nb === txt.getBytes("UTF-8").length.toLong)
+      assert(nd === refDeflate(txt).toLong, s"doc $id deflate len")
+      assert(math.abs(ratio - BigDecimal(nd.toDouble / nb)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    assert(got(1L)._3 < got(2L)._3, "template spam must compress below prose")
+  }
 }
