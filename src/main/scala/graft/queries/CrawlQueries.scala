@@ -255,6 +255,15 @@ object CrawlQueries {
     "q95_retention" -> ((s, dir) =>
       Recrawl.pruneCaptures(pages(s, dir), keepN = 2)),
 
+    // op 135: CDX-style revisit records — each capture flagged iff its
+    // content digest equals the PREVIOUS capture of the same canonical
+    // url (the WARC `revisit` record a deduplicating writer emits instead
+    // of re-storing the payload). On the fixture: alias/escaped-alias
+    // captures (+30/+45 s, identical body) flag true; recaptures with
+    // revised bodies (+7200 s) flag false.
+    "q132_revisit_cdx" -> ((s, dir) =>
+      Recrawl.revisitRecords(pages(s, dir))),
+
     // op 99: per-host publish→capture lag distribution — each capture's
     // lag from the article's embedded published date (q15's per-family
     // wire-format parsing), rolled up per host as exact type-7 percentiles
@@ -755,6 +764,17 @@ object CrawlQueries {
          |               ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
          |          FROM canon)
          | WHERE rn <= 2""".stripMargin,
+
+    // The engine compares 8-byte xxhash64 digests; the oracle compares
+    // the text itself — equal verdicts whenever digests don't collide
+    // (fixture-impossible; documented trade in Recrawl.revisitRecords).
+    // Ordering: warc_ts alone, the q95 distinct-offsets argument.
+    "q132_revisit_cdx" ->
+      s"""$PagesCte
+         |SELECT url, warc_ts,
+         |       coalesce(lag(text) OVER (PARTITION BY url ORDER BY warc_ts) = text,
+         |                false) AS is_revisit
+         |  FROM canon""".stripMargin,
 
     // The oracle derives published_ts from doc_id (pub = EPOCH + minutes)
     // where the engine PARSES it out of the html meta per family — equal

@@ -99,6 +99,47 @@ class RecrawlSpec extends AnyFunSuite {
     assert(got === Set(("https://a.example.com/live", 7200L, 3600L)))
   }
 
+  test("revisitRecords: lag-digest semantics, alias merge, A-A-B-B pattern") {
+    val pages = Seq(
+      // A → A → B → B: revisits at positions 2 and 4 (Heritrix dedup)
+      ("https://a.example.com/p", ts("2024-01-01 00:00:00"), "A"),
+      ("https://a.example.com/p", ts("2024-01-01 01:00:00"), "A"),
+      ("https://a.example.com/p", ts("2024-01-01 02:00:00"), "B"),
+      ("https://a.example.com/p", ts("2024-01-01 03:00:00"), "B"),
+      // alias capture merges onto the canonical url → revisit
+      ("https://a.example.com/q", ts("2024-01-01 00:00:00"), "X"),
+      ("https://a.example.com/q?utm=1", ts("2024-01-01 00:01:00"), "X"),
+      // single capture → never a revisit
+      ("https://a.example.com/solo", ts("2024-01-01 00:00:00"), "S"))
+      .toDF("url", "warc_ts", "text")
+    val got = Recrawl.revisitRecords(pages)
+      .as[(String, java.sql.Timestamp, Boolean)].collect().toSet
+    assert(got === Set(
+      ("https://a.example.com/p", ts("2024-01-01 00:00:00"), false),
+      ("https://a.example.com/p", ts("2024-01-01 01:00:00"), true),
+      ("https://a.example.com/p", ts("2024-01-01 02:00:00"), false),
+      ("https://a.example.com/p", ts("2024-01-01 03:00:00"), true),
+      ("https://a.example.com/q", ts("2024-01-01 00:00:00"), false),
+      ("https://a.example.com/q", ts("2024-01-01 00:01:00"), true),
+      ("https://a.example.com/solo", ts("2024-01-01 00:00:00"), false)))
+    // partitioning-stable (window keyed by url, total order within key)
+    assert(Recrawl.revisitRecords(pages.repartition(7))
+      .as[(String, java.sql.Timestamp, Boolean)].collect().toSet === got)
+  }
+
+  test("revisitRecords: text never enters the shuffle (digest-keyed lag)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pages = Seq(("https://a.example.com/p", ts("2024-01-01 00:00:00"), "body"))
+        .toDF("url", "warc_ts", "text")
+      val exchanges = Recrawl.revisitRecords(pages).queryExecution.executedPlan
+        .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      assert(exchanges.forall(_.output.forall(_.name != "text")),
+        exchanges.map(_.output.map(_.name).mkString(",")).mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("pruneCaptures: newest-K per canonical url, alias merge, tie ranks") {
     val pages = Seq(
       ("https://a.example.com/x", ts("2024-01-01 00:00:00"), "v1"),
