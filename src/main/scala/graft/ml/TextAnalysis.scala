@@ -316,6 +316,78 @@ object TextAnalysis {
           .otherwise("kept").as("verdict"))
   }
 
+  /** Gopher's stop-word list (Rae et al. 2021 §A1.1 rule 7). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher rule gate (Rae et al. 2021 §A1.1) — the
+    * heuristic-rule sibling of the repetition fractions (q51) and the
+    * statistical filters (q55/q122): per document,
+    *   1. word count within [minWords, maxWords]
+    *   2. mean word length within [minMeanWlen, maxMeanWlen]
+    *   3. symbol-to-word ratio ('#' chars + '...' occurrences) ≤ max
+    *   4. fraction of lines starting with a bullet ('- ') ≤ max
+    *   5. fraction of lines ending in '...' ≤ max
+    *   6. fraction of words containing ≥1 alphabetic char ≥ min
+    *   7. ≥ minStopHits occurrences of the Gopher stop-word list
+    * Output is the audit view AND the filter in one frame (the q113
+    * policyGate shape): every signal + the composed `kept` verdict.
+    *
+    * Word-level stats run on `body` (newlines folded to spaces — one
+    * whitespace token grammar for rules 1/2/3/6/7); line-level stats
+    * (4/5) run on the raw text via multiline-anchored regex counts —
+    * `(?m)^- ` / `(?m)\.\.\.$` — so no per-line explode ever happens.
+    * Alphabetic-word counting uses the leading-space trick: every token
+    * of ' '||body is preceded by exactly one space, so non-overlapping
+    * matches of ' [^ ]*[a-z][^ ]*' count exactly the tokens containing a
+    * letter (no interpreted HOF lambda). Stop hits ride the native
+    * codegen'd `tokens_in_count` kernel.
+    *
+    * Plan shape at 100 TB: a pure map stage — builtins + one native
+    * kernel, no shuffle, no UDF, no explode; rule comparisons are on
+    * exact small-integer rationals (int/int division is the same IEEE
+    * double in the oracle — the q113 share-compare discipline), rounded
+    * to 4 dp only for display. */
+  def gopherGate(docs: DataFrame,
+      minWords: Int = 20, maxWords: Int = 10000,
+      minMeanWlen: Double = 3.0, maxMeanWlen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val body = regexp_replace(col("text"), "\n", " ")
+    val nWords = size(split(body, " ")).cast("double")
+    val nonWs = length(regexp_replace(body, " ", "")).cast("double")
+    val meanWlen = nonWs / nWords
+    val hashes = length(body) - length(regexp_replace(body, "#", ""))
+    val ellipses = (length(body) - length(regexp_replace(body, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashes + ellipses).cast("double") / nWords
+    val nLines = size(split(col("text"), "\n")).cast("double")
+    val bulletFrac =
+      size(regexp_extract_all(col("text"), lit("(?m)^- "), lit(0))).cast("double") / nLines
+    val ellipsisFrac =
+      size(regexp_extract_all(col("text"), lit("(?m)\\.\\.\\.$"), lit(0))).cast("double") / nLines
+    val alphaFrac =
+      size(regexp_extract_all(concat(lit(" "), body), lit(" [^ ]*[a-z][^ ]*"), lit(0)))
+        .cast("double") / nWords
+    val nStop = graft.functions.expressions.tokens_in_count(body, GopherStops)
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      round(meanWlen, 4).as("mean_wlen"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_frac"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      nStop.cast("long").as("n_stop"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanWlen >= minMeanWlen && meanWlen <= maxMeanWlen &&
+        symbolRatio <= maxSymbolRatio &&
+        bulletFrac <= maxBulletFrac &&
+        ellipsisFrac <= maxEllipsisFrac &&
+        alphaFrac >= minAlphaFrac &&
+        nStop >= minStopHits).as("kept"))
+  }
+
   /** Unicode normalization pass — crawled web text arrives in mixed
     * normalization forms (decomposed combining sequences from some CMSes,
     * precomposed from others), which silently breaks exact dedup, token

@@ -626,6 +626,14 @@ object PipelineQueries {
     "q130_compress_ratio" -> ((s, dir) =>
       TextAnalysis.compressionRatio(docs(s, dir))),
 
+    // The full Gopher rule gate (Rae et al. 2021 §A1.1) — word-count /
+    // mean-word-length / symbol-ratio / bullet-line / ellipsis-line /
+    // alpha-word / stop-word rules, audit view + verdict in one frame.
+    // Rules 3-5 fire on injected trip rows (gopherDocs); 1/2/7 fire
+    // naturally on the fixture's short or stopword-poor docs.
+    "q133_gopher_gate" -> ((s, dir) =>
+      TextAnalysis.gopherGate(gopherDocs(s, dir))),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis
     // exponential clocks), weight = token mass — the token-weighted epoch
     // draw. Deterministic LCG uniform; 6-dp-rounded cut, doc_id tiebreak.
@@ -650,6 +658,27 @@ object PipelineQueries {
     docs(s, dir).select(col("doc_id"), concat(col("text"),
       when(col("doc_id") % 9 === 4,
         lit(" exposé naivë")).otherwise(lit(""))).as("text"))
+
+  /** q133's documents with Gopher-rule trip cases injected as a pure
+    * function of doc_id (the unicodeDocs pattern — the base corpus is
+    * single-line lowercase prose, so rules 3–5 would never fire): a
+    * hashtag-spam suffix (symbol ratio), a bullet-list tail of 10 lines
+    * (bullet fraction 10/11 > 0.9), and two '...'-terminated teaser lines
+    * (ellipsis fraction 2/3 > 0.3) — each mirrored clause-for-clause in
+    * the oracle CTE. */
+  private def gopherDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 13 === 5,
+        lit(" ### ## # #### ### ## ### # ## ###"))
+        .when(col("doc_id") % 13 === 9, lit(GopherBulletTail))
+        .when(col("doc_id") % 13 === 2,
+          lit("\nread more...\nstory developing..."))
+        .otherwise(lit(""))).as("text"))
+
+  /** q133's injected bullet-list tail (10 lines → bullet_frac 10/11). */
+  val GopherBulletTail: String =
+    "\n- click here\n- read more\n- subscribe now\n- sign up\n- breaking news" +
+      "\n- top stories\n- more inside\n- live blog\n- photo gallery\n- newsletter"
 
   /** q91's paragraphized documents: fixed 12-token chunks (the fixture's
     * deterministic stand-in for newline paragraph breaks) plus two
@@ -1924,6 +1953,45 @@ object PipelineQueries {
          |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
          |       round(-ln((key + 0.5) / 1000003.0) / w, 6) AS clock
          |  FROM t ORDER BY clock, doc_id LIMIT $WSampleK""".stripMargin,
+
+    // Every rule mirrored operand-for-operand: word stats on the
+    // newline-folded body, line stats via the same multiline-anchored
+    // regex counts, alpha words via the same leading-space trick, stop
+    // hits as token-IN counting (== the engine's tokens_in_count kernel
+    // on a space-token grammar). Verdict comparisons are on the raw
+    // int/int doubles both engines compute identically (q113 discipline).
+    "q133_gopher_gate" ->
+      s"""WITH g AS (SELECT doc_id,
+         |        text || CASE WHEN doc_id % 13 = 5 THEN ' ### ## # #### ### ## ### # ## ###'
+         |                     WHEN doc_id % 13 = 9 THEN ${GopherBulletTail.split("\n").filter(_.nonEmpty).map(l => s"'$l'").mkString("chr(10) || ", " || chr(10) || ", "")}
+         |                     WHEN doc_id % 13 = 2 THEN chr(10) || 'read more...' || chr(10) || 'story developing...'
+         |                     ELSE '' END AS t2
+         |        FROM documents),
+         |m AS (SELECT doc_id, t2, replace(t2, chr(10), ' ') AS body FROM g),
+         |s AS (SELECT doc_id,
+         |        CAST(len(string_split(body, ' ')) AS DOUBLE) AS n_words,
+         |        CAST(length(replace(body, ' ', '')) AS DOUBLE) AS nonws,
+         |        CAST(length(body) - length(replace(body, '#', '')) AS DOUBLE)
+         |          + (length(body) - length(replace(body, '...', ''))) / 3 AS symbols,
+         |        CAST(len(string_split(t2, chr(10))) AS DOUBLE) AS n_lines,
+         |        CAST(len(regexp_extract_all(t2, '(?m)^- ')) AS DOUBLE) AS bullets,
+         |        CAST(len(regexp_extract_all(t2, '(?m)\\.\\.\\.$$')) AS DOUBLE) AS ell_lines,
+         |        CAST(len(regexp_extract_all(' ' || body, ' [^ ]*[a-z][^ ]*')) AS DOUBLE) AS alpha_words,
+         |        CAST(len(list_filter(string_split(body, ' '),
+         |             t -> t IN (${graft.ml.TextAnalysis.GopherStops.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) AS n_stop
+         |      FROM m)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |       round(nonws / n_words, 4) AS mean_wlen,
+         |       round(symbols / n_words, 4) AS symbol_ratio,
+         |       round(bullets / n_lines, 4) AS bullet_frac,
+         |       round(ell_lines / n_lines, 4) AS ellipsis_frac,
+         |       round(alpha_words / n_words, 4) AS alpha_frac,
+         |       CAST(n_stop AS BIGINT) AS n_stop,
+         |       (n_words BETWEEN 20 AND 10000 AND nonws / n_words BETWEEN 3 AND 10
+         |        AND symbols / n_words <= 0.1 AND bullets / n_lines <= 0.9
+         |        AND ell_lines / n_lines <= 0.3 AND alpha_words / n_words >= 0.8
+         |        AND n_stop >= 2) AS kept
+         |  FROM s""".stripMargin,
 
     "q128_prf_expansion" ->
       s"""WITH bm AS ($Bm25OracleSql),

@@ -198,6 +198,34 @@ class MlSpec extends AnyFunSuite {
   }
   private def round2(x: Double): Double = math.round(x * 10000).toDouble / 10000
 
+  test("gopherGate: every rule trips on its hand case, signals match hand truth") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),                  // clean → kept
+      (2L, "x # y # z #"),                             // symbol ratio 0.5 (+ alpha 0.5)
+      (3L, "intro\n- a\n- b\n- c"),                    // bullet lines 3/4
+      (4L, "wait for it...\nmore soon..."),            // ellipsis lines 2/2
+      (5L, "a b"),                                     // too few words
+      (6L, "one two three four"),                      // zero stop-word hits
+      (7L, "the a b c d e f g h i j"),                 // 11 words > maxWords=10
+      (8L, "the extraordinarily incomprehensible")     // mean word len 34/3 > 10
+    ).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.gopherGate(docs,
+        minWords = 3, maxWords = 10, minMeanWlen = 1.0, maxMeanWlen = 10.0,
+        maxSymbolRatio = 0.2, maxBulletFrac = 0.5, maxEllipsisFrac = 0.4,
+        minAlphaFrac = 0.8, minStopHits = 1)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)))
+      .toMap
+    assert(got(1L) === ((6L, round2(17.0 / 6), 0.0, 0.0, 0.0, 1.0, 2L, true)))
+    assert(got(2L) === ((6L, 1.0, 0.5, 0.0, 0.0, 0.5, 0L, false)))
+    assert(got(3L) === ((7L, round2(11.0 / 7), 0.0, 0.75, 0.0, round2(4.0 / 7), 0L, false)))
+    assert(got(4L) === ((5L, 4.6, 0.4, 0.0, 1.0, 1.0, 0L, false)))
+    assert(got(5L) === ((2L, 1.0, 0.0, 0.0, 0.0, 1.0, 0L, false)))
+    assert(got(6L) === ((4L, 3.75, 0.0, 0.0, 0.0, 1.0, 0L, false)))
+    assert(got(7L) === ((11L, round2(13.0 / 11), 0.0, 0.0, 0.0, 1.0, 1L, false)))
+    assert(got(8L) === ((3L, round2(34.0 / 3), 0.0, 0.0, 0.0, 1.0, 1L, false)))
+  }
+
   test("native shingles_all_n: all positional grams, repeats kept, == scalar reference") {
     def ref(text: String, n: Int): Seq[String] = {
       val t = text.split(' ')
