@@ -142,7 +142,7 @@ object Recrawl {
       .select("url", "warc_ts", "rank")
   }
 
-  /** CDX-style revisit records (op 135): flag each capture whose content
+  /** CDX-style revisit records (op 136): flag each capture whose content
     * digest equals the PREVIOUS capture of the same canonical url — the
     * WARC `revisit` record a deduplicating crawl writer emits instead of
     * storing the payload again (Heritrix/wayback CDX dedup: the most

@@ -74,6 +74,77 @@ object CrawlQueries {
   private def pages(spark: SparkSession, sfDir: String): DataFrame =
     Fixtures.pages(spark, sfDir)
 
+  /** q135's sitemap fixture — (host, url, xml), a pure function of the
+    * documents rows: per host one `<sitemapindex>` referencing two
+    * `<urlset>` parts (doc_id parity), entries carrying
+    * loc/lastmod/changefreq/priority derived from doc_id (lastmod =
+    * EPOCH + doc_id minutes; priority written as the exact decimal
+    * string "0.{doc_id%10}"), a tracking-param loc for doc_id%5==0 rows
+    * (canonicalization fodder), plus one ORPHAN urlset per host that no
+    * index references and must be excluded. */
+  private def sitemapFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("source"), lit(".example.com")).as("host"),
+        concat(lit("https://"), col("source"), lit(".example.com")).as("base"))
+    val loc = concat(col("base"), lit("/articles/"), col("doc_id"),
+      when(col("doc_id") % 5 === 0, lit("?utm_source=sitemap")).otherwise(lit("")))
+    val lastmod = date_format(
+      timestamp_seconds(lit(Constants.EPOCH.getEpochSecond) + col("doc_id") * 60L),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val freq = element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val entry = concat(lit("<url><loc>"), loc, lit("</loc><lastmod>"), lastmod,
+      lit("</lastmod><changefreq>"), freq, lit("</changefreq><priority>0."),
+      pmod(col("doc_id"), lit(10)), lit("</priority></url>"))
+    val urlsets = d.withColumn("part", pmod(col("doc_id"), lit(2)))
+      .groupBy(col("host"), col("base"), col("part"))
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), entry.as("e")))),
+          x => x.getField("e")), ""),
+        lit("</urlset>")).as("xml"))
+      .select(col("host"),
+        concat(col("base"), lit("/sitemap_"), col("part"), lit(".xml")).as("url"),
+        col("xml"))
+    val hosts = d.select(col("host"), col("base")).distinct()
+    val index = hosts.select(col("host"),
+      concat(col("base"), lit("/sitemap_index.xml")).as("url"),
+      concat(lit("<sitemapindex><sitemap><loc>"), col("base"),
+        lit("/sitemap_0.xml</loc></sitemap><sitemap><loc>"), col("base"),
+        lit("/sitemap_1.xml</loc></sitemap></sitemapindex>")).as("xml"))
+    val orphan = hosts.select(col("host"),
+      concat(col("base"), lit("/sitemap_orphan.xml")).as("url"),
+      concat(lit("<urlset><url><loc>"), col("base"),
+        lit("/orphan/1</loc><lastmod>2024-01-01T00:00:00Z</lastmod>" +
+          "<changefreq>never</changefreq><priority>0.1</priority></url></urlset>"))
+        .as("xml"))
+    urlsets.unionAll(index).unionAll(orphan)
+  }
+
+  /** q134's redirect edge table — a pure function of doc_id over the raw
+    * documents rows (no hashing, so the oracle rebuilds it verbatim):
+    * per host, 1-hop (`/old/`), 2-hop (`/legacy/`→`/old2/`), and 3-hop
+    * (`/l1/`→`/l2/`→`/l3/`) chains landing on the canonical article url,
+    * plus a 2-cycle (`/a/`↔`/b/`) and a self-loop (`/self/`) that must
+    * come out 'unresolved'. */
+  private def redirectEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com")).as("base"))
+    val m = col("doc_id") % 17
+    def u(seg: String) = concat(col("base"), lit(s"/$seg/"), col("doc_id"))
+    val fin = concat(col("base"), lit("/articles/"), col("doc_id"))
+    def e(sel: Int, src: org.apache.spark.sql.Column, dst: org.apache.spark.sql.Column) =
+      d.filter(m === sel).select(src.as("src"), dst.as("dst"))
+    e(1, u("old"), fin)
+      .unionAll(e(2, u("legacy"), u("old2"))).unionAll(e(2, u("old2"), fin))
+      .unionAll(e(3, u("l1"), u("l2"))).unionAll(e(3, u("l2"), u("l3")))
+      .unionAll(e(3, u("l3"), fin))
+      .unionAll(e(4, u("a"), u("b"))).unionAll(e(4, u("b"), u("a")))
+      .unionAll(e(5, u("self"), u("self")))
+  }
+
   private def fix(spark: SparkSession, sfDir: String, name: String): DataFrame =
     Fixtures.table(spark, sfDir, name)
 
@@ -255,7 +326,7 @@ object CrawlQueries {
     "q95_retention" -> ((s, dir) =>
       Recrawl.pruneCaptures(pages(s, dir), keepN = 2)),
 
-    // op 135: CDX-style revisit records — each capture flagged iff its
+    // op 136: CDX-style revisit records — each capture flagged iff its
     // content digest equals the PREVIOUS capture of the same canonical
     // url (the WARC `revisit` record a deduplicating writer emits instead
     // of re-storing the payload). On the fixture: alias/escaped-alias
@@ -263,6 +334,22 @@ object CrawlQueries {
     // revised bodies (+7200 s) flag false.
     "q132_revisit_cdx" -> ((s, dir) =>
       Recrawl.revisitRecords(pages(s, dir))),
+
+    // op 137: redirect-chain resolution — pointer doubling on the redirect
+    // edge table (4 rounds resolve chains ≤16 hops exactly); loops and
+    // over-cap chains surface as 'unresolved'. Fixture edges are a pure
+    // function of doc_id (1/2/3-hop chains, a 2-cycle, a self-loop),
+    // mirrored string-for-string in the oracle's recursive walk.
+    "q134_redirects" -> ((s, dir) =>
+      graft.operators.Redirects.resolve(redirectEdges(s, dir))),
+
+    // op 138: sitemap ingestion — sitemapindex→urlset resolution (orphan
+    // urlsets excluded via a left-semi on sitemap url keys), regexp field
+    // extraction, canonicalized locs, W3C-datetime lastmod parse. The
+    // oracle derives the expected entries from doc_id directly (the q96
+    // round-trip discipline: build-XML→parse-XML must be the identity).
+    "q135_sitemap" -> ((s, dir) =>
+      graft.operators.Sitemaps.parse(sitemapFixture(s, dir))),
 
     // op 99: per-host publish→capture lag distribution — each capture's
     // lag from the article's embedded published date (q15's per-family
@@ -775,6 +862,52 @@ object CrawlQueries {
          |       coalesce(lag(text) OVER (PARTITION BY url ORDER BY warc_ts) = text,
          |                false) AS is_revisit
          |  FROM canon""".stripMargin,
+
+    // The oracle walks the same synthesized edges one hop at a time
+    // (recursive CTE, hop-capped at 2^rounds = 16) and keeps each src's
+    // max-hops row — identical to the engine's pointer-doubled fixpoint:
+    // terminated chains stop at the terminal with exact hops; loops walk
+    // exactly 16 steps on both sides, so final_url/hops agree even there.
+    "q134_redirects" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT doc_id, 'https://' || source || '.example.com' AS base,
+         |         CAST(doc_id AS VARCHAR) AS id FROM documents),
+         |e AS (
+         |  SELECT base || '/old/' || id AS src, base || '/articles/' || id AS dst FROM b WHERE doc_id % 17 = 1
+         |  UNION ALL SELECT base || '/legacy/' || id, base || '/old2/' || id FROM b WHERE doc_id % 17 = 2
+         |  UNION ALL SELECT base || '/old2/' || id, base || '/articles/' || id FROM b WHERE doc_id % 17 = 2
+         |  UNION ALL SELECT base || '/l1/' || id, base || '/l2/' || id FROM b WHERE doc_id % 17 = 3
+         |  UNION ALL SELECT base || '/l2/' || id, base || '/l3/' || id FROM b WHERE doc_id % 17 = 3
+         |  UNION ALL SELECT base || '/l3/' || id, base || '/articles/' || id FROM b WHERE doc_id % 17 = 3
+         |  UNION ALL SELECT base || '/a/' || id, base || '/b/' || id FROM b WHERE doc_id % 17 = 4
+         |  UNION ALL SELECT base || '/b/' || id, base || '/a/' || id FROM b WHERE doc_id % 17 = 4
+         |  UNION ALL SELECT base || '/self/' || id, base || '/self/' || id FROM b WHERE doc_id % 17 = 5),
+         |walk AS (
+         |  SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+         |  UNION ALL
+         |  SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON w.cur = e.src
+         |   WHERE w.hops < 16)
+         |SELECT src AS src_url, cur AS final_url, hops,
+         |       CASE WHEN cur IN (SELECT src FROM e) THEN 'unresolved' ELSE 'ok' END AS status
+         |  FROM (SELECT src, cur, hops,
+         |               ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+         |          FROM walk)
+         | WHERE rn = 1""".stripMargin,
+
+    // Round-trip oracle (q96 discipline): the engine BUILDS per-host
+    // sitemap XML from doc_id and PARSES it back; the oracle states the
+    // fixpoint directly — one entry per document, canonical loc (the
+    // doc_id%5 tracking param must be stripped), lastmod = EPOCH +
+    // doc_id minutes, priority from the exact decimal string. The orphan
+    // urlset's /orphan/1 rows must NOT appear.
+    "q135_sitemap" ->
+      s"""SELECT source || '.example.com' AS host,
+         |       'https://' || source || '.example.com/articles/' || CAST(doc_id AS VARCHAR) AS url,
+         |       TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) AS lastmod,
+         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+         |            ELSE 'monthly' END AS changefreq,
+         |       CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority
+         |  FROM documents""".stripMargin,
 
     // The oracle derives published_ts from doc_id (pub = EPOCH + minutes)
     // where the engine PARSES it out of the html meta per family — equal

@@ -188,6 +188,33 @@ class CoreSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("sitemaps: index resolution, orphan exclusion, canonical locs, field parse") {
+    val sitemaps = Seq(
+      ("h1.example.com", "https://h1.example.com/sitemap_index.xml",
+        "<sitemapindex><sitemap><loc>https://h1.example.com/sm_a.xml</loc></sitemap>" +
+          "</sitemapindex>"),
+      ("h1.example.com", "https://h1.example.com/sm_a.xml",
+        "<urlset><url><loc>https://h1.example.com/p/1?utm_source=x</loc>" +
+          "<lastmod>2024-02-01T03:04:05Z</lastmod><changefreq>daily</changefreq>" +
+          "<priority>0.7</priority></url>" +
+          "<url><loc>https://h1.example.com/p/2</loc>" +
+          "<lastmod>2024-02-02T00:00:00Z</lastmod><changefreq>weekly</changefreq>" +
+          "<priority>0.3</priority></url></urlset>"),
+      // orphan urlset: no index references it → its entry must not appear
+      ("h1.example.com", "https://h1.example.com/sm_stale.xml",
+        "<urlset><url><loc>https://h1.example.com/gone</loc>" +
+          "<lastmod>2024-01-01T00:00:00Z</lastmod><changefreq>never</changefreq>" +
+          "<priority>0.1</priority></url></urlset>"))
+      .toDF("host", "url", "xml")
+    val got = graft.operators.Sitemaps.parse(sitemaps)
+      .as[(String, String, java.sql.Timestamp, String, Double)].collect().toSet
+    assert(got === Set(
+      ("h1.example.com", "https://h1.example.com/p/1",
+        java.sql.Timestamp.valueOf("2024-02-01 03:04:05"), "daily", 0.7),
+      ("h1.example.com", "https://h1.example.com/p/2",
+        java.sql.Timestamp.valueOf("2024-02-02 00:00:00"), "weekly", 0.3)))
+  }
+
   test("fixtures: expected shape at sf0.001") {
     val fixDir = Fixtures.ensure(spark, TestSpark.Sf0001)
     val pages = spark.read.parquet(s"$fixDir/pages.parquet")

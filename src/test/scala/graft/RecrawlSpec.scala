@@ -181,4 +181,29 @@ class RecrawlSpec extends AnyFunSuite {
       ("t.example.com", "/about", 1L, 2L, false),
       ("u2.example.com", "/item/{N}?page={N}", 1L, 1L, false)))
   }
+
+  test("redirect resolve: exact hops, loop + over-cap chains unresolved") {
+    // a 20-hop chain (c0→…→c20) exceeds the 2^4=16 cap; a 3-cycle; a
+    // 2-hop chain; a terminal-sharing pair (both land on /final).
+    val chain = (0 until 20).map(i => (s"c$i", s"c${i + 1}"))
+    val edges = (chain ++ Seq(
+      ("x", "y"), ("y", "final"),
+      ("z", "final"),
+      ("p", "q"), ("q", "r"), ("r", "p"))).toDF("src", "dst")
+    val got = graft.operators.Redirects.resolve(edges, rounds = 4)
+      .as[(String, String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("x") === (("final", 2L, "ok")))
+    assert(got("y") === (("final", 1L, "ok")))
+    assert(got("z") === (("final", 1L, "ok")))
+    // chain: c4 is 16 hops from the end — resolves exactly at the cap;
+    // c3 (17 hops out) lands on a still-redirecting node → unresolved.
+    assert(got("c4") === (("c20", 16L, "ok")))
+    assert(got("c0")._3 === "unresolved")
+    assert(got("c3") === (("c19", 16L, "unresolved")))
+    // 3-cycle: position after exactly 16 steps (16 mod 3 = 1 → next node)
+    assert(got("p") === (("q", 16L, "unresolved")))
+    assert(got("q") === (("r", 16L, "unresolved")))
+    assert(got.size === 26) // every redirecting url resolves to one row
+  }
 }
