@@ -1434,4 +1434,125 @@ object Corpus {
       labels.unpersist()
     }
   }
+
+  /** Language-temperature resampling weights (the mT5/XLM-R multilingual
+    * mixing rule, Xue et al. 2021 / Conneau et al. 2020): resampled
+    * share ∝ share^α with α < 1 — low-resource languages are up-sampled,
+    * the head is flattened. Per language: doc count, raw corpus share,
+    * the temperature-resampled share, and the sampling factor a
+    * per-document draw multiplies its base rate by (the q131/q48
+    * samplers consume it as the weight column).
+    *
+    * Plan shape at 100 TB: ONE lang-grain hash agg over the corpus
+    * (map-side combined), then everything downstream runs on the
+    * lang-cardinality frame (≤ a few hundred rows) with 1-row broadcast
+    * totals — no second corpus scan, no shuffle beyond the first agg.
+    *
+    * Float discipline: share is an exact int/int double on both sides;
+    * pow/`^` may differ by an ulp between libms, absorbed by the 6-dp
+    * rounding (q69's argument); Z sums lang-cardinality terms only. */
+  def temperatureWeights(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").cast("double").as("n_total"))
+    val p = counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("p_alpha", pow(col("share"), lit(alpha)))
+    val z = p.agg(sum("p_alpha").as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        round(col("share"), 6).as("share"),
+        round(col("p_alpha") / col("z"), 6).as("resampled_share"),
+        round(col("p_alpha") / col("z") / col("share"), 6).as("sample_factor"))
+  }
+
+  /** Cross-snapshot token-distribution drift — KL(new ‖ old) per
+    * language with add-1 smoothing over the union vocabulary: the
+    * corpus-release audit that catches a parser regression, a source-mix
+    * shift, or template contamination between two crawl snapshots (a
+    * large KL on a stable language = investigate before training).
+    *
+    * Smoothed p(tok) = (c_new+1)/(N_new+V), q(tok) = (c_old+1)/(N_old+V);
+    * KL = Σ p·(ln(c_new+1) − ln(N_new+V) − ln(c_old+1) + ln(N_old+V)) —
+    * EVERY ln operand is an exact integer-valued double (the q55/q120
+    * discipline), so both engines evaluate identical logs; only the
+    * final sum's order differs, absorbed by 6-dp rounding.
+    *
+    * Plan shape: one union scan with a side tag → ONE (lang, tok) hash
+    * agg with map-side combine (conditional counts per side) → lang-grain
+    * totals re-attached via a lang-cardinality broadcast join → one
+    * final lang-grain agg. The shuffle carries the vocabulary grain,
+    * never the token stream. */
+  def tokenDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val tagged = oldDocs.select(col("lang"), col("text"), lit(0).as("side"))
+      .unionAll(newDocs.select(col("lang"), col("text"), lit(1).as("side")))
+    val tokCounts = tagged
+      .select(col("lang"), col("side"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_old"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_new"))
+    val langTotals = tokCounts.groupBy("lang")
+      .agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"),
+        count(lit(1)).as("vocab"))
+    tokCounts.join(broadcast(langTotals), Seq("lang"))
+      .select(col("lang"), col("n_old"), col("n_new"), col("vocab"),
+        (((col("c_new") + 1).cast("double") / (col("n_new") + col("vocab"))) *
+          (log(col("c_new") + 1) - log(col("n_new") + col("vocab")) -
+            log(col("c_old") + 1) + log(col("n_old") + col("vocab"))))
+          .as("term"))
+      .groupBy("lang")
+      .agg(first("n_old").as("n_tokens_old"), first("n_new").as("n_tokens_new"),
+        first("vocab").as("vocab"), round(sum("term"), 6).as("kl_new_old"))
+  }
+
+  /** Fixed-iteration HITS (Kleinberg 1999) over a weighted directed
+    * graph — hubs point at good authorities, authorities are pointed at
+    * by good hubs; the second centrality next to op-75's PageRank (an
+    * authority ranking that, unlike PageRank, separates the pointer
+    * role from the pointee role).
+    *
+    * EXACTNESS over per-round normalization: scores start at 1 and each
+    * half-round is Σ w·score — with integer weights every intermediate
+    * value is an exact integer-valued double (sum order irrelevant, the
+    * oracle unrolls the same joins), and the single end normalization is
+    * one division per node by an exactly-summed total. The classic
+    * per-round L2 normalization would put a sqrt-of-float-sum inside
+    * every round; deferring it to the end changes nothing at fixed
+    * iteration count (HITS is scale-invariant per round). Caveat at
+    * scale: magnitudes grow like (Σw)^iters — fine in doubles for the
+    * pinned 3 iterations on any real graph (≪ 1e300); a production
+    * run with iters ≫ 10 would switch to per-round normalization and
+    * forfeit oracle exactness.
+    *
+    * Plan: per half-round ONE shuffled equi-join of scores to edges +
+    * one hash agg — node-grain frames throughout, no driver-side graph
+    * (the op-75 discipline). */
+  def hitsFixed(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var hub = nodes.select(col("node"), lit(1.0).as("s"))
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = nodes.join(
+        edges.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("w") * col("s")).as("t"))
+          .withColumnRenamed("dst", "node"),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("t"), lit(0.0)).as("s"))
+      hub = nodes.join(
+        edges.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("w") * col("s")).as("t"))
+          .withColumnRenamed("src", "node"),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("t"), lit(0.0)).as("s"))
+    }
+    val scores = auth.withColumnRenamed("s", "a")
+      .join(hub.withColumnRenamed("s", "h"), Seq("node"))
+    val totals = scores.agg(sum("a").as("za"), sum("h").as("zh"))
+    scores.crossJoin(broadcast(totals))
+      .select(col("node"),
+        round(col("a") / col("za"), 6).as("authority"),
+        round(col("h") / col("zh"), 6).as("hub"))
+  }
 }

@@ -566,6 +566,18 @@ object CrawlQueries {
         .withColumnRenamed("node", "ticker")
     }),
 
+    // op 139: HITS hubs/authorities over the DIRECTED q67 graph (t1→t2,
+    // lexicographic — asymmetric, so hub and authority genuinely differ):
+    // the pointer role vs the pointee role, next to q69's PageRank.
+    // Intermediate scores are exact integer-valued doubles (integer edge
+    // weights, end-deferred normalization) — the oracle unrolls the same
+    // three rounds and only the final division is float.
+    "q138_ticker_hits" -> ((s, dir) =>
+      graft.ml.Corpus.hitsFixed(
+        comentionPairs(s, dir).select(
+          col("t1").as("src"), col("t2").as("dst"), col("n_articles").as("w")),
+        iters = 3).withColumnRenamed("node", "ticker")),
+
     // per-ticker hourly sentiment time series with a 3-bucket moving
     // average — the trading-desk view of the q62 composition. Every leg
     // is the proven q07/q44/q61 operator; the MA window partitions BY
@@ -1088,6 +1100,61 @@ object CrawlQueries {
          |SELECT a.ticker AS t1, b.ticker AS t2, count(*) AS n_articles
          |  FROM tk a JOIN tk b ON a.url = b.url AND a.ticker < b.ticker
          | GROUP BY t1, t2""".stripMargin,
+
+    // Fixed-3-iteration HITS over the DIRECTED q67 graph, UNROLLED —
+    // h0=1, then a=f(h), h=g(a) three times, normalized ONCE at the end:
+    // every intermediate score is an exact integer-valued double on both
+    // sides (integer weights), so sum order is irrelevant and only the
+    // final division meets the 6-dp rounding.
+    "q138_ticker_hits" -> {
+      def ar(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.node, COALESCE(x.t, CAST(0 AS DOUBLE)) AS s
+           |    FROM nodes n LEFT JOIN
+           |         (SELECT e.dst AS node, sum(e.w * p.s) AS t
+           |            FROM edges e JOIN $prev p ON p.node = e.src
+           |           GROUP BY e.dst) x ON x.node = n.node)""".stripMargin
+      def hr(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.node, COALESCE(x.t, CAST(0 AS DOUBLE)) AS s
+           |    FROM nodes n LEFT JOIN
+           |         (SELECT e.src AS node, sum(e.w * p.s) AS t
+           |            FROM edges e JOIN $prev p ON p.node = e.dst
+           |           GROUP BY e.src) x ON x.node = n.node)""".stripMargin
+      s"""WITH art AS (
+         |  SELECT DISTINCT 'https://' || source || '.example.com/articles/' || doc_id AS url,
+         |         CAST(doc_id AS BIGINT) AS doc_id
+         |    FROM documents
+         |),
+         |x AS (
+         |  SELECT url, doc_id,
+         |         unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS j
+         |    FROM art
+         |),
+         |tk AS (
+         |  SELECT url,
+         |         (['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA','META','NFLX','INTC','AMD','IBM','ORCL'])[CAST((doc_id + 7*j) % 12 AS INT) + 1] AS ticker
+         |    FROM x
+         |),
+         |edges AS (
+         |  SELECT a.ticker AS src, b.ticker AS dst, CAST(count(*) AS DOUBLE) AS w
+         |    FROM tk a JOIN tk b ON a.url = b.url AND a.ticker < b.ticker
+         |   GROUP BY src, dst
+         |),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS s FROM nodes),
+         |${ar("h0", "a1")},
+         |${hr("a1", "h1")},
+         |${ar("h1", "a2")},
+         |${hr("a2", "h2")},
+         |${ar("h2", "a3")},
+         |${hr("a3", "h3")}
+         |SELECT a3.node AS ticker,
+         |       round(a3.s / (SELECT sum(s) FROM a3), 6) AS authority,
+         |       round(h3.s / (SELECT sum(s) FROM h3), 6) AS hub
+         |  FROM a3 JOIN h3 USING (node)""".stripMargin
+    },
 
     // Fixed-3-iteration PageRank over the q67 graph, UNROLLED (r0..r3) —
     // the same per-round formula the engine computes; teleport (1-d) and

@@ -634,6 +634,19 @@ object PipelineQueries {
     "q133_gopher_gate" -> ((s, dir) =>
       TextAnalysis.gopherGate(gopherDocs(s, dir))),
 
+    // Language-temperature resampling (mT5/XLM-R α=0.3): per-lang share,
+    // temperature-flattened share, and the per-doc sampling factor.
+    "q136_lang_temperature" -> ((s, dir) =>
+      graft.ml.Corpus.temperatureWeights(docs(s, dir), TempAlpha)),
+
+    // Cross-snapshot token drift: KL(new‖old) per lang, add-1 smoothing
+    // over the union vocabulary; snapshots = doc_id parity halves (the
+    // deterministic stand-in for two crawl windows).
+    "q137_token_drift" -> ((s, dir) =>
+      graft.ml.Corpus.tokenDrift(
+        docs(s, dir).filter(col("doc_id") % 2 === 0),
+        docs(s, dir).filter(col("doc_id") % 2 === 1))),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis
     // exponential clocks), weight = token mass — the token-weighted epoch
     // draw. Deterministic LCG uniform; 6-dp-rounded cut, doc_id tiebreak.
@@ -674,6 +687,10 @@ object PipelineQueries {
         .when(col("doc_id") % 13 === 2,
           lit("\nread more...\nstory developing..."))
         .otherwise(lit(""))).as("text"))
+
+  /** q136's sampling temperature (the mT5 α) — interpolated into the
+    * oracle so engine and oracle cannot drift (the a2 rule). */
+  val TempAlpha: Double = 0.3
 
   /** q133's injected bullet-list tail (10 lines → bullet_frac 10/11). */
   val GopherBulletTail: String =
@@ -1992,6 +2009,47 @@ object PipelineQueries {
          |        AND ell_lines / n_lines <= 0.3 AND alpha_words / n_words >= 0.8
          |        AND n_stop >= 2) AS kept
          |  FROM s""".stripMargin,
+
+    // share is an exact int/int double on both sides; pow's ulp noise
+    // and Z's 5-term sum order are absorbed by the 6-dp rounding (the
+    // q69 argument). α interpolated from TempAlpha (the a2 rule).
+    "q136_lang_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total FROM c),
+         |p AS (SELECT lang, n_docs,
+         |             CAST(n_docs AS DOUBLE) / n_total AS share,
+         |             pow(CAST(n_docs AS DOUBLE) / n_total, $TempAlpha) AS pa
+         |        FROM c CROSS JOIN t),
+         |z AS (SELECT sum(pa) AS z FROM p)
+         |SELECT lang, n_docs, round(share, 6) AS share,
+         |       round(pa / z, 6) AS resampled_share,
+         |       round(pa / z / share, 6) AS sample_factor
+         |  FROM p CROSS JOIN z""".stripMargin,
+
+    // Every ln operand is an exact integer-valued double (q55/q120
+    // discipline) — both engines take identical logs; only the per-lang
+    // sum's order differs, absorbed by the 6-dp rounding.
+    "q137_token_drift" ->
+      s"""WITH tok AS (
+         |  SELECT lang, CAST(doc_id % 2 AS INT) AS side,
+         |         unnest(string_split(text, ' ')) AS tok
+         |    FROM documents),
+         |tc AS (SELECT lang, tok,
+         |         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c_old,
+         |         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c_new
+         |       FROM tok GROUP BY lang, tok),
+         |lt AS (SELECT lang, CAST(sum(c_old) AS BIGINT) AS n_old,
+         |              CAST(sum(c_new) AS BIGINT) AS n_new,
+         |              count(*) AS vocab
+         |         FROM tc GROUP BY lang)
+         |SELECT t.lang, lt.n_old AS n_tokens_old, lt.n_new AS n_tokens_new,
+         |       lt.vocab AS vocab,
+         |       round(sum((CAST(t.c_new + 1 AS DOUBLE) / CAST(lt.n_new + lt.vocab AS DOUBLE)) *
+         |             (ln(CAST(t.c_new + 1 AS DOUBLE)) - ln(CAST(lt.n_new + lt.vocab AS DOUBLE))
+         |              - ln(CAST(t.c_old + 1 AS DOUBLE)) + ln(CAST(lt.n_old + lt.vocab AS DOUBLE)))), 6)
+         |         AS kl_new_old
+         |  FROM tc t JOIN lt USING (lang)
+         | GROUP BY t.lang, lt.n_old, lt.n_new, lt.vocab""".stripMargin,
 
     "q128_prf_expansion" ->
       s"""WITH bm AS ($Bm25OracleSql),

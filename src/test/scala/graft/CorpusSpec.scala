@@ -1094,4 +1094,48 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(all.length === docs.size)
   }
+
+  test("temperatureWeights: α=0.5 exact shares, low-resource up-sampled") {
+    val docs = ((1 to 8).map(i => (i.toLong, "hi")) ++
+      Seq((9L, "lo"), (10L, "lo")))
+      .map { case (id, l) => (id, l, s"text $id") }.toDF("doc_id", "lang", "text")
+    val got = Corpus.temperatureWeights(docs, alpha = 0.5)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // shares 0.8/0.2; sqrt-temperature → 2/3 vs 1/3 resampled
+    assert(got("hi") === ((8L, 0.8, 0.666667, 0.833333)))
+    assert(got("lo") === ((2L, 0.2, 0.333333, 1.666667)))
+    // resampled shares sum to 1; the rare language's factor exceeds 1
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-5)
+  }
+
+  test("tokenDrift: zero on identical halves, (1/3)ln2 on the skewed pair") {
+    val same = Seq((0L, "en", "a b c"), (1L, "en", "a b c")).toDF("doc_id", "lang", "text")
+    val z = Corpus.tokenDrift(same.filter($"doc_id" === 0), same.filter($"doc_id" === 1))
+      .select("kl_new_old").as[Double].collect()
+    assert(z === Array(0.0))
+    // old "a a a b" vs new "a b b b": KL = (1/3)·ln 2 (hand-computed with
+    // add-1 smoothing over V=2, N=4 both sides)
+    val old = Seq((0L, "en", "a a a b")).toDF("doc_id", "lang", "text")
+    val nw = Seq((1L, "en", "a b b b")).toDF("doc_id", "lang", "text")
+    val got = Corpus.tokenDrift(old, nw)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got === Array(("en", 4L, 4L, 2L,
+      math.round(math.log(2.0) / 3 * 1e6) / 1e6)))
+  }
+
+  test("hitsFixed: two unrolled rounds match hand truth; roles separate") {
+    // h1 points at a1 (w=2) and a2 (w=1); h2 points at a1 (w=1).
+    val edges = Seq(("h1", "a1", 2L), ("h1", "a2", 1L), ("h2", "a1", 1L))
+      .toDF("src", "dst", "w")
+    val got = Corpus.hitsFixed(edges, iters = 2)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // round 1: a=(3,1), h=(7,3); round 2: a=(17,7), h=(41,17);
+    // normalize: auth 17/24, 7/24; hub 41/58, 17/58; pure sinks/sources 0.
+    assert(got("a1") === ((math.round(17.0 / 24 * 1e6) / 1e6, 0.0)))
+    assert(got("a2") === ((math.round(7.0 / 24 * 1e6) / 1e6, 0.0)))
+    assert(got("h1") === ((0.0, math.round(41.0 / 58 * 1e6) / 1e6)))
+    assert(got("h2") === ((0.0, math.round(17.0 / 58 * 1e6) / 1e6)))
+  }
 }
