@@ -1505,6 +1505,38 @@ object Corpus {
         first("vocab").as("vocab"), round(sum("term"), 6).as("kl_new_old"))
   }
 
+  /** Per-language source-concentration audit — is a language slice
+    * dominated by a handful of publishers? Emits, per language: source
+    * count, doc count, top-source share, HHI (Herfindahl–Hirschman,
+    * Σ share²), Jain's fairness index ((Σn)²/(k·Σn²), 1 = perfectly
+    * even), and Shannon entropy over the source distribution. The
+    * release-audit sibling of op-108's datasheet: a diverse-looking
+    * corpus whose 'de' slice is 90% one wire service is a training-data
+    * risk the doc counts alone don't show.
+    *
+    * Exactness: HHI = (Σn²)/N², Jain = N²/(k·Σn²), top = max(n)/N — all
+    * single divisions of exactly-summed integer-valued doubles
+    * (bit-identical in the oracle, no rounding needed; the squares and
+    * products go through DOUBLE, not Long — Long² overflows at the
+    * 10^10-doc design point, and integer-valued doubles stay exact to
+    * 2^53); entropy = ln N − (Σ n·ln n)/N keeps every ln operand
+    * integer-valued (q55 discipline), its sum order absorbed by 6-dp
+    * rounding. Plan: two-level hash agg ((lang, source) → lang),
+    * map-side combined — shuffles carry the source grain. */
+  def sourceConcentration(docs: DataFrame): DataFrame = {
+    val nd = col("n").cast("double")
+    docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum("n").as("n_docs"),
+        (max("n").cast("double") / sum("n")).as("top_share"),
+        (sum(nd * nd) / (sum(nd) * sum(nd))).as("hhi"),
+        ((sum(nd) * sum(nd)) /
+          (count(lit(1)) * sum(nd * nd))).as("jain"),
+        round(log(sum(nd)) - sum(nd * log(nd)) / sum(nd), 6).as("entropy"))
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999) over a weighted directed
     * graph — hubs point at good authorities, authorities are pointed at
     * by good hubs; the second centrality next to op-75's PageRank (an

@@ -984,4 +984,5 @@ object Search {
         Window.partitionBy(col("q")).orderBy(col("df").desc, col("term"))))
       .filter(col("rank") <= k)
   }
+
 }

@@ -200,4 +200,35 @@ object Recrawl {
         countDistinct(col("raw_url")).as("n_urls"),
         count(lit(1)).as("n_captures"))
       .withColumn("is_trap", col("n_urls") >= trapThreshold)
+
+  /** CDX byte-offset index (op 142): assign every capture its byte
+    * offset inside its (host-keyed) WARC shard file — the lookup index
+    * a wayback-style reader needs to seek a record without scanning the
+    * shard. Offset = exclusive running sum of record lengths within the
+    * shard, in (warc_ts, url) capture order.
+    *
+    * Scale shape: a per-shard running sum is the textbook case where a
+    * plain `sum().over(Window.partitionBy(shard))` funnels the largest
+    * shard's every capture through ONE task — instead this rides
+    * [[GlobalOrder.withRunningSum]]'s two-phase range-partitioned prefix
+    * scan (groups need not be partition-aligned; per-(partition, shard)
+    * partials are driver-sized). Record length is the TEXT payload's
+    * octet length on both sides (the oracle cannot rebuild html bytes;
+    * a production deployment swaps in the stored WARC record length —
+    * same plan). */
+  def cdxOffsets(pages: DataFrame, parts: Int = 32): DataFrame = {
+    val caps = pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(
+        Canonicalize.canonicalUrl(col("url")).as("url"),
+        col("warc_ts"),
+        octet_length(col("text")).cast("long").as("record_len"))
+      .filter(col("url").isNotNull)
+      .withColumn("shard", try_parse_url(col("url"), lit("HOST")))
+    GlobalOrder
+      .withRunningSum(caps, "shard", "record_len",
+        Seq(col("warc_ts"), col("url")), parts, "cum")
+      .select(col("shard"), col("url"), col("warc_ts"), col("record_len"),
+        (col("cum") - col("record_len")).as("byte_offset"))
+  }
 }

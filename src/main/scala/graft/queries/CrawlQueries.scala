@@ -351,6 +351,12 @@ object CrawlQueries {
     "q135_sitemap" -> ((s, dir) =>
       graft.operators.Sitemaps.parse(sitemapFixture(s, dir))),
 
+    // op 142: CDX byte-offset index — per-capture byte offset inside its
+    // host-keyed WARC shard via the two-phase range-partitioned prefix
+    // scan (never a per-shard window funneling a shard through one task).
+    "q139_cdx_offsets" -> ((s, dir) =>
+      Recrawl.cdxOffsets(pages(s, dir))),
+
     // op 99: per-host publish→capture lag distribution — each capture's
     // lag from the article's embedded published date (q15's per-family
     // wire-format parsing), rolled up per host as exact type-7 percentiles
@@ -905,6 +911,20 @@ object CrawlQueries {
          |               ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
          |          FROM walk)
          | WHERE rn = 1""".stripMargin,
+
+    // The oracle's per-shard window IS the semantics the engine's
+    // two-phase prefix scan must reproduce (the q98 pattern: oracle
+    // windows, engine range-partitions); record_len = text octet length
+    // on both sides.
+    "q139_cdx_offsets" ->
+      s"""$PagesCte
+         |SELECT host AS shard, url, warc_ts,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS record_len,
+         |       CAST(coalesce(sum(octet_length(encode(text))) OVER (
+         |              PARTITION BY host ORDER BY warc_ts, url
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |         AS byte_offset
+         |  FROM canon""".stripMargin,
 
     // Round-trip oracle (q96 discipline): the engine BUILDS per-host
     // sitemap XML from doc_id and PARSES it back; the oracle states the

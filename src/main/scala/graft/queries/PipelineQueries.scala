@@ -647,6 +647,12 @@ object PipelineQueries {
         docs(s, dir).filter(col("doc_id") % 2 === 0),
         docs(s, dir).filter(col("doc_id") % 2 === 1))),
 
+    // Per-lang source-concentration audit: top-share / HHI / Jain /
+    // entropy over the publisher distribution — exact int-ratio metrics,
+    // q55-discipline entropy.
+    "q140_source_concentration" -> ((s, dir) =>
+      graft.ml.Corpus.sourceConcentration(docs(s, dir))),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis
     // exponential clocks), weight = token mass — the token-weighted epoch
     // draw. Deterministic LCG uniform; 6-dp-rounded cut, doc_id tiebreak.
@@ -2050,6 +2056,19 @@ object PipelineQueries {
          |         AS kl_new_old
          |  FROM tc t JOIN lt USING (lang)
          | GROUP BY t.lang, lt.n_old, lt.n_new, lt.vocab""".stripMargin,
+
+    // HHI/Jain/top-share are single divisions of exactly-summed integers
+    // (bit-identical, no rounding); entropy mirrors ln N − Σ n·ln n / N.
+    "q140_source_concentration" ->
+      s"""WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS nd
+         |             FROM documents GROUP BY lang, source)
+         |SELECT lang, count(*) AS n_sources,
+         |       CAST(sum(nd) AS BIGINT) AS n_docs,
+         |       max(nd) / sum(nd) AS top_share,
+         |       sum(nd * nd) / (sum(nd) * sum(nd)) AS hhi,
+         |       (sum(nd) * sum(nd)) / (count(*) * sum(nd * nd)) AS jain,
+         |       round(ln(sum(nd)) - sum(nd * ln(nd)) / sum(nd), 6) AS entropy
+         |  FROM c GROUP BY lang""".stripMargin,
 
     "q128_prf_expansion" ->
       s"""WITH bm AS ($Bm25OracleSql),

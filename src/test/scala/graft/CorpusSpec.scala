@@ -1124,6 +1124,22 @@ class CorpusSpec extends AnyFunSuite {
       math.round(math.log(2.0) / 3 * 1e6) / 1e6)))
   }
 
+  test("sourceConcentration: exact HHI/Jain/top-share, q55 entropy, per lang") {
+    val docs = (Seq.fill(3)("A") ++ Seq("B")).zipWithIndex
+      .map { case (src, i) => (i.toLong, "en", src, "t") } ++
+      Seq((10L, "de", "A", "t"), (11L, "de", "B", "t"))
+    val got = Corpus.sourceConcentration(
+        docs.toDF("doc_id", "lang", "source", "text"))
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // en: A=3, B=1 → top 3/4, HHI 10/16, Jain 16/20, H = ln4 − 3ln3/4
+    val hEn = math.round((math.log(4) - 3 * math.log(3) / 4) * 1e6) / 1e6
+    assert(got("en") === ((2L, 4L, 0.75, 0.625, 0.8, hEn)))
+    // de: perfectly even 1/1 → Jain exactly 1, HHI 1/2, H = ln 2
+    assert(got("de") === ((2L, 2L, 0.5, 0.5, 1.0,
+      math.round(math.log(2) * 1e6) / 1e6)))
+  }
+
   test("hitsFixed: two unrolled rounds match hand truth; roles separate") {
     // h1 points at a1 (w=2) and a2 (w=1); h2 points at a1 (w=1).
     val edges = Seq(("h1", "a1", 2L), ("h1", "a2", 1L), ("h2", "a1", 1L))

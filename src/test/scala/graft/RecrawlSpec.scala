@@ -182,6 +182,26 @@ class RecrawlSpec extends AnyFunSuite {
       ("u2.example.com", "/item/{N}?page={N}", 1L, 1L, false)))
   }
 
+  test("cdxOffsets: per-shard exclusive prefix sums, alias merge, capture order") {
+    val pages = Seq(
+      // host a: three captures (one an alias of /p1 — merges onto the
+      // canonical url but keeps its own record), lengths 5, 3, 4
+      ("https://a.example.com/p1", ts("2024-01-01 00:00:00"), "aaaaa"),
+      ("https://a.example.com/p1?utm_source=x", ts("2024-01-01 00:01:00"), "bbb"),
+      ("https://a.example.com/p2", ts("2024-01-01 00:02:00"), "cccc"),
+      // host b: independent shard, offsets restart at 0
+      ("https://b.example.com/q", ts("2024-01-01 00:00:30"), "dd"))
+      .toDF("url", "warc_ts", "text")
+    val got = graft.operators.Recrawl.cdxOffsets(pages, parts = 3)
+      .select("shard", "url", "record_len", "byte_offset")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a.example.com", "https://a.example.com/p1", 5L, 0L),
+      ("a.example.com", "https://a.example.com/p1", 3L, 5L),
+      ("a.example.com", "https://a.example.com/p2", 4L, 8L),
+      ("b.example.com", "https://b.example.com/q", 2L, 0L)))
+  }
+
   test("redirect resolve: exact hops, loop + over-cap chains unresolved") {
     // a 20-hop chain (c0→…→c20) exceeds the 2^4=16 cap; a 3-cycle; a
     // 2-hop chain; a terminal-sharing pair (both land on /final).
