@@ -143,6 +143,121 @@ object Search {
       .limit(k)
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
 
+  /** Host-collapsed top-k (SERP diversity): at most `maxPerHost` results
+    * per publisher host before the global cut — the result-page dedup
+    * every web engine applies so one syndicating host can't fill the
+    * page. `docs` must carry (doc_id, text, host).
+    *
+    * Rank discipline (q63's rounded-rank rule, oracle-coupled): the
+    * per-host rank orders by (4-dp-rounded score desc, doc_id), and the
+    * global cut reuses the same key — sub-ulp sum-order noise can't move
+    * either boundary. The window runs on the MATCHED-docs frame (docs
+    * containing ≥1 query term), never the corpus; the global cut is
+    * orderBy+limit = TakeOrderedAndProject. */
+  def bm25HostCollapsed(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      maxPerHost: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hosts = docs.select(col("doc_id"), col("host"))
+    val scored = scoresRaw(docs, queryTerms)
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("s"))
+      .join(hosts, Seq("doc_id"))
+    val w = Window.partitionBy(col("host")).orderBy(col("s").desc, col("doc_id"))
+    scored
+      .withColumn("host_rank", row_number().over(w))
+      .filter(col("host_rank") <= maxPerHost)
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("host"), col("host_rank"), col("s").as("bm25"))
+  }
+
+  /** BM25F (Robertson/Zaragoza/Taylor 2004): fielded BM25 where each
+    * term's per-field tf is length-normalized INSIDE its field, the
+    * normalized tfs combine with field weights, and saturation applies
+    * ONCE to the combined value — the principled way to boost titles
+    * (vs naively scoring fields separately and adding, which
+    * double-saturates). Here the title field is the first `titleLen`
+    * tokens of the document (the fixture corpus has no markup fields;
+    * the split is deterministic and oracle-mirrored).
+    *
+    * score(q,d) = Σ_t idf_t · t̃ / (k1 + t̃),
+    *   t̃ = Σ_f w_f · tf_{f,t,d} / (1 − b_f + b_f·fl_{f,d}/avgfl_f).
+    *
+    * Plan: ONE posexplode of the corpus token stream tagged with its
+    * field → query-term filter BEFORE any shuffle → (doc, field, term)
+    * two-level hash agg; field lengths aggregate on the same stream;
+    * avgfl is a 2-row broadcast; df counts distinct docs per term on the
+    * tf frame. Float discipline: every constant ((1−b_f), weights, k1)
+    * is Scala-evaluated and interpolated into the oracle; per-row chains
+    * are left-assoc on both sides; only sum orders differ, absorbed by
+    * the 4-dp output rounding. */
+  def bm25fScores(docs: DataFrame, queryTerms: Seq[String], titleLen: Int = 6,
+      wTitle: Double = 2.0, wBody: Double = 1.0,
+      bTitle: Double = 0.5, bBody: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && titleLen >= 1, "need query terms and a title split")
+    val inQ = col("term").isin(queryTerms.map(t => t: Any): _*)
+    val posts = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("term"),
+        when(col("pos") < titleLen, lit("t")).otherwise(lit("b")).as("field"))
+    val tf = posts.filter(inQ)
+      .groupBy("doc_id", "field", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val flen = posts.groupBy("doc_id", "field")
+      .agg(count(lit(1)).cast("double").as("fl"))
+    val avgfl = flen.groupBy("field").agg(avg("fl").as("avgfl"))
+    val df = tf.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val nd = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val wf = when(col("field") === "t", lit(wTitle)).otherwise(lit(wBody))
+    val oneMinusBf = when(col("field") === "t", lit(1 - bTitle)).otherwise(lit(1 - bBody))
+    val bf = when(col("field") === "t", lit(bTitle)).otherwise(lit(bBody))
+    val combined = tf
+      .join(flen, Seq("doc_id", "field"))
+      .join(broadcast(avgfl), Seq("field"))
+      .select(col("doc_id"), col("term"),
+        (wf * col("tf") / (oneMinusBf + bf * col("fl") / col("avgfl"))).as("tw"))
+      .groupBy("doc_id", "term").agg(sum("tw").as("tw"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    combined
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), (idf * col("tw") / (lit(K1) + col("tw"))).as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 4).as("bm25f"))
+  }
+
+  /** Champion-list (impact-ordered, statically pruned) retrieval: each
+    * term's postings list keeps only its top-`p` documents by
+    * (tf desc, doc_id) — the classic static index-pruning trade
+    * (Manning/Raghavan/Schütze §7.1.3): a term can only score docs on
+    * its champion list, idf/df stay those of the FULL lists (pruning
+    * changes candidates, not term statistics). Output = top-k of the
+    * approximate scores.
+    *
+    * Per-term pruning commutes with query restriction (each list prunes
+    * independently), so the query-term filter still runs FIRST — the
+    * window ranks only |q| aggregated lists, and the rank-≤-p filter
+    * plans as WindowGroupLimit (partial limit below the exchange, the
+    * op-101 pin). */
+  def championTopK(docs: DataFrame, queryTerms: Seq[String], p: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p >= 1 && k >= 1, "need positive champion-list size and k")
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(queryTerms.map(t => t: Any): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+    val champions = tf
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= p)
+      .drop("rn")
+    scoreFrames(champions, df, lens, stats)
+      .orderBy(round(col("bm25_raw"), 4).desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
+  }
+
   /** Dirichlet-smoothing default (Zhai & Lafferty 2001/2004's standard). */
   val Mu: Double = 2000.0
 

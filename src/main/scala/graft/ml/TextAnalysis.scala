@@ -426,4 +426,28 @@ object TextAnalysis {
       graft.functions.expressions.deflate_len(col("text")).cast("long").as("n_deflate"))
       .withColumn("ratio",
         round(col("n_deflate").cast("double") / col("n_bytes"), 4))
+
+  /** Flesch reading-ease audit (Flesch 1948; the readability member of
+    * the quality-signal family next to the Gopher gate): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words).
+    *
+    * Deterministic proxies, mirrored regex-for-regex in the oracle:
+    * words = whitespace tokens; sentences = runs of sentence-final
+    * punctuation `[.!?]+` (floored at 1 — an unpunctuated document is
+    * one long sentence); syllables = vowel-group runs `[aeiouy]+` (the
+    * standard heuristic; the corpus is lowercase). Pure map stage —
+    * three codegen'd regexp counts + one arithmetic projection; every
+    * division has integer-valued-double operands, constants are exact
+    * decimal literals on both sides, round(…,4) output. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("double")
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("double")
+    val syllables = regexp_count(col("text"), lit("[aeiouy]+")).cast("double")
+    docs.select(col("doc_id"),
+      words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * (words / sentences)
+        - lit(84.6) * (syllables / words), 4).as("flesch"))
+  }
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web link-graph analytics over a crawl's hyperlink edge table
+  * (src page → dst page, anchor text) — the graph-side signals a
+  * frontier scheduler and an indexer both consume: anchor-text
+  * profiles (the classic off-page relevance signal), BFS depth from
+  * the seed list (crawl-depth policy input), seed-personalized
+  * PageRank (TrustRank — Gyöngyi et al. 2004 — the link-spam
+  * demotion signal), and per-node degree/reciprocity stats (the
+  * link-farm audit view).
+  *
+  * Scale shape shared by all four: every step is a shuffled equi-join
+  * or hash aggregate keyed on page id — no driver-side graph, no
+  * windows over raw edges (the one window in [[anchorProfiles]] runs
+  * on the (dst, term) AGGREGATED grain, the op-49 discipline). At a
+  * 10^10-url graph the edge table shuffles 8-byte ids + short anchor
+  * strings only.
+  */
+object LinkGraph {
+
+  /** Per-target anchor-text profile: for each link target, the
+    * in-degree, the number of distinct incoming anchor terms, and the
+    * dominant anchor term (most linking occurrences; lexicographic
+    * tie-break) — the aggregated off-page description of a page that
+    * fielded ranking (BM25F's anchor field) consumes.
+    *
+    * `edges` columns: (src, dst, anchor). Two map-side-combined hash
+    * aggs — edge grain for in-degree, (dst, term) grain for counts —
+    * plus one row_number window on the aggregated term grain
+    * (WindowGroupLimit-sized, never the raw anchor stream) folded
+    * into a final dst-grain agg. */
+  def anchorProfiles(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_degree"))
+    val terms = edges
+      .select(col("dst"), explode(split(col("anchor"), " ")).as("term"))
+      .groupBy("dst", "term").agg(count(lit(1)).as("n_links"))
+    val w = Window.partitionBy(col("dst")).orderBy(desc("n_links"), col("term"))
+    val prof = terms
+      .withColumn("rn", row_number().over(w))
+      .groupBy("dst")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(when(col("rn") === 1, col("term"))).as("top_term"),
+        max(when(col("rn") === 1, col("n_links"))).as("top_links"))
+    deg.join(prof, Seq("dst"))
+      .select(col("dst").as("doc_id"), col("in_degree"),
+        col("n_terms"), col("top_term"), col("top_links"))
+  }
+
+  /** BFS hop distance from the seed set: (doc_id, depth) for every
+    * page reachable from `seeds` within `rounds` hops (unreached pages
+    * are absent — the frontier's "beyond the depth budget" cut).
+    *
+    * Delta iteration: each round expands ONLY the frontier discovered
+    * in the previous round (never the whole reached set), so round r
+    * shuffles O(|frontier_r| · avg-degree) rows; min-depth semantics
+    * come free because a node already in `dist` is anti-joined away
+    * before it can re-enter at a larger depth. Cycles terminate for
+    * the same reason. localCheckpoint truncates the per-round lineage
+    * (the op-53 CC pattern; swap in a reliable checkpointDir for
+    * fault tolerance on a long-lived cluster job, as
+    * [[graft.ml.Corpus.connectedComponents]] does). */
+  def seedDepths(edges: DataFrame, seeds: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, "rounds must be in [1,32]")
+    val e = edges.select(col("src"), col("dst"))
+    var dist = seeds.select(col("doc_id").as("node"), lit(0).as("depth"))
+      .distinct().localCheckpoint()
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(r).as("depth"))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    dist.select(col("node").as("doc_id"), col("depth"))
+  }
+
+  /** TrustRank: PageRank personalized to a trusted seed set — the
+    * teleport vector is uniform over `seeds` (and zero elsewhere)
+    * instead of uniform over all nodes, so score mass flows outward
+    * from vetted pages and link-farm islands that no trusted page
+    * reaches score ~0. Fixed `iters` rounds, unit edge weights.
+    *
+    * Float discipline (the op-72 PageRank rules): (1-d) is evaluated
+    * ONCE in Scala and interpolated into the oracle; the per-edge
+    * term is the left-assoc rank/outdeg on both sides; only the
+    * in-mass sum's addition order differs, absorbed by the 6-dp
+    * output rounding. Seeds outside the graph carry no mass (the
+    * teleport denominator counts seeds ∩ nodes). */
+  def trustrank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(col("src"), col("dst"))
+    val outw = e.groupBy("src").agg(count(lit(1)).cast("double").as("outw"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedNodes = seeds.select(col("doc_id").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val nSeeds = seedNodes.agg(count(lit(1)).cast("double").as("n_seeds"))
+    val tele = nodes
+      .join(seedNodes.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(1.0) / col("n_seeds"))
+          .otherwise(lit(0.0)).as("t"))
+    val teleportMass = 1.0 - damping // Scala-evaluated; oracle interpolates
+    var ranks = tele.select(col("node"), col("t").as("rank"))
+    for (_ <- 1 to iters) {
+      val inMass = e
+        .join(outw, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("outw")).as("c"))
+        .groupBy("node").agg(sum("c").as("cin"))
+      ranks = tele
+        .join(inMass, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleportMass) * col("t") +
+            lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("node").as("doc_id"), round(col("rank"), 6).as("trust"))
+  }
+
+  /** Per-node degree audit: out-degree, in-degree, and the count of
+    * reciprocated out-edges (dst links back to src — mutual-linking is
+    * the cheapest link-farm tell). One row per node with any edge.
+    * Three hash aggs + one self equi-join on (src, dst) — the
+    * reciprocal probe joins the edge table to its own reversal on the
+    * composite key, never a cross product. */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val out = e.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("doc_id")).agg(count(lit(1)).as("in_deg"))
+    val recip = e
+      .join(e.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("n_reciprocal"))
+    out.join(in, Seq("doc_id"), "full")
+      .join(recip, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+  }
+}

@@ -657,8 +657,140 @@ object PipelineQueries {
     // exponential clocks), weight = token mass — the token-weighted epoch
     // draw. Deterministic LCG uniform; 6-dp-rounded cut, doc_id tiebreak.
     "q131_weighted_sample" -> ((s, dir) =>
-      Corpus.weightedSample(docs(s, dir), k = WSampleK))
+      Corpus.weightedSample(docs(s, dir), k = WSampleK)),
+
+    // op 144: anchor-text profiles — per link target the in-degree,
+    // distinct incoming anchor-term count, and dominant anchor term
+    // (the off-page relevance signal BM25F's anchor field consumes).
+    // Window only on the (dst, term) AGGREGATED grain (op-49 rule).
+    "q141_anchor_text" -> ((s, dir) =>
+      graft.operators.LinkGraph.anchorProfiles(linkEdges(s, dir))),
+
+    // op 145: BFS hop distance from the seed docs (crawl-depth policy
+    // input): delta-iteration frontier expansion, min-depth free via the
+    // anti-join (a discovered node never re-enters deeper). Oracle = a
+    // hop-capped recursive CTE with min(depth) per node.
+    "q142_seed_depth" -> ((s, dir) =>
+      graft.operators.LinkGraph.seedDepths(
+        linkEdges(s, dir), seedDocs(s, dir), rounds = SeedDepthRounds)),
+
+    // op 146: TrustRank — PageRank personalized to the trusted seed set
+    // (Gyöngyi et al. 2004): teleport uniform over seeds, 3 fixed
+    // rounds, unit edge weights; link islands no trusted page reaches
+    // score ~0. Oracle unrolls the same rounds (q69 float discipline).
+    "q143_trustrank" -> ((s, dir) =>
+      graft.operators.LinkGraph.trustrank(
+        linkEdges(s, dir), seedDocs(s, dir), iters = 3, damping = TrustDamping)),
+
+    // op 147: per-node degree/reciprocity audit (the link-farm tell):
+    // out/in degree + reciprocated-out-edge count via one composite-key
+    // self semi-join — never a cross product.
+    "q144_degree_stats" -> ((s, dir) =>
+      graft.operators.LinkGraph.degreeStats(linkEdges(s, dir))),
+
+    // op 148: host-collapsed top-k (SERP diversity) — ≤ maxPerHost
+    // results per publisher before the global cut; both rank boundaries
+    // on the 4-dp-rounded score (the q63 rule).
+    "q145_serp_collapse" -> ((s, dir) =>
+      Search.bm25HostCollapsed(
+        docs(s, dir).withColumn("host",
+          concat(col("source"), lit(".example.com"))),
+        Bm25QueryTerms, k = SerpK, maxPerHost = SerpPerHost)),
+
+    // op 149: BM25F fielded ranking — title = first tokens, per-field
+    // length normalization inside the field, ONE saturation of the
+    // weighted combination (title hits outrank body hits without
+    // double-saturating).
+    "q146_bm25f" -> ((s, dir) =>
+      Search.bm25fScores(docs(s, dir), Bm25QueryTerms, titleLen = Bm25fTitleLen,
+        wTitle = Bm25fWTitle, wBody = Bm25fWBody,
+        bTitle = Bm25fBTitle, bBody = Bm25fBBody)),
+
+    // op 150: champion-list (statically pruned) retrieval — each term
+    // scores only its top-p-by-tf postings; df/idf stay full-list stats.
+    "q147_champion_topk" -> ((s, dir) =>
+      Search.championTopK(docs(s, dir), Bm25QueryTerms, p = ChampionP, k = ChampionK)),
+
+    // op 151: Flesch reading-ease audit — deterministic word/sentence/
+    // vowel-group-syllable proxies; sentence punctuation injected on
+    // doc_id % 8 == 1 (the word-soup corpus has none), oracle-mirrored.
+    "q148_readability" -> ((s, dir) =>
+      TextAnalysis.readability(readabilityDocs(s, dir)))
   )
+
+  /** q145's cut sizes / q146's BM25F parameters / q147's champion-list
+    * sizes — interpolated into the oracles (the a2 discipline). */
+  val SerpK: Int = 20
+  val SerpPerHost: Int = 2
+  val Bm25fTitleLen: Int = 6
+  val Bm25fWTitle: Double = 2.0
+  val Bm25fWBody: Double = 1.0
+  val Bm25fBTitle: Double = 0.5
+  val Bm25fBBody: Double = 0.75
+  val ChampionP: Int = 5
+  val ChampionK: Int = 15
+
+  /** q148's documents with sentence punctuation injected as a pure
+    * function of doc_id (the unicodeDocs pattern — the word-soup corpus
+    * carries none, so the sentence count would be the floor everywhere). */
+  private def readabilityDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 8 === 1,
+        lit(" extra clause one. second tiny clause. end.")).otherwise(lit(""))).as("text"))
+
+  /** q142's BFS round cap / q143's damping — interpolated into the
+    * oracles (the a2 discipline: engine and oracle cannot drift). */
+  val SeedDepthRounds: Int = 6
+  val TrustDamping: Double = 0.85
+
+  /** The hyperlink edge fixture (q141–q144) — a pure function of the
+    * documents table, mirrored relationally in [[LinkEdgesCte]]:
+    * chain edges d→d+1, d→d+2 (every doc), hub fan-out d→d+3..d+7 for
+    * d%10==0 (in-degree variance), and back-edges d→d−1 for d%25==0
+    * (reciprocal pairs for the q144 audit); targets must exist (semi
+    * join on doc ids). The anchor text of (src→dst) is the 3-token
+    * slice of the SOURCE's text starting at token (dst mod 4)+1 — the
+    * linking page chooses the phrasing, sliced deterministically so
+    * different sources contribute different anchors to one target
+    * (fixture texts are ≥10 tokens, so every slice is full). */
+  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val ids = d.select(col("doc_id").as("dst"))
+    def shift(off: Long, filt: org.apache.spark.sql.Column) = d.filter(filt)
+      .select(col("doc_id").as("src"), (col("doc_id") + off).as("dst"), col("text"))
+    val all = lit(true)
+    val raw = shift(1, all)
+      .unionAll(shift(2, all))
+      .unionAll((3L to 7L).map(o => shift(o, col("doc_id") % 10 === 0)).reduce(_ unionAll _))
+      .unionAll(shift(-1, col("doc_id") % 25 === 0))
+    raw.join(ids, Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"),
+        array_join(
+          slice(split(col("text"), " "),
+            (pmod(col("dst"), lit(4)) + 1).cast("int"), lit(3)), " ").as("anchor"))
+  }
+
+  /** q142/q143's trusted seed docs: doc_id % 50 == 0. */
+  private def seedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+
+  /** DuckDB mirror of [[linkEdges]] (ends with the `edges` relation). */
+  private val LinkEdgesCte: String =
+    """WITH eraw AS (
+      |  SELECT doc_id AS src, doc_id + 1 AS dst, text FROM documents
+      |  UNION ALL SELECT doc_id, doc_id + 2, text FROM documents
+      |  UNION ALL SELECT doc_id, doc_id + j, text
+      |    FROM (SELECT doc_id, text, unnest(generate_series(3, 7)) AS j
+      |            FROM documents WHERE doc_id % 10 = 0)
+      |  UNION ALL SELECT doc_id, doc_id - 1, text
+      |    FROM documents WHERE doc_id % 25 = 0
+      |),
+      |edges AS (
+      |  SELECT src, dst,
+      |         array_to_string(list_slice(string_split(text, ' '),
+      |           CAST(dst % 4 AS INT) + 1, CAST(dst % 4 AS INT) + 3), ' ') AS anchor
+      |    FROM eraw WHERE dst IN (SELECT doc_id FROM documents)
+      |)""".stripMargin
 
   /** q126's shard count / q128's feedback-set + expansion sizes / q131's
     * sample size — interpolated into the oracles (the a2 discipline). */
@@ -2069,6 +2201,177 @@ object PipelineQueries {
          |       (sum(nd) * sum(nd)) / (count(*) * sum(nd * nd)) AS jain,
          |       round(ln(sum(nd)) - sum(nd * ln(nd)) / sum(nd), 6) AS entropy
          |  FROM c GROUP BY lang""".stripMargin,
+
+    // Window only on the (dst, term) aggregated grain, mirrored by the
+    // same ROW_NUMBER tie-break (n_links DESC, term ASC).
+    "q141_anchor_text" ->
+      s"""$LinkEdgesCte,
+         |deg AS (SELECT dst, count(*) AS in_degree FROM edges GROUP BY dst),
+         |t AS (SELECT dst, unnest(string_split(anchor, ' ')) AS term FROM edges),
+         |tc AS (SELECT dst, term, count(*) AS n_links FROM t GROUP BY dst, term),
+         |r AS (SELECT dst, term, n_links,
+         |             ROW_NUMBER() OVER (PARTITION BY dst
+         |                                ORDER BY n_links DESC, term) AS rn
+         |        FROM tc),
+         |p AS (SELECT dst, count(*) AS n_terms,
+         |             max(CASE WHEN rn = 1 THEN term END) AS top_term,
+         |             max(CASE WHEN rn = 1 THEN n_links END) AS top_links
+         |        FROM r GROUP BY dst)
+         |SELECT deg.dst AS doc_id, deg.in_degree, p.n_terms, p.top_term, p.top_links
+         |  FROM deg JOIN p USING (dst)""".stripMargin,
+
+    // Hop-capped recursive walk; min(depth) per node == BFS distance
+    // (cycles terminate on the hop cap; the engine's anti-join makes the
+    // cap unnecessary there, but reachability within `rounds` agrees).
+    "q142_seed_depth" ->
+      s"""${LinkEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |walk(node, depth) AS (
+         |  SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL
+         |  SELECT e.dst, w.depth + 1
+         |    FROM walk w JOIN edges e ON e.src = w.node
+         |   WHERE w.depth < $SeedDepthRounds
+         |)
+         |SELECT node AS doc_id, CAST(min(depth) AS INT) AS depth
+         |  FROM walk GROUP BY node""".stripMargin,
+
+    // Unrolls the same 3 rounds with the q69 float discipline: (1-d)
+    // interpolated from the ONE Scala evaluation, per-edge term the
+    // left-assoc rank/outdeg, sum order absorbed by the 6-dp round.
+    "q143_trustrank" -> {
+      val tm = s"CAST(${1.0 - TrustDamping} AS DOUBLE)"
+      val d = s"CAST($TrustDamping AS DOUBLE)"
+      def rnd(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT tele.node,
+           |         $tm * tele.t + $d * COALESCE(c.cin, CAST(0 AS DOUBLE)) AS rank
+           |    FROM tele
+           |    LEFT JOIN (SELECT e.dst AS node, sum(p.rank / o.outw) AS cin
+           |                 FROM edges e JOIN outw o USING (src)
+           |                 JOIN $prev p ON p.node = e.src
+           |                GROUP BY e.dst) c ON c.node = tele.node)""".stripMargin
+      s"""$LinkEdgesCte,
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |sn AS (SELECT node FROM nodes WHERE node % 50 = 0
+         |          AND node IN (SELECT doc_id FROM documents)),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sn),
+         |tele AS (SELECT nodes.node,
+         |                CASE WHEN sn.node IS NOT NULL
+         |                     THEN CAST(1.0 AS DOUBLE) / ns.n
+         |                     ELSE CAST(0 AS DOUBLE) END AS t
+         |           FROM nodes CROSS JOIN ns
+         |           LEFT JOIN sn ON sn.node = nodes.node),
+         |outw AS (SELECT src, CAST(count(*) AS DOUBLE) AS outw FROM edges GROUP BY src),
+         |r0 AS (SELECT node, t AS rank FROM tele),
+         |${rnd("r0", "r1")},
+         |${rnd("r1", "r2")},
+         |${rnd("r2", "r3")}
+         |SELECT node AS doc_id, round(rank, 6) AS trust FROM r3""".stripMargin
+    },
+
+    "q144_degree_stats" ->
+      s"""$LinkEdgesCte,
+         |o AS (SELECT src AS doc_id, count(*) AS out_deg FROM edges GROUP BY src),
+         |i AS (SELECT dst AS doc_id, count(*) AS in_deg FROM edges GROUP BY dst),
+         |rec AS (SELECT a.src AS doc_id, count(*) AS n_reciprocal
+         |          FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+         |         GROUP BY a.src)
+         |SELECT COALESCE(o.doc_id, i.doc_id) AS doc_id,
+         |       COALESCE(o.out_deg, 0) AS out_deg,
+         |       COALESCE(i.in_deg, 0) AS in_deg,
+         |       COALESCE(rec.n_reciprocal, 0) AS n_reciprocal
+         |  FROM o FULL JOIN i ON o.doc_id = i.doc_id
+         |  LEFT JOIN rec ON rec.doc_id = COALESCE(o.doc_id, i.doc_id)""".stripMargin,
+
+    // Both rank boundaries (per-host and global) on the 4-dp-rounded
+    // score with doc_id tiebreak — mirrored window + ORDER/LIMIT.
+    "q145_serp_collapse" ->
+      s"""WITH bm AS ($Bm25OracleSql),
+         |h AS (SELECT doc_id, source || '.example.com' AS host FROM documents),
+         |r AS (SELECT bm.doc_id, h.host, bm.bm25,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY h.host
+         |                  ORDER BY bm.bm25 DESC, bm.doc_id) AS INT) AS host_rank
+         |        FROM bm JOIN h USING (doc_id))
+         |SELECT doc_id, host, host_rank, bm25 FROM r
+         | WHERE host_rank <= $SerpPerHost
+         | ORDER BY bm25 DESC, doc_id LIMIT $SerpK""".stripMargin,
+
+    // Field split via list_slice == the engine's posexplode position
+    // tag; every constant Scala-interpolated; per-row chains left-assoc
+    // on both sides; sum orders absorbed by the 4-dp round.
+    "q146_bm25f" ->
+      s"""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |posts AS (
+         |  SELECT doc_id, unnest(list_slice(t, 1, $Bm25fTitleLen)) AS term, 't' AS field FROM ts
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_slice(t, ${Bm25fTitleLen + 1}, len(t))) AS term, 'b' AS field FROM ts),
+         |tf AS (SELECT doc_id, field, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM posts
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, field, term),
+         |flen AS (SELECT doc_id, field, CAST(count(*) AS DOUBLE) AS fl
+         |           FROM posts GROUP BY doc_id, field),
+         |avgfl AS (SELECT field, avg(fl) AS avgfl FROM flen GROUP BY field),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |         FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |comb AS (SELECT tf.doc_id, tf.term,
+         |                sum((CASE WHEN tf.field = 't' THEN $Bm25fWTitle ELSE $Bm25fWBody END) * tf.tf
+         |                    / ((CASE WHEN tf.field = 't' THEN ${1 - Bm25fBTitle} ELSE ${1 - Bm25fBBody} END)
+         |                       + (CASE WHEN tf.field = 't' THEN $Bm25fBTitle ELSE $Bm25fBBody END)
+         |                         * flen.fl / avgfl.avgfl)) AS tw
+         |           FROM tf JOIN flen USING (doc_id, field) JOIN avgfl USING (field)
+         |          GROUP BY tf.doc_id, tf.term)
+         |SELECT comb.doc_id,
+         |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tw
+         |                 / (${graft.ml.Search.K1} + tw)), 4) AS bm25f
+         |  FROM comb JOIN df USING (term) CROSS JOIN nd
+         | GROUP BY comb.doc_id""".stripMargin,
+
+    // Champion pruning (rank ≤ p per term by tf desc, doc_id) on the
+    // query-restricted lists; the scoring formula is q53's token-for-
+    // token; the top-k boundary on the rounded score.
+    "q147_champion_topk" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |ch AS (SELECT doc_id, term, tf FROM (
+         |         SELECT doc_id, term, tf,
+         |                ROW_NUMBER() OVER (PARTITION BY term
+         |                     ORDER BY tf DESC, doc_id) AS rn FROM tf) AS w
+         |        WHERE rn <= $ChampionP),
+         |sc AS (SELECT doc_id,
+         |              sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+         |                  / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))) AS raw
+         |         FROM ch JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+         |        GROUP BY doc_id)
+         |SELECT doc_id, round(raw, 4) AS bm25 FROM sc
+         | ORDER BY round(raw, 4) DESC, doc_id LIMIT $ChampionK""".stripMargin,
+
+    // Injection + proxies mirrored regex-for-regex; exact decimal
+    // constants; left-assoc subtraction chain on both sides.
+    "q148_readability" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         text || CASE WHEN doc_id % 8 = 1
+         |                      THEN ' extra clause one. second tiny clause. end.'
+         |                      ELSE '' END AS text
+         |    FROM documents),
+         |m AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+         |             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s,
+         |             CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS DOUBLE) AS y
+         |        FROM r)
+         |SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+         |       CAST(y AS BIGINT) AS n_syllables,
+         |       round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch
+         |  FROM m""".stripMargin,
 
     "q128_prf_expansion" ->
       s"""WITH bm AS ($Bm25OracleSql),

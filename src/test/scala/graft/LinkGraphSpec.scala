@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LinkGraph
+
+/** Link-graph analytics: anchor profiles vs hand truth, BFS seed depth vs
+  * a scalar BFS (cycles included), TrustRank vs a scalar power iteration,
+  * degree/reciprocity audit vs hand counts. */
+class LinkGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("anchorProfiles: counts, distinct terms, dominant term with tie-break") {
+    // dst 10 gets anchors from three sources: "buy acme stock" twice
+    // (terms buy/acme/stock ×2) and "acme earnings call" once — top term
+    // is "acme" (3 links); dst 20 gets one anchor "alpha beta beta":
+    // beta counts twice from ONE link (in_degree 1, n_terms 2).
+    val edges = Seq(
+      (1L, 10L, "buy acme stock"),
+      (2L, 10L, "buy acme stock"),
+      (3L, 10L, "acme earnings call"),
+      (4L, 20L, "alpha beta beta")
+    ).toDF("src", "dst", "anchor")
+    val got = LinkGraph.anchorProfiles(edges)
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (10L, 3L, 5L, "acme", 3L),
+      (20L, 1L, 2L, "beta", 2L)))
+  }
+
+  test("anchorProfiles: lexicographic tie-break on equal link counts") {
+    val edges = Seq((1L, 5L, "zeta alpha"), (2L, 5L, "zeta alpha"))
+      .toDF("src", "dst", "anchor")
+    val got = LinkGraph.anchorProfiles(edges)
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(got === Array((5L, 2L, 2L, "alpha", 2L)))
+  }
+
+  test("seedDepths == scalar BFS on a graph with cycles and unreachable nodes") {
+    // 0→1→2→3→4→5 chain, 2→0 back-cycle, 10→11 island (unreachable),
+    // 0→3 shortcut (3 must take depth 1, not 3).
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 0L), (10L, 11L), (0L, 3L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("doc_id")
+    def truthBfs(rounds: Int): Map[Long, Int] = {
+      val adj = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (2L, 0L), (10L, 11L), (0L, 3L)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = Map(0L -> 0)
+      var frontier = Set(0L)
+      for (r <- 1 to rounds) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil)).diff(dist.keySet)
+        dist ++= next.map(_ -> r)
+        frontier = next
+      }
+      dist
+    }
+    for (rounds <- Seq(1, 2, 6)) {
+      val got = LinkGraph.seedDepths(edges, seeds, rounds)
+        .as[(Long, Int)].collect().toMap
+      assert(got === truthBfs(rounds), s"rounds=$rounds")
+    }
+  }
+
+  test("trustrank == scalar power iteration; unreachable island scores teleport-zero") {
+    // Seeded star: 0 links to 1,2; 1→2; island 7→8 no trusted path.
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (7L, 8L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("doc_id")
+    val d = 0.85
+    // Scalar reference: nodes {0,1,2,7,8}, teleport 1.0 on node 0.
+    val adj = Map(0L -> Seq(1L, 2L), 1L -> Seq(2L), 7L -> Seq(8L))
+    val nodes = Seq(0L, 1L, 2L, 7L, 8L)
+    var rank = nodes.map(n => n -> (if (n == 0L) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for ((s, dsts) <- adj; dst <- dsts) in(dst) += rank(s) / dsts.size
+      rank = nodes.map(n => n -> ((1.0 - d) * (if (n == 0L) 1.0 else 0.0) + d * in(n))).toMap
+    }
+    val got = LinkGraph.trustrank(edges, seeds, iters = 3, damping = d)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === nodes.toSet)
+    for (n <- nodes) {
+      // Engine rounds HALF_UP at 6 dp; mirror that on the scalar truth
+      // (0.1179375 sits EXACTLY on the boundary — a tolerance can't).
+      val want = BigDecimal(rank(n)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(n) === want, s"node $n: ${got(n)} vs ${rank(n)}")
+    }
+    assert(got(7L) === 0.0 && got(8L) === 0.0, "untrusted island carries no mass")
+  }
+
+  test("trustrank: seeds outside the edge set carry no teleport mass") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("doc_id") // 99 not in the graph
+    val got = LinkGraph.trustrank(edges, seeds, iters = 1, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    // n_seeds==1 (only node 1): rank(1)=0.15, rank(2)=0.85·(1.0/1).
+    assert(got === Map(1L -> 0.15, 2L -> 0.85))
+  }
+
+  test("degreeStats: hand truth including a reciprocal pair") {
+    // 1↔2 reciprocal; 1→3, 4→1 one-way.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val got = LinkGraph.degreeStats(edges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 2L, 2L, 1L), // out: 2,3; in: 2,4; reciprocal: 1→2
+      (2L, 1L, 1L, 1L),
+      (3L, 0L, 1L, 0L),
+      (4L, 1L, 0L, 0L)))
+  }
+}

@@ -873,4 +873,74 @@ class SearchSpec extends AnyFunSuite {
     }
     assert(got(1L)._3 < got(2L)._3, "template spam must compress below prose")
   }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25HostCollapsed caps results per host before the global cut") {
+    // docs 1,2,3 share host a (all match); doc 5 is host b's only match.
+    val hosted = corpus.withColumn("host",
+      when(col("doc_id") <= 3, lit("a.example.com")).otherwise(lit("b.example.com")))
+    val q = Seq("spark", "merge", "vector")
+    val all = Search.bm25Scores(corpus, q).as[(Long, Double)].collect().toMap
+    val got = Search.bm25HostCollapsed(hosted, q, k = 10, maxPerHost = 2)
+      .as[(Long, String, Int, Double)].collect()
+    // host a's three matches ranked by (rounded score desc, doc_id): the
+    // third is collapsed away; host b keeps its one.
+    val aRanked = Seq(1L, 2L, 3L).sortBy(d => (-all(d), d))
+    assert(got.map(_._1).toSet === Set(aRanked(0), aRanked(1), 5L))
+    got.foreach { case (d, host, hr, s) =>
+      assert(s === all(d), s"doc $d keeps its uncollapsed score")
+      assert(hr >= 1 && hr <= 2)
+      assert(host === (if (d <= 3) "a.example.com" else "b.example.com"))
+    }
+  }
+
+  test("bm25fScores == scalar formula; a title hit outranks the same hit in the body") {
+    // Identical docs except WHERE the one query-term occurrence sits:
+    // doc 1 in the title slice (first 6 tokens), doc 2 in the body.
+    val fcorpus = Seq(
+      (1L, "spark alpha beta gamma delta eps zeta body tail"),
+      (2L, "alpha beta gamma delta eps zeta spark body tail"))
+      .toDF("doc_id", "text")
+    val got = Search.bm25fScores(fcorpus, Seq("spark"), titleLen = 6)
+      .as[(Long, Double)].collect().toMap
+    // Scalar: both docs have fl_t=6, fl_b=3 → avgfl_t=6, avgfl_b=3;
+    // tf~ = w_f·tf/(1−b_f + b_f·fl/avgfl) = 2.0 (title) / 1.0 (body);
+    // df=2, n=2 → idf = ln(0.5/2.5 + 1).
+    val idf = math.log((2 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def score(tw: Double) = idf * tw / (Search.K1 + tw)
+    assert(got(1L) === round4(score(2.0)))
+    assert(got(2L) === round4(score(1.0)))
+    assert(got(1L) > got(2L), "title hit must outrank body hit")
+  }
+
+  test("championTopK: p covering all postings == bm25TopK; p=1 keeps only each term's champion") {
+    val q = Seq("spark", "merge", "vector")
+    val full = Search.bm25TopK(corpus, q, k = 10).as[(Long, Double)].collect().toSeq
+    val champ = Search.championTopK(corpus, q, p = 10, k = 10).as[(Long, Double)].collect().toSeq
+    assert(champ === full, "an unpruned champion index is exact")
+    // p=1 champions: spark→doc1 (tf 2), merge→doc3 (tf 3), vector→doc5.
+    // doc1 then scores ONLY spark (merge's pruned list dropped it); df
+    // stays the full-list document frequency.
+    val p1 = Search.championTopK(corpus, q, p = 1, k = 10).as[(Long, Double)].collect().toMap
+    assert(p1.keySet === Set(1L, 3L, 5L))
+    val n = 5.0; val avgdl = (4 + 6 + 3 + 5 + 1) / 5.0
+    assert(p1(1L) === round4(bm25Ref(2, 2, 4, n, avgdl)))
+    assert(p1(3L) === round4(bm25Ref(3, 2, 3, n, avgdl)))
+    assert(p1(5L) === round4(bm25Ref(1, 1, 1, n, avgdl)))
+  }
+
+  test("readability: hand truth, sentence floor, punctuation raises the sentence count") {
+    val d = Seq(
+      (1L, "go to the store"),   // 4 words, floor 1 sentence, 5 vowel groups
+      (2L, "one. two! three?"))  // 3 words, 3 sentences, 4 vowel groups
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(d)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    def flesch(w: Double, s: Double, y: Double) =
+      round4(206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+    assert(got(0) === ((1L, 4L, 1L, 5L, flesch(4, 1, 5))))
+    assert(got(1) === ((2L, 3L, 3L, 4L, flesch(3, 3, 4))))
+  }
 }
