@@ -1587,4 +1587,68 @@ object Corpus {
         round(col("a") / col("za"), 6).as("authority"),
         round(col("h") / col("zh"), 6).as("hub"))
   }
+
+  /** Cross-snapshot corpus overlap: how much of one crawl snapshot's
+    * CONTENT recurs in another (the refresh-rate / dedup-planning audit —
+    * "how much of next month's crawl is this month's crawl again").
+    * Content identity = the sorted distinct token set (the q31 rep
+    * notion: word order and repetition don't make a page new); each side
+    * collapses to its distinct set-key population, then one row:
+    * distinct counts, the intersection, Jaccard, and containment of the
+    * NEW side in the old (the "re-crawl waste" share).
+    *
+    * Scale shape: the set key is xxhash64 of the canonically-joined
+    * token set, computed MAP-SIDE — text never shuffles; both distincts
+    * and the intersection join carry 8-byte keys only. Identity is
+    * modulo xxhash64 collisions (the q85 capture-digest trade; the
+    * oracle compares the token sets themselves). Ratios are single
+    * divisions of exactly-summed integers — bit-identical, no rounding
+    * (q140 discipline). */
+  def snapshotOverlap(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def keys(d: DataFrame) = d
+      .select(xxhash64(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " "))))).as("k"))
+      .distinct()
+    val a = keys(oldDocs)
+    val b = keys(newDocs)
+    val common = a.join(b, Seq("k"), "left_semi").agg(count(lit(1)).as("n_common"))
+    a.agg(count(lit(1)).as("n_old"))
+      .crossJoin(b.agg(count(lit(1)).as("n_new")))
+      .crossJoin(common)
+      .select(col("n_old"), col("n_new"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_old") + col("n_new") - col("n_common")).cast("double")).as("jaccard"),
+        (col("n_common").cast("double") / col("n_new").cast("double"))
+          .as("containment_new"))
+  }
+
+  /** Leakage-free train/val/test split: near-duplicate CLUSTERS are
+    * assigned to splits atomically (split by the cluster representative,
+    * never the document), so no near-dup pair straddles train and eval —
+    * the split-contamination rule every LLM data pipeline needs on top
+    * of plain hashing (a doc-keyed split leaks every duplicated
+    * document's content across the boundary).
+    *
+    * Clusters = [[dedupClusters]] (ngram-Jaccard pairs → connected
+    * components); documents in no pair are their own singleton cluster
+    * (rep = doc_id via the left join). The split key is the
+    * [[sampleBucket]] LCG over the REP (pmod — sign-safe for hashed
+    * production reps): bucket < trainPermille → train, <
+    * trainPermille+valPermille → val, else test. Deterministic,
+    * partition-stable, and clusters can't straddle splits by
+    * construction (all members share the rep). */
+  def leakageFreeSplit(docs: DataFrame, threshold: Double = 0.5,
+      trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    require(trainPermille > 0 && valPermille > 0 &&
+      trainPermille + valPermille < 1000, "permille cuts must partition [0,1000)")
+    val clusters = dedupClusters(docs, threshold).select("doc_id", "rep")
+    val bucket = sampleBucket(col("rep"))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      .withColumn("split",
+        when(bucket < trainPermille, lit("train"))
+          .when(bucket < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")))
+  }
 }

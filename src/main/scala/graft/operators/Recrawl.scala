@@ -231,4 +231,48 @@ object Recrawl {
       .select(col("shard"), col("url"), col("warc_ts"), col("record_len"),
         (col("cum") - col("record_len")).as("byte_offset"))
   }
+
+  /** Per-host capture-volume EWMA forecast — the crawl-rate controller's
+    * input: how many captures to EXPECT from each host next hour, as an
+    * exponentially-weighted moving average of its hourly capture counts
+    * (recent hours dominate; alpha is the standard smoothing knob).
+    *
+    * The recursion s_t = α·x_t + (1−α)·s_{t−1}, s_1 = x_1 is spelled in
+    * its CLOSED FORM so both engine and oracle compute identical
+    * per-term products with no sequential dependency:
+    * s_n = Σ_{t=2..n} α·(1−α)^{n−t}·x_t + (1−α)^{n−1}·x_1.
+    *
+    * Plan: one (host, hour) hash agg collapses the capture stream
+    * (map-side combined); the hour index is a row_number window on that
+    * AGGREGATED grain (hours-per-host rows, never captures); one final
+    * host-grain agg sums the weighted terms. Float discipline: α and
+    * (1−α) are Scala-evaluated and interpolated into the oracle; each
+    * term is the left-assoc α·pow(1−α, n−t)·x; only the sum's addition
+    * order differs — absorbed by the 6-dp rounding. */
+  def volumeForecast(pages: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val oneMinus = 1.0 - alpha // Scala-evaluated; oracle interpolates
+    val hourly = pages
+      .filter(graft.core.Canonicalize.isHttpScheme(col("url")))
+      .select(try_parse_url(col("url"), lit("HOST")).as("host"),
+        date_trunc("hour", col("warc_ts")).as("hour"))
+      .groupBy("host", "hour")
+      .agg(count(lit(1)).cast("double").as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("hour"))
+    val idx = hourly
+      .withColumn("t", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("host"))))
+    val term = when(col("t") === 1,
+      pow(lit(oneMinus), col("n") - lit(1)) * col("x"))
+      .otherwise(lit(alpha) * pow(lit(oneMinus), col("n") - col("t")) * col("x"))
+    idx
+      .groupBy("host")
+      .agg(
+        max(col("n")).as("n_hours"),
+        max(when(col("t") === col("n"), col("x"))).cast("long").as("last_count"),
+        round(sum(term), 6).as("ewma"))
+      .select(col("host"), col("n_hours"), col("last_count"), col("ewma"))
+  }
 }

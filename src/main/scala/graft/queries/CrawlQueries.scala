@@ -62,6 +62,10 @@ object CrawlQueries {
       |  SELECT * FROM (VALUES %HOSTS%) AS t(host, weight, budget, crawl_delay, family)
       |)""".stripMargin.replace("%HOSTS%", graft.core.FixtureConstants.sqlValues)
 
+  /** q151's EWMA smoothing factor — interpolated (with 1−α, evaluated
+    * ONCE here) into the oracle so engine and oracle cannot drift. */
+  val EwmaAlpha: Double = 0.3
+
   /** q89's snapshot boundary and q90's NOW, as offsets from the fixture
     * EPOCH — chosen so every status regime appears at sf0.01: docs past
     * the boundary are 'added', recaptured docs straddling it are
@@ -356,6 +360,13 @@ object CrawlQueries {
     // scan (never a per-shard window funneling a shard through one task).
     "q139_cdx_offsets" -> ((s, dir) =>
       Recrawl.cdxOffsets(pages(s, dir))),
+
+    // op 154: per-host capture-volume EWMA forecast (the crawl-rate
+    // controller's input). The recursion is spelled in closed form so
+    // both engines compute identical per-term products; the hour index
+    // is a window on the (host, hour) AGGREGATED grain only.
+    "q151_volume_forecast" -> ((s, dir) =>
+      Recrawl.volumeForecast(pages(s, dir), alpha = EwmaAlpha)),
 
     // op 99: per-host publish→capture lag distribution — each capture's
     // lag from the article's embedded published date (q15's per-family
@@ -925,6 +936,28 @@ object CrawlQueries {
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |         AS byte_offset
          |  FROM canon""".stripMargin,
+
+    // Closed-form EWMA: per-term products spelled left-assoc with α and
+    // (1−α) interpolated from the ONE Scala evaluation; only the sum's
+    // addition order differs — absorbed by the 6-dp round. Host comes
+    // off the RAW url (canon.host), captures include listing rows.
+    "q151_volume_forecast" -> {
+      val om = s"CAST(${1.0 - EwmaAlpha} AS DOUBLE)"
+      val al = s"CAST($EwmaAlpha AS DOUBLE)"
+      s"""$PagesCte,
+         |hourly AS (SELECT host, date_trunc('hour', warc_ts) AS hour,
+         |                  CAST(count(*) AS DOUBLE) AS x
+         |             FROM canon GROUP BY host, hour),
+         |idx AS (SELECT host, hour, x,
+         |               ROW_NUMBER() OVER (PARTITION BY host ORDER BY hour) AS t,
+         |               count(*) OVER (PARTITION BY host) AS n
+         |          FROM hourly)
+         |SELECT host, max(n) AS n_hours,
+         |       CAST(max(CASE WHEN t = n THEN x END) AS BIGINT) AS last_count,
+         |       round(sum(CASE WHEN t = 1 THEN power($om, n - 1) * x
+         |                      ELSE $al * power($om, n - t) * x END), 6) AS ewma
+         |  FROM idx GROUP BY host""".stripMargin
+    },
 
     // Round-trip oracle (q96 discipline): the engine BUILDS per-host
     // sitemap XML from doc_id and PARSES it back; the oracle states the

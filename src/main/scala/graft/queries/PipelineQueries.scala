@@ -715,8 +715,29 @@ object PipelineQueries {
     // vowel-group-syllable proxies; sentence punctuation injected on
     // doc_id % 8 == 1 (the word-soup corpus has none), oracle-mirrored.
     "q148_readability" -> ((s, dir) =>
-      TextAnalysis.readability(readabilityDocs(s, dir)))
+      TextAnalysis.readability(readabilityDocs(s, dir))),
+
+    // op 152: cross-snapshot content overlap — distinct token-SET
+    // populations per snapshot (doc_id parity halves, the q137 stand-in),
+    // intersection, Jaccard, and new-in-old containment ("re-crawl
+    // waste"). Set keys are map-side xxhash64 — text never shuffles.
+    "q149_snapshot_overlap" -> ((s, dir) =>
+      Corpus.snapshotOverlap(
+        docs(s, dir).filter(col("doc_id") % 2 === 0),
+        docs(s, dir).filter(col("doc_id") % 2 === 1))),
+
+    // op 153: leakage-free train/val/test split — near-dup clusters
+    // assigned to splits atomically by the rep-keyed LCG bucket (no
+    // near-dup pair can straddle train and eval); singletons split by
+    // their own id.
+    "q150_leakage_split" -> ((s, dir) =>
+      Corpus.leakageFreeSplit(docs(s, dir), threshold = 0.5,
+        trainPermille = SplitTrainPermille, valPermille = SplitValPermille))
   )
+
+  /** q150's split cuts — interpolated into the oracle (a2 rule). */
+  val SplitTrainPermille: Int = 800
+  val SplitValPermille: Int = 100
 
   /** q145's cut sizes / q146's BM25F parameters / q147's champion-list
     * sizes — interpolated into the oracles (the a2 discipline). */
@@ -2353,6 +2374,52 @@ object PipelineQueries {
          |        GROUP BY doc_id)
          |SELECT doc_id, round(raw, 4) AS bm25 FROM sc
          | ORDER BY round(raw, 4) DESC, doc_id LIMIT $ChampionK""".stripMargin,
+
+    // Engine keys are xxhash64 of the canonical token-set join (text
+    // never shuffles); the oracle compares the token sets themselves —
+    // identical modulo hash collisions (the q85 digest trade). Ratios
+    // are single divisions of exactly-summed ints (q140 discipline).
+    "q149_snapshot_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |              list_sort(list_distinct(string_split(text, ' '))) AS ts
+        |         FROM documents),
+        |a AS (SELECT DISTINCT ts FROM t WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT ts FROM t WHERE doc_id % 2 = 1),
+        |c AS (SELECT count(*) AS n_common FROM a JOIN b USING (ts)),
+        |na AS (SELECT count(*) AS n_old FROM a),
+        |nb AS (SELECT count(*) AS n_new FROM b)
+        |SELECT n_old, n_new, n_common,
+        |       CAST(n_common AS DOUBLE) / CAST(n_old + n_new - n_common AS DOUBLE) AS jaccard,
+        |       CAST(n_common AS DOUBLE) / CAST(n_new AS DOUBLE) AS containment_new
+        |  FROM na CROSS JOIN nb CROSS JOIN c""".stripMargin,
+
+    // The q46 cluster CTE (recursive CC over the ngram-Jaccard pairs)
+    // plus the singleton left join and the pmod LCG split rule.
+    "q150_leakage_split" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, lang,
+         |         list_distinct(list_transform(generate_series(1, len(t)-2),
+         |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM toks),
+         |pairs AS (SELECT a, b FROM (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |         round(len(list_intersect(a.s, b.s)) * 1.0
+         |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) AS p
+         | WHERE jaccard >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b AS src, a AS dst FROM pairs),
+         |cc AS (SELECT src AS node, src AS root FROM edges
+         |       UNION
+         |       SELECT e.dst AS node, cc.root FROM cc JOIN edges e ON cc.node = e.src),
+         |lab AS (SELECT node AS doc_id, min(root) AS rep FROM cc GROUP BY node),
+         |base AS (SELECT d.doc_id, COALESCE(lab.rep, d.doc_id) AS rep
+         |           FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id)
+         |SELECT doc_id, rep,
+         |       CASE WHEN (((rep * 48271 + 11) % 1000) + 1000) % 1000 < $SplitTrainPermille THEN 'train'
+         |            WHEN (((rep * 48271 + 11) % 1000) + 1000) % 1000 < ${SplitTrainPermille + SplitValPermille} THEN 'val'
+         |            ELSE 'test' END AS split
+         |  FROM base""".stripMargin,
 
     // Injection + proxies mirrored regex-for-regex; exact decimal
     // constants; left-assoc subtraction chain on both sides.

@@ -1154,4 +1154,64 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("h1") === ((0.0, math.round(41.0 / 58 * 1e6) / 1e6)))
     assert(got("h2") === ((0.0, math.round(17.0 / 58 * 1e6) / 1e6)))
   }
+
+  test("snapshotOverlap: token-set identity, order/repetition-insensitive, exact ratios") {
+    // old: {a b c}, {d e} — new: {c b a a} (same SET as {a b c}), {x y},
+    // {d e} duplicated twice in new (distinct-set population counts once).
+    val oldDocs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val newDocs = Seq((3L, "c b a a"), (4L, "x y"), (5L, "d e"), (6L, "e d"))
+      .toDF("doc_id", "text")
+    val got = Corpus.snapshotOverlap(oldDocs, newDocs)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // n_old=2, n_new=3 ({a b c},{x y},{d e}), common=2 → J=2/3, cont=2/3.
+    assert(got === Array((2L, 3L, 2L, 2.0 / 3.0, 2.0 / 3.0)))
+  }
+
+  test("snapshotOverlap: disjoint snapshots give zero overlap") {
+    val a = Seq((1L, "a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "c d")).toDF("doc_id", "text")
+    val got = Corpus.snapshotOverlap(a, b)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got === Array((1L, 1L, 0L, 0.0, 0.0)))
+  }
+
+  test("leakageFreeSplit: clusters never straddle splits; singletons split by own id") {
+    // Two near-dup clusters (identical texts → J=1 pairs) + singletons.
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon one"),
+      (11L, "alpha beta gamma delta epsilon one"),   // cluster with 10
+      (20L, "zeta eta theta iota kappa two"),
+      (21L, "zeta eta theta iota kappa two"),        // cluster with 20
+      (30L, "unique solitary text number three ok"), // singleton
+      (31L, "another lonely document four five six") // singleton
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Corpus.leakageFreeSplit(docs, threshold = 0.5)
+      .as[(Long, Long, String)].collect()
+    assert(got.length === 6)
+    val byDoc = got.map(g => g._1 -> g).toMap
+    // cluster members share rep AND split
+    assert(byDoc(10L)._2 === 10L && byDoc(11L)._2 === 10L)
+    assert(byDoc(10L)._3 === byDoc(11L)._3, "cluster 10 split atomically")
+    assert(byDoc(20L)._2 === 20L && byDoc(21L)._3 === byDoc(20L)._3)
+    // singletons are their own rep
+    assert(byDoc(30L)._2 === 30L && byDoc(31L)._2 === 31L)
+    // split rule matches the LCG bucket
+    def bucket(rep: Long) = (((rep * 48271L + 11L) % 1000L) + 1000L) % 1000L
+    got.foreach { case (_, rep, split) =>
+      val want = if (bucket(rep) < 800) "train" else if (bucket(rep) < 900) "val" else "test"
+      assert(split === want, s"rep $rep")
+    }
+  }
+
+  test("leakageFreeSplit is partitioning-invariant") {
+    val docs = (Seq.tabulate(40)(i =>
+      (i.toLong, s"doc $i word${i % 7} word${i % 5} filler text body")) ++
+      Seq((100L, "dup pair body one two three"), (101L, "dup pair body one two three")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val a = Corpus.leakageFreeSplit(docs, 0.5).as[(Long, Long, String)].collect().toSet
+    val b = Corpus.leakageFreeSplit(docs.repartition(7), 0.5)
+      .as[(Long, Long, String)].collect().toSet
+    assert(a === b)
+  }
 }

@@ -226,4 +226,29 @@ class RecrawlSpec extends AnyFunSuite {
     assert(got("q") === (("r", 16L, "unresolved")))
     assert(got.size === 26) // every redirecting url resolves to one row
   }
+
+  test("volumeForecast == scalar EWMA recursion; single-hour host == its own count") {
+    import java.sql.Timestamp
+    // host a: hourly counts 4, 1, 2, 3 (gaps in wall-clock hours are
+    // fine — EWMA is over the OBSERVED hour sequence); host b: one hour.
+    def ts(hour: Int, slot: Int) =
+      Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(hour * 3600L + slot * 60L))
+    val counts = Seq(4, 1, 2, 3)
+    val rows =
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map(i => (s"https://a.example.com/p$h$i", ts(h * 2, i))) } ++
+        Seq(("https://b.example.com/x", ts(9, 0)), ("https://b.example.com/y", ts(9, 1)))
+    val pages = rows.toDF("url", "warc_ts")
+    val got = Recrawl.volumeForecast(pages, alpha = 0.3)
+      .as[(String, Long, Long, Double)].collect().map(g => g._1 -> g).toMap
+    // Scalar recursion s1 = x1; st = 0.3·xt + 0.7·s(t−1).
+    val ewmaA = counts.map(_.toDouble).reduceLeft((s, x) => 0.3 * x + 0.7 * s)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = got("a.example.com")
+    assert(a._2 === 4L && a._3 === 3L)
+    assert(math.abs(a._4 - r6(ewmaA)) < 2e-6, s"ewma ${a._4} vs $ewmaA")
+    assert(got("b.example.com") === (("b.example.com", 1L, 2L, 2.0)),
+      "single observed hour: EWMA == its own count")
+  }
 }
