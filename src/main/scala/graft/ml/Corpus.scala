@@ -1637,6 +1637,60 @@ object Corpus {
     * trainPermille+valPermille → val, else test. Deterministic,
     * partition-stable, and clusters can't straddle splits by
     * construction (all members share the rep). */
+  /** Contrastive hard-negative mining: for each eval/query document, the
+    * top-k corpus documents that are lexically CLOSE (many shared
+    * distinct terms) but NOT near-duplicates (token-set Jaccard <
+    * `maxJaccard`) — the negatives a contrastive retriever trains
+    * against (similar enough to be hard, distinct enough to be true
+    * negatives).
+    *
+    * Shape: both sides collapse to DISTINCT (doc, term-hash) postings
+    * map-side (text never shuffles); the term-keyed join produces
+    * (eval, candidate) shared-term counts by hash agg; the Jaccard gate
+    * needs NO separate pair relation — J = shared/(|e|+|c|−shared) from
+    * the same counts, an exact integer-ratio comparison. The rank
+    * window runs on the aggregated pair grain with an all-integer key
+    * (n_shared desc, doc_id) — no float boundary anywhere.
+    *
+    * `maxDf` drops terms with corpus document frequency above it before
+    * the join — the stop-term pruning that bounds the pair space (a
+    * ubiquitous term would otherwise pair every eval doc with every
+    * doc; production variants go further and drive candidates off
+    * idf-weighted champion lists, cf. [[Search.championTopK]]). */
+  def hardNegatives(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+      k: Int = 5, maxJaccard: Double = 0.5,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1 && maxJaccard > 0, "need positive k and Jaccard gate")
+    val toks = docs
+      .select(col("doc_id"), evalPred.as("is_eval"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .select(col("doc_id"), col("is_eval"), xxhash64(col("term")).as("tk"))
+    // All set statistics (shared counts AND sizes, hence the Jaccard
+    // gate) are over the df-PRUNED vocabulary — one coherent universe,
+    // the PPJoin-style convention for stop-pruned set similarity.
+    val kept = toks.join(
+      toks.groupBy("tk").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("tk"),
+      Seq("tk"), "left_semi")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = kept.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), col("tk"))
+      .join(kept.filter(!col("is_eval"))
+        .select(col("doc_id").as("neg_doc"), col("tk")), Seq("tk"))
+      .groupBy("eval_doc", "neg_doc").agg(count(lit(1)).as("n_shared"))
+    val gated = shared
+      .join(sizes.select(col("doc_id").as("eval_doc"), col("sz").as("esz")), Seq("eval_doc"))
+      .join(sizes.select(col("doc_id").as("neg_doc"), col("sz").as("nsz")), Seq("neg_doc"))
+      .filter(col("n_shared").cast("double") /
+        (col("esz") + col("nsz") - col("n_shared")).cast("double") < maxJaccard)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("eval_doc")).orderBy(desc("n_shared"), col("neg_doc"))
+    gated
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("eval_doc"), col("neg_doc"), col("n_shared"), col("rank"))
+  }
+
   def leakageFreeSplit(docs: DataFrame, threshold: Double = 0.5,
       trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
     require(trainPermille > 0 && valPermille > 0 &&

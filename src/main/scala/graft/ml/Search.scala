@@ -258,6 +258,78 @@ object Search {
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
   }
 
+  /** Retrieval-quality evaluation of the BM25 ranking against a
+    * deterministic relevance rule (relevant = documents containing ALL
+    * query terms — the q64 boolean conjunction as synthetic qrels): one
+    * row with precision@k, MRR, DCG@k, ideal DCG, and NDCG@k — the
+    * search-quality audit a ranking change ships with.
+    *
+    * Rank boundary on the (4-dp-rounded score, doc_id) key (q63 rule);
+    * DCG discounts are rel·ln2/ln(rank+1) with ln2 Scala-evaluated and
+    * interpolated into the oracle (runtime ln's ≤1-ulp spread is
+    * absorbed by the 6-dp rounds); the ideal DCG sums the same discount
+    * over the first min(k, n_relevant) positions via a generated
+    * sequence — no second ranking pass. All counts are exact ints;
+    * precision@k is one exact int/int division. */
+  def retrievalEval(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty && k >= 1, "need query terms and positive k")
+    val ln2 = math.log(2.0) // Scala-evaluated; oracle interpolates
+    val ranked = scoresRaw(docs, queryTerms)
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+    val rel = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term").isin(queryTerms.map(t => t: Any): _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("nq"))
+      .filter(col("nq") === queryTerms.length)
+      .select(col("doc_id"), lit(1L).as("rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    val hits = ranked.join(rel, Seq("doc_id"), "left").na.fill(0L, Seq("rel"))
+    val dcgTerm = col("rel").cast("double") * lit(ln2) / log(col("rank").cast("double") + lit(1.0))
+    val measured = hits.agg(
+      sum("rel").as("n_hits"),
+      (sum("rel").cast("double") / lit(k.toDouble)).as("precision_at_k"),
+      round(max(when(col("rel") === 1, lit(1.0) / col("rank").cast("double"))), 6).as("mrr"),
+      sum(dcgTerm).as("dcg_raw"))
+    // explode_outer keeps the one-row shape when n_relevant == 0
+    // (idcg/ndcg go NULL instead of the output vanishing).
+    val ideal = nRel
+      .select(col("n_relevant"),
+        when(col("n_relevant") > 0,
+          sequence(lit(1L), least(col("n_relevant"), lit(k.toLong))))
+          .as("seq"))
+      .select(col("n_relevant"), explode_outer(col("seq")).as("i"))
+      .groupBy("n_relevant")
+      .agg(sum(lit(ln2) / log(col("i").cast("double") + lit(1.0))).as("idcg_raw"))
+    measured.crossJoin(broadcast(ideal))
+      .select(col("n_relevant"), col("n_hits"), col("precision_at_k"),
+        coalesce(col("mrr"), lit(0.0)).as("mrr"),
+        round(col("dcg_raw"), 6).as("dcg"),
+        round(col("idcg_raw"), 6).as("idcg"),
+        round(col("dcg_raw") / col("idcg_raw"), 6).as("ndcg"))
+  }
+
+  /** Leading-wildcard term lookup (`*suffix`): vocabulary terms ENDING
+    * with `suffix`, ranked by document frequency — via the REVERSED-
+    * dictionary trick (store/scan reverse(term), so a leading wildcard
+    * becomes a prefix match; on a term-sorted persisted dictionary this
+    * is a contiguous range scan instead of a full-vocabulary regex, cf.
+    * the op-71 prefix path). Vocabulary-grain work only: one distinct
+    * postings agg for df, the reverse-prefix filter, then
+    * orderBy+limit = TakeOrderedAndProject on the all-integer
+    * (df desc, term) key. */
+  def suffixSuggest(docs: DataFrame, suffix: String, m: Int): DataFrame = {
+    require(suffix.nonEmpty && m >= 1, "need a suffix and positive m")
+    docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(reverse(col("term")).startsWith(suffix.reverse))
+      .orderBy(col("df").desc, col("term")).limit(m)
+      .select(col("term"), col("df"))
+  }
+
   /** Dirichlet-smoothing default (Zhai & Lafferty 2001/2004's standard). */
   val Mu: Double = 2000.0
 

@@ -66,6 +66,9 @@ object CrawlQueries {
     * ONCE here) into the oracle so engine and oracle cannot drift. */
   val EwmaAlpha: Double = 0.3
 
+  /** q155's per-IP politeness budget — interpolated into the oracle. */
+  val IpBudget: Int = 40
+
   /** q89's snapshot boundary and q90's NOW, as offsets from the fixture
     * EPOCH — chosen so every status regime appears at sf0.01: docs past
     * the boundary are 'added', recaptured docs straddling it are
@@ -367,6 +370,23 @@ object CrawlQueries {
     // is a window on the (host, hour) AGGREGATED grain only.
     "q151_volume_forecast" -> ((s, dir) =>
       Recrawl.volumeForecast(pages(s, dir), alpha = EwmaAlpha)),
+
+    // op 158: per-IP politeness grouping — hosts sharing serving
+    // infrastructure (ip = deterministic dim of the host) draw from ONE
+    // budget, the reverse-proxy-farm case a per-host-only limiter
+    // over-crawls. Rank per IP by (recency desc, url) and keep ≤ budget
+    // — the q05 ranking shape one grouping level up (at scale the same
+    // salted local-top-k pre-rank applies, CrawlConfig.localTopKSalt).
+    "q155_ip_budget" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ip"))
+        .orderBy(desc("discovered_ts"), col("url"))
+      allCandidates(s, dir)
+        .withColumn("ip", concat(lit("10.0.0."),
+          pmod(ascii(substring(col("host"), 1, 1)), lit(4)).cast("string")))
+        .withColumn("ip_rank", row_number().over(w))
+        .filter(col("ip_rank") <= IpBudget)
+        .select(col("ip"), col("url"), col("discovered_ts"), col("ip_rank"))
+    }),
 
     // op 99: per-host publish→capture lag distribution — each capture's
     // lag from the article's embedded published date (q15's per-family
@@ -958,6 +978,21 @@ object CrawlQueries {
          |                      ELSE $al * power($om, n - t) * x END), 6) AS ewma
          |  FROM idx GROUP BY host""".stripMargin
     },
+
+    // Candidate grain == deltaScan (canonical url, latest discovered_ts);
+    // the ip dim and rank rule mirrored; pmod spelled ((x%4)+4)%4.
+    "q155_ip_budget" ->
+      s"""$PagesCte,
+         |cand AS (SELECT url, max(warc_ts) AS discovered_ts, min(host) AS host
+         |           FROM canon GROUP BY url),
+         |wip AS (SELECT url, discovered_ts,
+         |               '10.0.0.' || CAST(((ord(substr(host, 1, 1)) % 4) + 4) % 4 AS VARCHAR) AS ip
+         |          FROM cand),
+         |r AS (SELECT ip, url, discovered_ts,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY ip
+         |                  ORDER BY discovered_ts DESC, url) AS INT) AS ip_rank
+         |        FROM wip)
+         |SELECT ip, url, discovered_ts, ip_rank FROM r WHERE ip_rank <= $IpBudget""".stripMargin,
 
     // Round-trip oracle (q96 discipline): the engine BUILDS per-host
     // sitemap XML from doc_id and PARSES it back; the oracle states the

@@ -732,8 +732,35 @@ object PipelineQueries {
     // their own id.
     "q150_leakage_split" -> ((s, dir) =>
       Corpus.leakageFreeSplit(docs(s, dir), threshold = 0.5,
-        trainPermille = SplitTrainPermille, valPermille = SplitValPermille))
+        trainPermille = SplitTrainPermille, valPermille = SplitValPermille)),
+
+    // op 155: contrastive hard-negative mining for the q47 eval slice —
+    // top-k lexically-close-but-not-near-dup corpus docs per eval doc;
+    // the Jaccard gate falls out of the same postings counts (exact
+    // int-ratio), the rank key is all-integer.
+    "q152_hard_negatives" -> ((s, dir) =>
+      Corpus.hardNegatives(docs(s, dir), col("doc_id") % 37 === 0,
+        k = HardNegK, maxJaccard = HardNegMaxJ, maxDf = HardNegMaxDf)),
+
+    // op 156: retrieval-quality evaluation (precision@k, MRR, NDCG@k) of
+    // the BM25 ranking against the q64 conjunction as synthetic qrels —
+    // the audit a ranking change ships with.
+    "q153_retrieval_eval" -> ((s, dir) =>
+      Search.retrievalEval(docs(s, dir), Bm25QueryTerms, k = EvalAtK)),
+
+    // op 157: leading-wildcard (*suffix) term lookup via the reversed-
+    // dictionary trick, df-ranked.
+    "q154_suffix_lookup" -> ((s, dir) =>
+      Search.suffixSuggest(docs(s, dir), SuffixStr, m = SuffixM))
   )
+
+  /** q152/q153/q154 knobs — interpolated into the oracles (a2 rule). */
+  val HardNegK: Int = 5
+  val HardNegMaxJ: Double = 0.5
+  val HardNegMaxDf: Long = 400L
+  val EvalAtK: Int = 10
+  val SuffixStr: String = "e"
+  val SuffixM: Int = 8
 
   /** q150's split cuts — interpolated into the oracle (a2 rule). */
   val SplitTrainPermille: Int = 800
@@ -2420,6 +2447,69 @@ object PipelineQueries {
          |            WHEN (((rep * 48271 + 11) % 1000) + 1000) % 1000 < ${SplitTrainPermille + SplitValPermille} THEN 'val'
          |            ELSE 'test' END AS split
          |  FROM base""".stripMargin,
+
+    // All set statistics over the df-pruned vocabulary (one coherent
+    // universe); the Jaccard gate is the same exact int division both
+    // sides; the rank key is all-integer — no float boundary anywhere.
+    "q152_hard_negatives" ->
+      s"""WITH tok AS (SELECT doc_id, doc_id % 37 = 0 AS is_eval,
+         |                    unnest(list_distinct(string_split(text, ' '))) AS term
+         |               FROM documents),
+         |kept AS (SELECT * FROM tok WHERE term IN
+         |           (SELECT term FROM tok GROUP BY term HAVING count(*) <= $HardNegMaxDf)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+         |sh AS (SELECT e.doc_id AS eval_doc, c.doc_id AS neg_doc, count(*) AS n_shared
+         |         FROM kept e JOIN kept c ON e.term = c.term AND e.is_eval AND NOT c.is_eval
+         |        GROUP BY eval_doc, neg_doc),
+         |g AS (SELECT sh.eval_doc, sh.neg_doc, sh.n_shared
+         |        FROM sh JOIN sz se ON se.doc_id = sh.eval_doc
+         |                JOIN sz sn ON sn.doc_id = sh.neg_doc
+         |       WHERE CAST(n_shared AS DOUBLE)
+         |             / CAST(se.sz + sn.sz - n_shared AS DOUBLE) < $HardNegMaxJ),
+         |r AS (SELECT eval_doc, neg_doc, n_shared,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY eval_doc
+         |                  ORDER BY n_shared DESC, neg_doc) AS INT) AS rank FROM g)
+         |SELECT eval_doc, neg_doc, n_shared, rank FROM r WHERE rank <= $HardNegK""".stripMargin,
+
+    // Rank recomputed AFTER the limit (mirrors the engine's bounded
+    // window); ln2 interpolated from the ONE Scala evaluation; runtime
+    // ln spread absorbed by the 6-dp rounds.
+    "q153_retrieval_eval" -> {
+      val ln2 = s"CAST(${math.log(2.0)} AS DOUBLE)"
+      s"""WITH bm AS ($Bm25OracleSql),
+         |ranked AS (SELECT doc_id, bm25,
+         |                  ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |             FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT $EvalAtK) AS t),
+         |rel AS (SELECT doc_id, CAST(1 AS BIGINT) AS rel FROM (
+         |          SELECT doc_id FROM (SELECT doc_id,
+         |                   unnest(list_distinct(string_split(text, ' '))) AS term FROM documents) AS u
+         |           WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |           GROUP BY doc_id HAVING count(*) = ${Bm25QueryTerms.length}) AS q),
+         |hits AS (SELECT ranked.rank, COALESCE(rel.rel, 0) AS rel
+         |           FROM ranked LEFT JOIN rel USING (doc_id)),
+         |nr AS (SELECT count(*) AS n_relevant FROM rel),
+         |m AS (SELECT CAST(sum(rel) AS BIGINT) AS n_hits,
+         |             CAST(sum(rel) AS DOUBLE) / ${EvalAtK.toDouble} AS precision_at_k,
+         |             round(max(CASE WHEN rel = 1 THEN 1.0 / CAST(rank AS DOUBLE) END), 6) AS mrr,
+         |             sum(CAST(rel AS DOUBLE) * $ln2 / ln(CAST(rank AS DOUBLE) + 1.0)) AS dcg_raw
+         |        FROM hits),
+         |ideal AS (SELECT n_relevant, sum($ln2 / ln(CAST(i AS DOUBLE) + 1.0)) AS idcg_raw
+         |            FROM (SELECT n_relevant,
+         |                         unnest(generate_series(1, least(n_relevant, $EvalAtK))) AS i
+         |                    FROM nr) AS s GROUP BY n_relevant)
+         |SELECT n_relevant, n_hits, precision_at_k, COALESCE(mrr, 0.0) AS mrr,
+         |       round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,
+         |       round(dcg_raw / idcg_raw, 6) AS ndcg
+         |  FROM m CROSS JOIN ideal""".stripMargin
+    },
+
+    "q154_suffix_lookup" ->
+      s"""WITH v AS (SELECT term, count(*) AS df FROM
+         |             (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+         |                FROM documents) AS u
+         |            GROUP BY term)
+         |SELECT term, df FROM v WHERE term LIKE '%$SuffixStr'
+         | ORDER BY df DESC, term LIMIT $SuffixM""".stripMargin,
 
     // Injection + proxies mirrored regex-for-regex; exact decimal
     // constants; left-assoc subtraction chain on both sides.

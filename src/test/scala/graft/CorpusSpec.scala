@@ -1203,6 +1203,42 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: near-dups gated out, shared-count ranking, eval docs excluded") {
+    // eval doc 0: J(0,1)=3/5 ≥ 0.5 → excluded as near-dup; doc 2 shares
+    // 2 terms (rank 1), doc 3 shares 1 (rank 2), doc 4 shares none.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma epsilon"),
+      (2L, "alpha beta zeta eta iota"),
+      (3L, "alpha mu nu xi omicron pi"),
+      (4L, "stop stop2 stop3 rho")
+    ).toDF("doc_id", "text")
+    val got = Corpus.hardNegatives(docs, col("doc_id") === 0, k = 5)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(got === Array((0L, 2L, 2L, 1), (0L, 3L, 1L, 2)))
+  }
+
+  test("hardNegatives: maxDf pruning changes the similarity universe coherently") {
+    // 'the' is in every doc. Unpruned: J(0,1) = 2/4 = 0.5 → doc 1
+    // excluded (strict <), docs 2/3 pair only via 'the'. With maxDf=3
+    // 'the' leaves the universe: docs 2/3 share nothing, doc 1 shares
+    // only 'alpha' (J=1/3 < 0.5) → kept. The gate and the counts move
+    // TOGETHER — one coherent pruned universe.
+    val docs = Seq(
+      (0L, "the alpha beta"),
+      (1L, "the alpha zeta"),
+      (2L, "the yot zed"),
+      (3L, "the kappa lam")
+    ).toDF("doc_id", "text")
+    val unpruned = Corpus.hardNegatives(docs, col("doc_id") === 0, k = 5)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(unpruned.map(_._2).toSet === Set(2L, 3L))
+    val pruned = Corpus.hardNegatives(docs, col("doc_id") === 0, k = 5, maxDf = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(pruned.map(_._2).toSet === Set(1L))
+    assert(pruned.head._3 === 1L) // shared = {alpha} only
+  }
+
   test("leakageFreeSplit is partitioning-invariant") {
     val docs = (Seq.tabulate(40)(i =>
       (i.toLong, s"doc $i word${i % 7} word${i % 5} filler text body")) ++

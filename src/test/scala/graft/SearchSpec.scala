@@ -931,6 +931,60 @@ class SearchSpec extends AnyFunSuite {
     assert(p1(5L) === round4(bm25Ref(1, 1, 1, n, avgdl)))
   }
 
+  test("retrievalEval: metrics match an independent scalar computation") {
+    val docs = Seq(
+      (1L, "q1 q2 x"),       // relevant (both terms)
+      (2L, "q1 q1 q1 y z"),  // only q1 — not relevant, but scores
+      (3L, "q1 q2 q2 z"),    // relevant
+      (4L, "a b c"))         // no terms
+      .toDF("doc_id", "text")
+    val q = Seq("q1", "q2")
+    val got = Search.retrievalEval(docs, q, k = 2)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+    assert(got.length === 1)
+    val (nRel, nHits, p, mrr, dcg, idcg, ndcg) = got.head match {
+      case (a, b, c, d, e, f, g) => (a, b, c, d, e, f, g)
+    }
+    // Independent scalar: ranking from the separately-tested bm25Scores.
+    val scores = Search.bm25Scores(docs, q).as[(Long, Double)].collect().toMap
+    val ranked = scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(2).map(_._1)
+    val rel = Set(1L, 3L)
+    val hits = ranked.zipWithIndex.map { case (d, i) => (i + 1, if (rel(d)) 1 else 0) }
+    val ln2 = math.log(2.0)
+    val wantDcg = hits.map { case (r, rl) => rl * ln2 / math.log(r + 1.0) }.sum
+    val wantIdcg = (1 to 2).map(i => ln2 / math.log(i + 1.0)).sum // min(k, |rel|) = 2
+    val wantMrr = hits.find(_._2 == 1).map(h => 1.0 / h._1).getOrElse(0.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(nRel === 2L)
+    assert(nHits === hits.map(_._2).sum.toLong)
+    assert(p === hits.map(_._2).sum / 2.0)
+    assert(mrr === r6(wantMrr))
+    assert(math.abs(dcg - r6(wantDcg)) < 2e-6)
+    assert(math.abs(idcg - r6(wantIdcg)) < 2e-6)
+    assert(math.abs(ndcg - r6(wantDcg / wantIdcg)) < 2e-6)
+  }
+
+  test("retrievalEval: no relevant docs -> zero MRR, NULL idcg/ndcg, row survives") {
+    val docs = Seq((1L, "q1 only here"), (2L, "other words x"))
+      .toDF("doc_id", "text")
+    // relevant requires BOTH q1 and q2 — nothing qualifies.
+    val got = Search.retrievalEval(docs, Seq("q1", "q2"), k = 2)
+    val row = got.collect().head
+    assert(row.getLong(row.fieldIndex("n_relevant")) === 0L)
+    assert(row.getDouble(row.fieldIndex("mrr")) === 0.0)
+    assert(row.isNullAt(row.fieldIndex("idcg")) && row.isNullAt(row.fieldIndex("ndcg")))
+  }
+
+  test("suffixSuggest: df ranking with lexicographic ties via the reversed dictionary") {
+    val docs = Seq(
+      (1L, "table cable note table"),
+      (2L, "cable tub note"),
+      (3L, "cable bike")).toDF("doc_id", "text")
+    // df over DISTINCT per-doc terms: cable 3, note 2, table 1, bike 1.
+    val got = Search.suffixSuggest(docs, "e", m = 3).as[(String, Long)].collect()
+    assert(got === Array(("cable", 3L), ("note", 2L), ("bike", 1L)))
+  }
+
   test("readability: hand truth, sentence floor, punctuation raises the sentence count") {
     val d = Seq(
       (1L, "go to the store"),   // 4 words, floor 1 sentence, 5 vowel groups
