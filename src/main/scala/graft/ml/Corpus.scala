@@ -1637,6 +1637,35 @@ object Corpus {
     * trainPermille+valPermille → val, else test. Deterministic,
     * partition-stable, and clusters can't straddle splits by
     * construction (all members share the rep). */
+  /** Content-novelty curve over crawl time: per time bucket, how many
+    * DISTINCT word n-grams appeared, and what share of them had never
+    * been seen in ANY earlier bucket — the "is the crawl still finding
+    * new text or re-reading the web" saturation audit that sizes
+    * incremental crawls (novelty decays as coverage completes).
+    *
+    * Shape: one shingle kernel pass → per-(bucket, shingle-hash)
+    * occurrence agg (map-side combined) → min-bucket-per-shingle agg
+    * (the FIRST-occurrence table — one row per distinct shingle in the
+    * corpus, the same first-seen trade as op-94's min-date) → one
+    * equi-join back on the 8-byte key. Text never shuffles; novelty is
+    * an exact integer ratio (q140 discipline). */
+  def noveltyCurve(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.repartition(col("doc_id"))
+      .select(date_trunc("hour", col("ts")).as("bucket"),
+        explode(graft.functions.expressions.shingles_n(col("text"), n)).as("s"))
+      .select(col("bucket"), xxhash64(col("s")).as("sk"))
+    val occ = sh.groupBy("bucket", "sk").agg(count(lit(1)).as("c"))
+    val first = occ.groupBy("sk").agg(min("bucket").as("first_bucket"))
+    occ.join(first, Seq("sk"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("bucket") === col("first_bucket"), lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .select(col("bucket"), col("n_distinct"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_distinct").cast("double"))
+          .as("novelty"))
+  }
+
   /** Contrastive hard-negative mining: for each eval/query document, the
     * top-k corpus documents that are lexically CLOSE (many shared
     * distinct terms) but NOT near-duplicates (token-set Jaccard <

@@ -249,6 +249,45 @@ object Recrawl {
     * (1−α) are Scala-evaluated and interpolated into the oracle; each
     * term is the left-assoc α·pow(1−α, n−t)·x; only the sum's addition
     * order differs — absorbed by the 6-dp rounding. */
+  /** CDX secondary (zipnum-style) block index: every `blockSize`
+    * records of a shard's sorted CDX list collapse to one summary row
+    * (first key, record count, byte mass) — the block map a wayback-
+    * style reader binary-searches BEFORE touching the main index, which
+    * is what keeps lookups O(log blocks + blockSize) over a 10^10-row
+    * CDX.
+    *
+    * The in-shard rank rides [[GlobalOrder.withRunningSum]] over a
+    * constant-1 column (inclusive prefix count — the same two-phase
+    * range-partitioned scan as [[cdxOffsets]], never a per-shard window
+    * funneling the largest host through one task); block = (rank−1) div
+    * blockSize; the block grain then hash-aggregates. The first record
+    * per block is min_by over the rank — deterministic because the rank
+    * order IS the (warc_ts, url) CDX order. */
+  def cdxBlockIndex(pages: DataFrame, blockSize: Int = 16, parts: Int = 32): DataFrame = {
+    require(blockSize >= 1, "need a positive block size")
+    val caps = pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(
+        Canonicalize.canonicalUrl(col("url")).as("url"),
+        col("warc_ts"),
+        octet_length(col("text")).cast("long").as("record_len"))
+      .filter(col("url").isNotNull)
+      .withColumn("shard", try_parse_url(col("url"), lit("HOST")))
+      .withColumn("one", lit(1L))
+    GlobalOrder
+      .withRunningSum(caps, "shard", "one",
+        Seq(col("warc_ts"), col("url")), parts, "rk")
+      .withColumn("block", expr(s"(rk - 1) div $blockSize"))
+      .groupBy("shard", "block")
+      .agg(
+        min_by(col("warc_ts"), col("rk")).as("first_ts"),
+        min_by(col("url"), col("rk")).as("first_url"),
+        count(lit(1)).as("n_records"),
+        sum("record_len").as("n_bytes"))
+      .select(col("shard"), col("block"), col("first_ts"), col("first_url"),
+        col("n_records"), col("n_bytes"))
+  }
+
   def volumeForecast(pages: DataFrame, alpha: Double = 0.3): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
     val oneMinus = 1.0 - alpha // Scala-evaluated; oracle interpolates

@@ -69,6 +69,9 @@ object CrawlQueries {
   /** q155's per-IP politeness budget — interpolated into the oracle. */
   val IpBudget: Int = 40
 
+  /** q157's CDX block size — interpolated into the oracle. */
+  val CdxBlockSize: Int = 16
+
   /** q89's snapshot boundary and q90's NOW, as offsets from the fixture
     * EPOCH — chosen so every status regime appears at sf0.01: docs past
     * the boundary are 'added', recaptured docs straddling it are
@@ -370,6 +373,13 @@ object CrawlQueries {
     // is a window on the (host, hour) AGGREGATED grain only.
     "q151_volume_forecast" -> ((s, dir) =>
       Recrawl.volumeForecast(pages(s, dir), alpha = EwmaAlpha)),
+
+    // op 160: CDX zipnum-style secondary block index — every blockSize
+    // records of a shard's sorted CDX collapse to one summary row via
+    // the range-partitioned prefix-count rank (the q139 scan, never a
+    // per-shard window); the reader binary-searches blocks first.
+    "q157_cdx_blocks" -> ((s, dir) =>
+      Recrawl.cdxBlockIndex(pages(s, dir), blockSize = CdxBlockSize)),
 
     // op 158: per-IP politeness grouping — hosts sharing serving
     // infrastructure (ip = deterministic dim of the host) draw from ONE
@@ -978,6 +988,22 @@ object CrawlQueries {
          |                      ELSE $al * power($om, n - t) * x END), 6) AS ewma
          |  FROM idx GROUP BY host""".stripMargin
     },
+
+    // The oracle's per-shard rank window IS the order the engine's
+    // prefix-count scan reproduces (q139 discipline); first-per-block is
+    // arg_min over the unique in-shard rank == the engine's min_by.
+    "q157_cdx_blocks" ->
+      s"""$PagesCte,
+         |r AS (SELECT host AS shard, url, warc_ts,
+         |             CAST(octet_length(encode(text)) AS BIGINT) AS record_len,
+         |             ROW_NUMBER() OVER (PARTITION BY host ORDER BY warc_ts, url) AS rk
+         |        FROM canon),
+         |b AS (SELECT shard, CAST((rk - 1) // $CdxBlockSize AS BIGINT) AS block,
+         |             url, warc_ts, record_len, rk FROM r)
+         |SELECT shard, block,
+         |       arg_min(warc_ts, rk) AS first_ts, arg_min(url, rk) AS first_url,
+         |       count(*) AS n_records, CAST(sum(record_len) AS BIGINT) AS n_bytes
+         |  FROM b GROUP BY shard, block""".stripMargin,
 
     // Candidate grain == deltaScan (canonical url, latest discovered_ts);
     // the ip dim and rank rule mirrored; pmod spelled ((x%4)+4)%4.

@@ -751,7 +751,17 @@ object PipelineQueries {
     // op 157: leading-wildcard (*suffix) term lookup via the reversed-
     // dictionary trick, df-ranked.
     "q154_suffix_lookup" -> ((s, dir) =>
-      Search.suffixSuggest(docs(s, dir), SuffixStr, m = SuffixM))
+      Search.suffixSuggest(docs(s, dir), SuffixStr, m = SuffixM)),
+
+    // op 159: content-novelty curve over crawl time — per hour bucket
+    // the distinct word-3-gram count and the share first-seen in that
+    // bucket (the crawl-saturation audit); ts = the q88 publish-time
+    // mapping. First-occurrence = min-bucket per 8-byte shingle key.
+    "q156_novelty_curve" -> ((s, dir) =>
+      Corpus.noveltyCurve(
+        docs(s, dir).withColumn("ts",
+          expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')")),
+        n = 3))
   )
 
   /** q152/q153/q154 knobs — interpolated into the oracles (a2 rule). */
@@ -2502,6 +2512,26 @@ object PipelineQueries {
          |       round(dcg_raw / idcg_raw, 6) AS ndcg
          |  FROM m CROSS JOIN ideal""".stripMargin
     },
+
+    // Shingle dedup-per-doc == the engine kernel's LinkedHashSet; the
+    // first-occurrence table is min(bucket) per shingle; novelty is the
+    // exact int ratio of the two agg outputs.
+    "q156_novelty_curve" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM toks),
+        |b AS (SELECT date_trunc('hour',
+        |               TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT))) AS bucket, s
+        |        FROM sh),
+        |occ AS (SELECT bucket, s, count(*) AS c FROM b GROUP BY bucket, s),
+        |f AS (SELECT s, min(bucket) AS fb FROM occ GROUP BY s)
+        |SELECT bucket, count(*) AS n_distinct,
+        |       CAST(sum(CASE WHEN bucket = fb THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(CAST(sum(CASE WHEN bucket = fb THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS novelty
+        |  FROM occ JOIN f USING (s) GROUP BY bucket""".stripMargin,
 
     "q154_suffix_lookup" ->
       s"""WITH v AS (SELECT term, count(*) AS df FROM

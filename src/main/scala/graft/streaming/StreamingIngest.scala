@@ -119,6 +119,46 @@ object StreamingIngest {
   final case class HostState(seen: Long, lastTsSec: Long)
   final case class HostUpdate(host: String, seen: Long, lastTsSec: Long)
 
+  final case class RateEvent(host: String, url: String)
+  final case class RateState(deferred: Vector[String])
+  final case class RateEmit(host: String, url: String, waited: Boolean)
+
+  /** Per-host token-bucket rate limiter across micro-batches — the
+    * politeness cap in the STREAMING flavor: each host may emit at most
+    * `perBatch` urls per trigger; the overflow carries in
+    * flatMapGroupsWithState state and drains FIFO ahead of newer urls on
+    * the host's next trigger (`waited` marks urls that sat in the
+    * deferred queue ≥ 1 batch). Matches the batch scheduler's rank ≤
+    * budget semantics batch-by-batch, with the deferred queue playing
+    * the frontier's role.
+    *
+    * Determinism: within one trigger the fresh urls sort
+    * lexicographically before queueing (the iterator's arrival order is
+    * partition-dependent); dedup against the carried queue keeps a url
+    * from occupying two slots. State is bounded by the host's
+    * outstanding backlog — the per-host politeness budget itself bounds
+    * growth in steady state; a production deployment adds a state TTL
+    * (GroupStateTimeout) for hosts that go quiet with a backlog. */
+  def rateLimitStream(spark: SparkSession, pages: DataFrame,
+      perBatch: Int): Dataset[RateEmit] = {
+    import spark.implicits._
+    require(perBatch >= 1, "need a positive per-batch budget")
+    pages
+      .withColumn("host", Canonicalize.hostOf(col("url")))
+      .select(col("host"), col("url")).as[RateEvent]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (host: String, events: Iterator[RateEvent], state: GroupState[RateState]) =>
+          val carried = state.getOption.map(_.deferred).getOrElse(Vector.empty)
+          val fresh = events.map(_.url).toVector.distinct.sorted
+            .filterNot(carried.contains)
+          val queue = carried ++ fresh
+          val (emit, keep) = queue.splitAt(perBatch)
+          state.update(RateState(keep))
+          emit.iterator.map(u => RateEmit(host, u, carried.contains(u)))
+      }
+  }
+
   /** Custom cross-batch state (op 46 streaming flavor): per-host running
     * capture count + latest capture ts via mapGroupsWithState. */
   def hostStateStream(spark: SparkSession, pages: DataFrame): Dataset[HostUpdate] = {

@@ -1203,6 +1203,22 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("noveltyCurve: per-bucket first-occurrence shares") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L))
+    // h0: {abc, bcd} both novel; h1: {abc(seen), bce(new)} → 1/2;
+    // h2: {abc, bcd, cde} → 1/3 novel.
+    val docs = Seq(
+      (1L, "a b c d", ts(0)),
+      (2L, "a b c e", ts(1)),
+      (3L, "a b c d e", ts(2))).toDF("doc_id", "text", "ts")
+    val got = Corpus.noveltyCurve(docs)
+      .as[(Timestamp, Long, Long, Double)].collect().sortBy(_._1.getTime)
+    assert(got.map(g => (g._2, g._3, g._4)).toSeq ===
+      Seq((2L, 2L, 1.0), (2L, 1L, 0.5), (3L, 1L, 1.0 / 3.0)))
+  }
+
   test("hardNegatives: near-dups gated out, shared-count ranking, eval docs excluded") {
     // eval doc 0: J(0,1)=3/5 ≥ 0.5 → excluded as near-dup; doc 2 shares
     // 2 terms (rank 1), doc 3 shares 1 (rank 2), doc 4 shares none.

@@ -227,6 +227,25 @@ class RecrawlSpec extends AnyFunSuite {
     assert(got.size === 26) // every redirecting url resolves to one row
   }
 
+  test("cdxBlockIndex: block boundaries, first record per block, byte mass") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60L))
+    // one shard, 5 captures, blockSize 2 → blocks of 2, 2, 1 records.
+    val pages = Seq(
+      ("https://h.example.com/p1", ts(1), "aaaa"),
+      ("https://h.example.com/p2", ts(2), "bbb"),
+      ("https://h.example.com/p3", ts(3), "cc"),
+      ("https://h.example.com/p4", ts(4), "d"),
+      ("https://h.example.com/p5", ts(5), "eeeee")).toDF("url", "warc_ts", "text")
+    val got = Recrawl.cdxBlockIndex(pages, blockSize = 2)
+      .as[(String, Long, Timestamp, String, Long, Long)].collect().sortBy(_._2)
+    assert(got === Array(
+      ("h.example.com", 0L, ts(1), "https://h.example.com/p1", 2L, 7L),
+      ("h.example.com", 1L, ts(3), "https://h.example.com/p3", 2L, 3L),
+      ("h.example.com", 2L, ts(5), "https://h.example.com/p5", 1L, 5L)))
+  }
+
   test("volumeForecast == scalar EWMA recursion; single-hour host == its own count") {
     import java.sql.Timestamp
     // host a: hourly counts 4, 1, 2, 3 (gaps in wall-clock hours are

@@ -16,6 +16,45 @@ class StreamingSpec extends AnyFunSuite {
 
   private lazy val pagesDir = s"${Fixtures.ensure(spark, TestSpark.Sf0001)}/pages.parquet"
 
+  test("rateLimitStream: per-batch budget, FIFO carry ahead of fresh urls, waited flag") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingIngest
+      .rateLimitStream(spark, mem.toDF().toDF("url"), perBatch = 2)
+      .toDF().writeStream.format("memory").queryName("ratelim")
+      .outputMode("append").start()
+    def drained(): Set[(String, String, Boolean)] = {
+      q.processAllAvailable()
+      spark.table("ratelim").as[(String, String, Boolean)].collect().toSet
+    }
+    try {
+      // batch 1: 5 urls for host a (unsorted arrival), 1 for host b —
+      // a emits its 2 lexicographically-first, b its single url.
+      mem.addData("https://a.x/u5", "https://a.x/u1", "https://a.x/u3",
+        "https://a.x/u2", "https://a.x/u4", "https://b.x/v1")
+      val b1 = drained()
+      assert(b1 === Set(("a.x", "https://a.x/u1", false),
+        ("a.x", "https://a.x/u2", false), ("b.x", "https://b.x/v1", false)))
+      // batch 2: fresh u0 sorts before the carried urls lexicographically
+      // but the CARRIED queue drains first (FIFO) — u3, u4, both waited.
+      mem.addData("https://a.x/u0")
+      val b2 = drained() -- b1
+      assert(b2 === Set(("a.x", "https://a.x/u3", true),
+        ("a.x", "https://a.x/u4", true)))
+      // batch 3: queue was [u5, u0] + fresh u6 → u5 and u0 drain, waited.
+      mem.addData("https://a.x/u6")
+      val b3 = drained() -- b1 -- b2
+      assert(b3 === Set(("a.x", "https://a.x/u5", true),
+        ("a.x", "https://a.x/u0", true)))
+      // batch 4: carried u6 + fresh u7 → both fit; only u6 waited.
+      mem.addData("https://a.x/u7")
+      val b4 = drained() -- b1 -- b2 -- b3
+      assert(b4 === Set(("a.x", "https://a.x/u6", true),
+        ("a.x", "https://a.x/u7", false)))
+    } finally q.stop()
+  }
+
   test("streaming hourly host throughput equals the batch aggregation") {
     val stream = StreamingIngest.pagesStream(spark, pagesDir)
     StreamingIngest.drainToMemory(spark,
