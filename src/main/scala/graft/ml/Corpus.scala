@@ -1637,6 +1637,49 @@ object Corpus {
     * trainPermille+valPermille → val, else test. Deterministic,
     * partition-stable, and clusters can't straddle splits by
     * construction (all members share the rep). */
+  /** Training-shard export sink: materialize the corpus as `numShards`
+    * token-balanced parquet shards (the [[shardAssign]] LPT assignment)
+    * partitioned by `shard=` directory — the layout a training job's
+    * data loader consumes shard-per-worker, with near-equal token mass
+    * so no worker straggles.
+    *
+    * Commit protocol (the checkpoint/manifest-last discipline, op 5):
+    * the `_MANIFEST` marker is DELETED before the overwrite and written
+    * back only after the data lands, so a reader (or a concurrent
+    * session sharing the work dir) either sees the complete previous
+    * generation or refuses — never a half-written mix. The row-count in
+    * the manifest comes from the written parquet FOOTERS (a metadata
+    * read, no second scan of the corpus). Rows sort by doc_id within
+    * each shard file for reproducible iteration order. */
+  def writeTrainingShards(docs: DataFrame, path: String, numShards: Int,
+      parts: Int = 32): Unit = {
+    import java.nio.file.{Files, Paths}
+    require(numShards >= 1, "need at least one shard")
+    val spark = docs.sparkSession
+    val manifest = Paths.get(path, "_MANIFEST")
+    Files.createDirectories(Paths.get(path))
+    Files.deleteIfExists(manifest) // uncommit before touching data
+    shardAssign(docs, numShards, parts)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(s"$path/data")
+    val nDocs = spark.read.parquet(s"$path/data").count() // footer metadata only
+    Files.writeString(manifest,
+      s"""{"num_shards":$numShards,"n_docs":$nDocs}""")
+  }
+
+  /** Read back a committed [[writeTrainingShards]] export; refuses an
+    * uncommitted (manifest-less) directory. */
+  def readTrainingShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_MANIFEST")),
+      s"no committed shard export at $path")
+    spark.read.parquet(s"$path/data")
+  }
+
   /** Content-novelty curve over crawl time: per time bucket, how many
     * DISTINCT word n-grams appeared, and what share of them had never
     * been seen in ANY earlier bucket — the "is the crawl still finding

@@ -761,7 +761,18 @@ object PipelineQueries {
       Corpus.noveltyCurve(
         docs(s, dir).withColumn("ts",
           expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')")),
-        n = 3))
+        n = 3)),
+
+    // op 162: training-shard export SINK — the q126 LPT assignment
+    // materialized as shard=N parquet dirs with the manifest-last commit
+    // protocol; the entry returns the committed READ-BACK, so the oracle
+    // (the q126 assignment itself) checks the full write→read loop.
+    "q158_training_shards" -> ((s, dir) => {
+      val path = s"${graft.core.Constants.workDir}/shards_${java.nio.file.Paths.get(dir).getFileName}"
+      Corpus.writeTrainingShards(docs(s, dir), path, ShardCount)
+      Corpus.readTrainingShards(s, path)
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+    })
   )
 
   /** q152/q153/q154 knobs — interpolated into the oracles (a2 rule). */
@@ -2512,6 +2523,18 @@ object PipelineQueries {
          |       round(dcg_raw / idcg_raw, 6) AS ndcg
          |  FROM m CROSS JOIN ideal""".stripMargin
     },
+
+    // The committed read-back must equal the q126 assignment — the
+    // oracle closes the write→manifest→read loop, not just the math.
+    "q158_training_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |        FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |        ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rank FROM t)
+         |SELECT doc_id, n_tokens,
+         |       CAST((rank - 1) % $ShardCount AS INT) AS shard
+         |  FROM r""".stripMargin,
 
     // Shingle dedup-per-doc == the engine kernel's LinkedHashSet; the
     // first-occurrence table is min(bucket) per shingle; novelty is the

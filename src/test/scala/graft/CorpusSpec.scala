@@ -1203,6 +1203,35 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("writeTrainingShards: committed round-trip, shard layout, manifest gate, balance") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, Seq.fill(5 + i % 11)("w").mkString(" "))).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("shards").toString + "/exp"
+    Corpus.writeTrainingShards(docs, path, numShards = 4)
+    val back = Corpus.readTrainingShards(spark, path)
+    // read-back == the assignment, text carried
+    val assign = Corpus.shardAssign(docs, 4).as[(Long, Long, Int)].collect().toSet
+    assert(back.select("doc_id", "n_tokens", "shard")
+      .as[(Long, Long, Int)].collect().toSet === assign)
+    assert(back.count() === 30)
+    // physical layout: one shard=N dir per shard
+    val dirs = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === (0 until 4).map(i => s"shard=$i").toSet)
+    // LPT balance survives the round-trip: spread ≤ max doc tokens
+    val mass = back.groupBy("shard").agg(sum("n_tokens").as("m"))
+      .as[(Int, Long)].collect().map(_._2)
+    assert(mass.max - mass.min <= 15L)
+    // manifest gates readers: an uncommitted dir refuses
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_MANIFEST"))
+    intercept[IllegalArgumentException] {
+      Corpus.readTrainingShards(spark, path)
+    }
+    // rewrite recommits (overwrite generation)
+    Corpus.writeTrainingShards(docs, path, numShards = 4)
+    assert(Corpus.readTrainingShards(spark, path).count() === 30)
+  }
+
   test("noveltyCurve: per-bucket first-occurrence shares") {
     import java.sql.Timestamp
     def ts(h: Int) = Timestamp.from(
