@@ -35,4 +35,61 @@ object Robots {
   /** Pure-Scala flavor for the sequential oracle. */
   def isDisallowedScala(path: String, disallow: Seq[String]): Boolean =
     disallow != null && disallow.exists(p => path.startsWith(p))
+
+  // ---- RFC 9309 evaluator (wildcards, $-anchor, longest-match-wins) ----
+
+  /** Compile one robots rule to its match regex (RFC 9309 §2.2.2/2.2.3):
+    * `*` matches any octet sequence, a TRAILING `$` anchors the pattern
+    * at the path end, everything else is a literal; a pattern with no
+    * `$` is a prefix match. Specificity = the raw pattern's octet length
+    * (the RFC's longest-match rule). Runs ONCE per rule when the
+    * (broadcast, host-sized) rules dim is built — never per candidate. */
+  def compileRule(allow: Boolean, pattern: String): (Boolean, Int, String) = {
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.dropRight(1) else pattern
+    val rx = "^" + body.split("\\*", -1).map(java.util.regex.Pattern.quote)
+      .mkString(".*") + (if (anchored) "$" else "")
+    (allow, pattern.length, rx)
+  }
+
+  /** RFC 9309 verdict as a pure-Catalyst expression over a per-row
+    * `rules` array<struct<allow:boolean, len:int, rx:string>>: keep the
+    * rules whose regex matches `path`, then take the array_max of
+    * (len, allow) structs — longest pattern wins and, at equal length,
+    * the lexicographic struct order makes `allow=true` beat
+    * `allow=false`, which IS the RFC tie rule. No matching rule ⇒
+    * allowed. Higher-order filter/transform + array_max — no UDF. */
+  def isDisallowedRfc(path: Column, rules: Column): Column = {
+    val matched = filter(rules, r => regexp_like(path, r.getField("rx")))
+    val best = array_max(transform(matched,
+      r => struct(r.getField("len").as("len"), r.getField("allow").as("allow"))))
+    coalesce(!best.getField("allow"), lit(false))
+  }
+
+  /** Left-join candidates (must carry `url`, `host`) to a broadcast
+    * RFC-9309 rules dim (`host, rules`) and tag `robots_excluded` —
+    * [[tag]]'s shape with the wildcard evaluator. Hosts with no rules
+    * row are allowed. */
+  def tagRfc(candidates: DataFrame, rules: DataFrame): DataFrame =
+    candidates
+      .join(broadcast(rules.select("host", "rules")), Seq("host"), "left")
+      .withColumn("robots_excluded",
+        coalesce(isDisallowedRfc(pathOf(col("url")), col("rules")), lit(false)))
+      .drop("rules")
+
+  /** Compile a rule list into the array<struct<allow,len,rx>> literal
+    * column the rules dim carries (compiled once, broadcast with it). */
+  def rulesArrayColumn(rules: Seq[(Boolean, String)]): Column =
+    array(rules.map { case (a, p) =>
+      val (_, len, rx) = compileRule(a, p)
+      struct(lit(a).as("allow"), lit(len).as("len"), lit(rx).as("rx"))
+    }: _*)
+
+  /** Pure-Scala RFC flavor for tests: same compile + longest-match. */
+  def isDisallowedRfcScala(path: String, rules: Seq[(Boolean, String)]): Boolean = {
+    val matched = rules.map { case (a, p) => compileRule(a, p) }
+      .filter { case (_, _, rx) => rx.r.findFirstIn(path).isDefined }
+    if (matched.isEmpty) false
+    else !matched.maxBy { case (a, len, _) => (len, a) }._1
+  }
 }

@@ -72,6 +72,17 @@ object CrawlQueries {
   /** q157's CDX block size — interpolated into the oracle. */
   val CdxBlockSize: Int = 16
 
+  /** q159's RFC 9309 rule set (same rules on every host — the oracle
+    * states them as VALUES with hand-simplified equivalent regexes):
+    * article urls ending in 0 are disallowed UNLESS ending in 00 (the
+    * longer allow wins), /tag/ is a plain prefix disallow, and the empty
+    * pattern is the len-0 allow-all baseline. */
+  val RfcRules: Seq[(Boolean, String)] = Seq(
+    (false, "/articles/*0$"),
+    (true, "/articles/*00$"),
+    (false, "/tag/"),
+    (true, ""))
+
   /** q89's snapshot boundary and q90's NOW, as offsets from the fixture
     * EPOCH — chosen so every status regime appears at sf0.01: docs past
     * the boundary are 'added', recaptured docs straddling it are
@@ -373,6 +384,18 @@ object CrawlQueries {
     // is a window on the (host, hour) AGGREGATED grain only.
     "q151_volume_forecast" -> ((s, dir) =>
       Recrawl.volumeForecast(pages(s, dir), alpha = EwmaAlpha)),
+
+    // op 163: RFC 9309 robots evaluation — wildcard `*`, `$` end-anchor,
+    // longest-match-wins with the allow-beats-disallow tie rule, as a
+    // pure-Catalyst filter/array_max over a broadcast per-host rules dim
+    // (rules compile to regexes ONCE at dim build, never per candidate).
+    "q159_robots_rfc" -> ((s, dir) => {
+      val cand = allCandidates(s, dir)
+      val rulesDim = cand.select("host").distinct()
+        .withColumn("rules", Robots.rulesArrayColumn(RfcRules))
+      Robots.tagRfc(cand.select("url", "host"), rulesDim)
+        .select(col("url"), col("robots_excluded"))
+    }),
 
     // op 160: CDX zipnum-style secondary block index — every blockSize
     // records of a shard's sorted CDX collapse to one summary row via
@@ -988,6 +1011,29 @@ object CrawlQueries {
          |                      ELSE $al * power($om, n - t) * x END), 6) AS ewma
          |  FROM idx GROUP BY host""".stripMargin
     },
+
+    // The VALUES rules carry hand-simplified regexes semantically equal
+    // to the engine's compiled \Q..\E forms (the literal segments hold
+    // no metacharacters); longest-match + allow-tie = the same
+    // (len DESC, allow DESC) ordering as the engine's array_max struct.
+    "q159_robots_rfc" ->
+      s"""$PagesCte,
+         |cand AS (SELECT url FROM canon GROUP BY url),
+         |p AS (SELECT url, regexp_replace(url, '^https://[^/]*', '') AS path FROM cand),
+         |rules(allow, len, rx) AS (VALUES
+         |  (false, 13, '^/articles/.*0$$'),
+         |  (true, 14, '^/articles/.*00$$'),
+         |  (false, 5, '^/tag/'),
+         |  (true, 0, '^')),
+         |m AS (SELECT p.url, r.allow, r.len
+         |        FROM p JOIN rules r ON regexp_matches(p.path, r.rx)),
+         |best AS (SELECT url, allow FROM (
+         |           SELECT url, allow,
+         |                  ROW_NUMBER() OVER (PARTITION BY url
+         |                       ORDER BY len DESC, allow DESC) AS rn FROM m) AS t
+         |          WHERE rn = 1)
+         |SELECT p.url, COALESCE(NOT best.allow, false) AS robots_excluded
+         |  FROM p LEFT JOIN best USING (url)""".stripMargin,
 
     // The oracle's per-shard rank window IS the order the engine's
     // prefix-count scan reproduces (q139 discipline); first-per-block is

@@ -227,4 +227,32 @@ class CoreSpec extends AnyFunSuite {
     assert(media.count() === 500L)
     assert(media.select($"kind").distinct().count() === 3L)
   }
+
+  test("RFC 9309 robots: wildcard, $-anchor, longest-match, allow-tie — Scala and Catalyst agree") {
+    import graft.operators.Robots
+    val rules = Seq(
+      (false, "/articles/*0$"), (true, "/articles/*00$"),
+      (false, "/tag/"), (true, ""))
+    // Scala flavor: the semantic truth table.
+    assert(!Robots.isDisallowedRfcScala("/articles/123", rules))
+    assert(Robots.isDisallowedRfcScala("/articles/120", rules), "ends in 0 → disallow")
+    assert(!Robots.isDisallowedRfcScala("/articles/100", rules), "longer allow *00$ wins")
+    assert(Robots.isDisallowedRfcScala("/tag/x", rules), "plain prefix disallow")
+    assert(!Robots.isDisallowedRfcScala("/other", rules), "only the empty allow matches")
+    assert(!Robots.isDisallowedRfcScala("/a/x", Seq((false, "/a/"), (true, "/a/"))),
+      "equal specificity: allow wins (RFC tie rule)")
+    assert(!Robots.isDisallowedRfcScala("/x", Nil), "no rules → allowed")
+    // Catalyst flavor parity over a frame + no-rules host via the left join.
+    val cands = Seq(
+      ("h", "https://h/articles/120"), ("h", "https://h/articles/100"),
+      ("h", "https://h/tag/x"), ("h", "https://h/other"),
+      ("norules", "https://norules/articles/120")).toDF("host", "url")
+    val rulesDim = Seq("h").toDF("host")
+      .withColumn("rules", Robots.rulesArrayColumn(rules))
+    val got = Robots.tagRfc(cands, rulesDim)
+      .as[(String, String, Boolean)].collect().map(r => r._2 -> r._3).toMap
+    assert(got("https://h/articles/120") && !got("https://h/articles/100"))
+    assert(got("https://h/tag/x") && !got("https://h/other"))
+    assert(!got("https://norules/articles/120"), "host without a rules row is allowed")
+  }
 }
