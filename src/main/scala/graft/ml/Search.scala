@@ -193,11 +193,43 @@ object Search {
       wTitle: Double = 2.0, wBody: Double = 1.0,
       bTitle: Double = 0.5, bBody: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && titleLen >= 1, "need query terms and a title split")
-    val inQ = col("term").isin(queryTerms.map(t => t: Any): _*)
     val posts = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
       .select(col("doc_id"), col("term"),
         when(col("pos") < titleLen, lit("t")).otherwise(lit("b")).as("field"))
+    bm25TwoField(posts, docs.agg(count(lit(1)).cast("double").as("n_docs")),
+      queryTerms, "t", wTitle, bTitle, wBody, bBody, "bm25f")
+  }
+
+  /** BM25F with the ANCHOR field (the classic web-ranking signal: what
+    * OTHER pages call a page weighs more than what it says about
+    * itself): field 'a' = the incoming anchor-text token stream from
+    * the link graph (`anchors`: (dst, anchor) per edge), field 'b' =
+    * the document body; same [[bm25fScores]] math — per-field length
+    * norm, weighted combine, ONE saturation. A page with no in-links
+    * simply has no 'a' rows (its anchor tf is zero and it takes no part
+    * in the anchor field-length average — the Zaragoza convention). */
+  def bm25AnchorScores(docs: DataFrame, anchors: DataFrame, queryTerms: Seq[String],
+      wAnchor: Double = 3.0, wBody: Double = 1.0,
+      bAnchor: Double = 0.5, bBody: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need query terms")
+    val posts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("field", lit("b"))
+      .unionByName(anchors
+        .select(col("dst").as("doc_id"), explode(split(col("anchor"), " ")).as("term"))
+        .withColumn("field", lit("a")))
+    bm25TwoField(posts, docs.agg(count(lit(1)).cast("double").as("n_docs")),
+      queryTerms, "a", wAnchor, bAnchor, wBody, bBody, "bm25a")
+  }
+
+  /** The shared two-field BM25F pipeline over a tagged posting stream —
+    * the formula exists ONCE for the title and anchor flavors. Field
+    * `f1` carries (w1, b1); every other tag carries (w2, b2). */
+  private def bm25TwoField(posts: DataFrame, nd: DataFrame, queryTerms: Seq[String],
+      f1: String, w1: Double, b1: Double, w2: Double, b2: Double,
+      outCol: String): DataFrame = {
+    val inQ = col("term").isin(queryTerms.map(t => t: Any): _*)
     val tf = posts.filter(inQ)
       .groupBy("doc_id", "field", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
@@ -206,10 +238,10 @@ object Search {
     val avgfl = flen.groupBy("field").agg(avg("fl").as("avgfl"))
     val df = tf.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val nd = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val wf = when(col("field") === "t", lit(wTitle)).otherwise(lit(wBody))
-    val oneMinusBf = when(col("field") === "t", lit(1 - bTitle)).otherwise(lit(1 - bBody))
-    val bf = when(col("field") === "t", lit(bTitle)).otherwise(lit(bBody))
+    val is1 = col("field") === f1
+    val wf = when(is1, lit(w1)).otherwise(lit(w2))
+    val oneMinusBf = when(is1, lit(1 - b1)).otherwise(lit(1 - b2))
+    val bf = when(is1, lit(b1)).otherwise(lit(b2))
     val combined = tf
       .join(flen, Seq("doc_id", "field"))
       .join(broadcast(avgfl), Seq("field"))
@@ -221,7 +253,7 @@ object Search {
       .join(df, Seq("term"))
       .crossJoin(broadcast(nd))
       .select(col("doc_id"), (idf * col("tw") / (lit(K1) + col("tw"))).as("s"))
-      .groupBy("doc_id").agg(round(sum("s"), 4).as("bm25f"))
+      .groupBy("doc_id").agg(round(sum("s"), 4).as(outCol))
   }
 
   /** Champion-list (impact-ordered, statically pruned) retrieval: each

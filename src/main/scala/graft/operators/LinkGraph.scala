@@ -128,6 +128,32 @@ object LinkGraph {
     ranks.select(col("node").as("doc_id"), round(col("rank"), 6).as("trust"))
   }
 
+  /** Bibliographic-coupling pairs (Kessler 1963, the link-based
+    * relatedness signal orthogonal to anchors/PageRank): two pages are
+    * coupled iff they LINK TO ≥ `minShared` common targets — "cite the
+    * same sources" relatedness, robust to pages that never link to each
+    * other. Output (a, b, n_shared) with a < b.
+    *
+    * Shape: the self-join runs on the dst key, so each target
+    * replicates by its in-degree² — `maxIndeg` drops super-connected
+    * targets first (a page everyone links to carries no coupling
+    * signal; the same stop-key pruning as the hard-negative maxDf and
+    * the PPJoin prefix bound). Pair counts are a map-side-combined hash
+    * agg on the (a, b) grain. */
+  def couplingPairs(edges: DataFrame, minShared: Long = 2,
+      maxIndeg: Long = Long.MaxValue): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val kept = e.join(
+      e.groupBy("dst").agg(count(lit(1)).as("ind"))
+        .filter(col("ind") <= maxIndeg).select("dst"),
+      Seq("dst"), "left_semi")
+    kept.select(col("src").as("a"), col("dst"))
+      .join(kept.select(col("src").as("b"), col("dst")), Seq("dst"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-node degree audit: out-degree, in-degree, and the count of
     * reciprocated out-edges (dst links back to src — mutual-linking is
     * the cheapest link-farm tell). One row per node with any edge.

@@ -763,6 +763,21 @@ object PipelineQueries {
           expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')")),
         n = 3)),
 
+    // op 164: bibliographic-coupling pairs — pages linking to ≥2 common
+    // targets ("cite the same sources" relatedness; orthogonal to
+    // anchors/PageRank). dst-keyed self-join; super-connected targets
+    // prunable via maxIndeg (stop-key discipline).
+    "q160_coupling_pairs" -> ((s, dir) =>
+      graft.operators.LinkGraph.couplingPairs(linkEdges(s, dir), minShared = 2)),
+
+    // op 165: BM25F with the ANCHOR field — what other pages call a
+    // page (the q141 incoming anchor stream) outweighs its own body;
+    // per-field length norm, weighted combine, ONE saturation.
+    "q161_anchor_rank" -> ((s, dir) =>
+      Search.bm25AnchorScores(docs(s, dir), linkEdges(s, dir), Bm25QueryTerms,
+        wAnchor = AnchorW, wBody = Bm25fWBody,
+        bAnchor = AnchorB, bBody = Bm25fBBody)),
+
     // op 162: training-shard export SINK — the q126 LPT assignment
     // materialized as shard=N parquet dirs with the manifest-last commit
     // protocol; the entry returns the committed READ-BACK, so the oracle
@@ -782,6 +797,10 @@ object PipelineQueries {
   val EvalAtK: Int = 10
   val SuffixStr: String = "e"
   val SuffixM: Int = 8
+
+  /** q161's anchor-field BM25F weights (a2 rule). */
+  val AnchorW: Double = 3.0
+  val AnchorB: Double = 0.5
 
   /** q150's split cuts — interpolated into the oracle (a2 rule). */
   val SplitTrainPermille: Int = 800
@@ -2523,6 +2542,46 @@ object PipelineQueries {
          |       round(dcg_raw / idcg_raw, 6) AS ndcg
          |  FROM m CROSS JOIN ideal""".stripMargin
     },
+
+    "q160_coupling_pairs" ->
+      s"""$LinkEdgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |p AS (SELECT a.src AS a, b.src AS b, count(*) AS n_shared
+         |        FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |       GROUP BY a.src, b.src)
+         |SELECT a, b, n_shared FROM p WHERE n_shared >= 2""".stripMargin,
+
+    // The q146 chain with the anchor posting stream unioned in; weights
+    // and (1−b) Scala-interpolated; docs without in-links have no 'a'
+    // rows on either side (the Zaragoza convention).
+    "q161_anchor_rank" ->
+      s"""$LinkEdgesCte,
+         |posts AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term, 'b' AS field FROM documents
+         |  UNION ALL
+         |  SELECT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term, 'a' AS field FROM edges),
+         |tf AS (SELECT doc_id, field, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM posts
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, field, term),
+         |flen AS (SELECT doc_id, field, CAST(count(*) AS DOUBLE) AS fl
+         |           FROM posts GROUP BY doc_id, field),
+         |avgfl AS (SELECT field, avg(fl) AS avgfl FROM flen GROUP BY field),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |         FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |comb AS (SELECT tf.doc_id, tf.term,
+         |                sum((CASE WHEN tf.field = 'a' THEN $AnchorW ELSE $Bm25fWBody END) * tf.tf
+         |                    / ((CASE WHEN tf.field = 'a' THEN ${1 - AnchorB} ELSE ${1 - Bm25fBBody} END)
+         |                       + (CASE WHEN tf.field = 'a' THEN $AnchorB ELSE $Bm25fBBody END)
+         |                         * flen.fl / avgfl.avgfl)) AS tw
+         |           FROM tf JOIN flen USING (doc_id, field) JOIN avgfl USING (field)
+         |          GROUP BY tf.doc_id, tf.term)
+         |SELECT comb.doc_id,
+         |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tw
+         |                 / (${graft.ml.Search.K1} + tw)), 4) AS bm25a
+         |  FROM comb JOIN df USING (term) CROSS JOIN nd
+         | GROUP BY comb.doc_id""".stripMargin,
 
     // The committed read-back must equal the q126 assignment — the
     // oracle closes the write→manifest→read loop, not just the math.

@@ -98,6 +98,22 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0.15, 2L -> 0.85))
   }
 
+  test("couplingPairs: shared-target counting, threshold, maxIndeg prune") {
+    // 1→{10,11,12}; 2→{10,11}; 3→{10}; 4→{20}
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (4L, 20L)).toDF("src", "dst")
+    val got = LinkGraph.couplingPairs(edges, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 2L)))
+    val one = LinkGraph.couplingPairs(edges, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one === Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // dst 10 has in-degree 3: pruning it leaves (1,2) sharing only 11.
+    val pruned = LinkGraph.couplingPairs(edges, minShared = 1, maxIndeg = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pruned === Set((1L, 2L, 1L)))
+  }
+
   test("degreeStats: hand truth including a reciprocal pair") {
     // 1↔2 reciprocal; 1→3, 4→1 one-way.
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")

@@ -915,6 +915,24 @@ class SearchSpec extends AnyFunSuite {
     assert(got(1L) > got(2L), "title hit must outrank body hit")
   }
 
+  test("bm25AnchorScores: anchor evidence outweighs body evidence (scalar truth)") {
+    // doc 1 says 'spark' itself; doc 2 is CALLED 'spark …' by an
+    // incoming anchor but never says it — the anchor field (w=3) wins.
+    val docs = Seq((1L, "spark alpha beta"), (2L, "gamma delta eps"))
+      .toDF("doc_id", "text")
+    val anchors = Seq((9L, 2L, "spark click here")).toDF("src", "dst", "anchor")
+    val got = Search.bm25AnchorScores(docs, anchors, Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    // body: fl=3 both docs, avgfl_b=3 → doc1 tw = 1·1/(0.25+0.75·1) = 1;
+    // anchor: only doc2 has the field, fl=3=avgfl_a → tw = 3·1/(0.5+0.5·1) = 3;
+    // df(spark)=2 (one doc per field), n=2.
+    val idf = math.log((2 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def sc(tw: Double) = idf * tw / (Search.K1 + tw)
+    assert(got(1L) === round4(sc(1.0)))
+    assert(got(2L) === round4(sc(3.0)))
+    assert(got(2L) > got(1L), "anchor evidence outranks body evidence")
+  }
+
   test("championTopK: p covering all postings == bm25TopK; p=1 keeps only each term's champion") {
     val q = Seq("spark", "merge", "vector")
     val full = Search.bm25TopK(corpus, q, k = 10).as[(Long, Double)].collect().toSeq
