@@ -841,7 +841,7 @@ object PipelineQueries {
     * linking page chooses the phrasing, sliced deterministically so
     * different sources contribute different anchors to one target
     * (fixture texts are ≥10 tokens, so every slice is full). */
-  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def linkEdges(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val ids = d.select(col("doc_id").as("dst"))
     def shift(off: Long, filt: org.apache.spark.sql.Column) = d.filter(filt)
