@@ -232,6 +232,29 @@ object Recrawl {
         (col("cum") - col("record_len")).as("byte_offset"))
   }
 
+  /** Sitemap-driven recrawl feed: join the parsed sitemap entries
+    * ([[Sitemaps.parse]] output: canonical url + announced lastmod) to
+    * the crawl's latest capture per canonical url and classify —
+    * 'new' (announced, never captured: schedule a first fetch),
+    * 'stale' (lastmod after the newest capture: the publisher says the
+    * page changed — the freshness loop every production crawler runs
+    * off sitemaps), 'fresh' otherwise. One url-grain hash agg over the
+    * capture log (timestamps only — content/html never shuffles, the
+    * q85 trade) + one equi-join on the canonical url key. */
+  def sitemapStale(entries: DataFrame, pages: DataFrame): DataFrame = {
+    val latest = pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(Canonicalize.canonicalUrl(col("url")).as("url"), col("warc_ts"))
+      .filter(col("url").isNotNull)
+      .groupBy("url").agg(max("warc_ts").as("last_capture"))
+    entries.select(col("url"), col("lastmod"))
+      .join(latest, Seq("url"), "left")
+      .select(col("url"), col("lastmod"), col("last_capture"),
+        when(col("last_capture").isNull, lit("new"))
+          .when(col("lastmod") > col("last_capture"), lit("stale"))
+          .otherwise(lit("fresh")).as("status"))
+  }
+
   /** Per-host capture-volume EWMA forecast — the crawl-rate controller's
     * input: how many captures to EXPECT from each host next hour, as an
     * exponentially-weighted moving average of its hourly capture counts

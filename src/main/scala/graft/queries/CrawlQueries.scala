@@ -385,6 +385,27 @@ object CrawlQueries {
     "q151_volume_forecast" -> ((s, dir) =>
       Recrawl.volumeForecast(pages(s, dir), alpha = EwmaAlpha)),
 
+    // op 166: sitemap-driven recrawl feed — announced lastmod vs the
+    // newest capture per canonical url: 'new' (announced, never
+    // fetched — injected /preview/ entries for doc_id%10==4), 'stale'
+    // (publisher bumped lastmod — +3d injection for doc_id%9==2),
+    // 'fresh' otherwise. The sitemap freshness loop on proven pieces.
+    "q162_sitemap_recrawl" -> ((s, dir) => {
+      val parsed = graft.operators.Sitemaps.parse(sitemapFixture(s, dir))
+      val docId = regexp_extract(col("url"), "articles/([0-9]+)", 1).cast("long")
+      val bumped = parsed.select(col("url"),
+        when(pmod(docId, lit(9)) === 2, col("lastmod") + expr("INTERVAL 3 DAYS"))
+          .otherwise(col("lastmod")).as("lastmod"))
+      val extra = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 4)
+        .select(
+          concat(lit("https://"), col("source"),
+            lit(".example.com/preview/"), col("doc_id")).as("url"),
+          timestamp_seconds(lit(Constants.EPOCH.getEpochSecond) +
+            col("doc_id") * 60L + 60L).as("lastmod"))
+      Recrawl.sitemapStale(bumped.unionByName(extra), pages(s, dir))
+    }),
+
     // op 163: RFC 9309 robots evaluation — wildcard `*`, `$` end-anchor,
     // longest-match-wins with the allow-beats-disallow tie rule, as a
     // pure-Catalyst filter/array_max over a broadcast per-host rules dim
@@ -1011,6 +1032,27 @@ object CrawlQueries {
          |                      ELSE $al * power($om, n - t) * x END), 6) AS ewma
          |  FROM idx GROUP BY host""".stripMargin
     },
+
+    // The injections (lastmod +3d on doc_id%9==2; never-captured
+    // /preview/ rows on doc_id%10==4) and the classify rule mirrored
+    // clause-for-clause; timestamps compare exactly (integer seconds).
+    "q162_sitemap_recrawl" ->
+      s"""$PagesCte,
+         |latest AS (SELECT url, max(warc_ts) AS last_capture FROM canon GROUP BY url),
+         |entries AS (
+         |  SELECT 'https://' || source || '.example.com/articles/' || CAST(doc_id AS VARCHAR) AS url,
+         |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT))
+         |           + CASE WHEN doc_id % 9 = 2 THEN INTERVAL 3 DAY ELSE INTERVAL 0 DAY END AS lastmod
+         |    FROM documents
+         |  UNION ALL
+         |  SELECT 'https://' || source || '.example.com/preview/' || CAST(doc_id AS VARCHAR),
+         |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) + to_seconds(60)
+         |    FROM documents WHERE doc_id % 10 = 4)
+         |SELECT e.url, e.lastmod, latest.last_capture,
+         |       CASE WHEN latest.last_capture IS NULL THEN 'new'
+         |            WHEN e.lastmod > latest.last_capture THEN 'stale'
+         |            ELSE 'fresh' END AS status
+         |  FROM entries e LEFT JOIN latest USING (url)""".stripMargin,
 
     // The VALUES rules carry hand-simplified regexes semantically equal
     // to the engine's compiled \Q..\E forms (the literal segments hold

@@ -227,6 +227,27 @@ class RecrawlSpec extends AnyFunSuite {
     assert(got.size === 26) // every redirecting url resolves to one row
   }
 
+  test("sitemapStale: new / stale / fresh classification against the capture log") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60L))
+    val pages = Seq(
+      ("https://h.example.com/a", ts(10)),
+      ("https://h.example.com/a", ts(50)), // newest capture of /a
+      ("https://h.example.com/b", ts(20))).toDF("url", "warc_ts")
+    val entries = Seq(
+      ("https://h.example.com/a", ts(40)), // lastmod before newest capture → fresh
+      ("https://h.example.com/b", ts(30)), // lastmod after its only capture → stale
+      ("https://h.example.com/c", ts(5))   // never captured → new
+    ).toDF("url", "lastmod")
+    val got = Recrawl.sitemapStale(entries, pages)
+      .as[(String, Timestamp, Option[Timestamp], String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got("https://h.example.com/a") === ((Some(ts(50)), "fresh")))
+    assert(got("https://h.example.com/b") === ((Some(ts(20)), "stale")))
+    assert(got("https://h.example.com/c") === ((None, "new")))
+  }
+
   test("cdxBlockIndex: block boundaries, first record per block, byte mass") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.from(
