@@ -258,4 +258,54 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.toString.contains("Aggregate"), "no aggregate in top-k plan")
     }
   }
+
+  test("q147 champion pruning: rank<=p plans as WindowGroupLimit (partial below the exchange)") {
+    withStaticPlans {
+      val docs = (1L to 60L)
+        .map(i => (i, s"spark merge w${i % 7} w${i % 5} filler"))
+        .toDF("doc_id", "text")
+      val plan = graft.ml.Search.championTopK(docs, Seq("spark", "merge"), p = 3, k = 10)
+        .queryExecution.executedPlan
+      val limits = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      assert(limits.size >= 2, // partial (pre-shuffle) + final
+        s"champion rank filter did not plan as partial+final WindowGroupLimit:\n$plan")
+      // and the global cut stays TakeOrderedAndProject — no global sort
+      assert(plan.toString.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    }
+  }
+
+  test("q152 hard negatives: equi-joins only — no nested-loop / cartesian on the pair path") {
+    withStaticPlans {
+      val docs = (1L to 40L)
+        .map(i => (i, s"a${i % 11} b${i % 7} c${i % 5} d${i % 3} common"))
+        .toDF("doc_id", "text")
+      val plan = graft.ml.Corpus.hardNegatives(docs, col("doc_id") % 5 === 0, k = 3)
+        .queryExecution.executedPlan
+      val bad = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(bad.isEmpty, s"pair generation fell back to a nested loop:\n$plan")
+    }
+  }
+
+  test("q156 novelty curve: first-occurrence join carries 8-byte keys, not shingle strings") {
+    withStaticPlans {
+      import java.sql.Timestamp
+      val docs = (1L to 30L)
+        .map(i => (i, s"w${i % 9} w${i % 7} w${i % 5} w${i % 3} tail",
+          Timestamp.from(java.time.Instant.ofEpochSecond(i * 3600))))
+        .toDF("doc_id", "text", "ts")
+      val plan = graft.ml.Corpus.noveltyCurve(docs)
+        .queryExecution.executedPlan
+      for (ex <- plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }) {
+        val carried = ex.child.output.map(_.name).toSet
+        assert(!carried.contains("s"),
+          s"a shuffle carries raw shingle strings ($carried):\n$plan")
+      }
+    }
+  }
 }
