@@ -362,6 +362,71 @@ object Search {
       .select(col("term"), col("df"))
   }
 
+  /** MaxScore-bounded EXACT top-k retrieval (Turtle & Flood 1995 /
+    * the WAND family, batch-shaped): compute per-term UPPER BOUNDS
+    * (each term's maximum per-document score contribution), lower-bound
+    * the kth score with a champion pass, and fully score ONLY documents
+    * whose sum of matched-term upper bounds reaches that threshold.
+    * Provably exact: θ is the kth-best FULL score of the champion docs
+    * (a subset ⇒ θ ≤ true kth), and any doc with full score ≥ θ has
+    * Σ ub_t ≥ score ≥ θ, so every true top-k doc survives the bound
+    * filter. Output == [[bm25TopK]] by construction (pinned in
+    * SearchSpec); at scale the rescoring set is the small bound-passing
+    * slice instead of every matching document.
+    *
+    * Plan: the per-(doc, term) contribution frame is built once with
+    * the q53 shapes (query-filter-first postings, two-level tf agg,
+    * 1-row stats broadcast); bounds/θ are term-count- and 1-row-sized
+    * broadcasts; the champion pass reuses the WindowGroupLimit shape;
+    * the final cut is TakeOrderedAndProject. */
+  def maxScoreTopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      p: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty && k >= 1 && p >= 1, "need terms, k, p")
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(queryTerms.map(t => t: Any): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = tf.join(df, Seq("term")).join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (idf * col("tf") * lit(K1 + 1) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))).as("s"))
+    // per-term upper bound: the best contribution any document gets
+    val ub = contrib.groupBy("term").agg(max("s").as("ub"))
+    // champion pass → θ = kth-best FULL score among champion docs
+    val champDocs = contrib
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rn") <= p).select("doc_id").distinct()
+    // θ is a valid kth-score lower bound ONLY once the champion pass
+    // surfaced ≥ k distinct docs (the min over fewer docs would sit
+    // ABOVE the true kth and prune real results) — below that the
+    // threshold collapses to −∞ and nothing is pruned.
+    val theta = contrib.join(champDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(sum("s").as("raw"))
+      .orderBy(col("raw").desc, col("doc_id")).limit(k)
+      .agg(min("raw").as("theta_k"), count(lit(1)).as("n_champ"))
+      .select(when(col("n_champ") >= k, col("theta_k"))
+        .otherwise(lit(Double.NegativeInfinity)).as("theta"))
+    // bound filter: docs whose matched-term bound sum reaches θ
+    val candidates = contrib.select("doc_id", "term")
+      .join(broadcast(ub), Seq("term"))
+      .groupBy("doc_id").agg(sum("ub").as("bound"))
+      .crossJoin(broadcast(theta))
+      .filter(col("bound") >= col("theta"))
+      .select("doc_id")
+    contrib.join(candidates, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(sum("s").as("raw"))
+      .orderBy(col("raw").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), round(col("raw"), 4).as("bm25"))
+  }
+
   /** Dirichlet-smoothing default (Zhai & Lafferty 2001/2004's standard). */
   val Mu: Double = 2000.0
 

@@ -763,6 +763,12 @@ object PipelineQueries {
           expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')")),
         n = 3)),
 
+    // op 167: MaxScore-bounded exact top-k — per-term score upper
+    // bounds + a champion-pass kth-score threshold prune the rescoring
+    // set with a PROVABLE exactness guarantee (output == q53's top-k).
+    "q163_maxscore_topk" -> ((s, dir) =>
+      Search.maxScoreTopK(docs(s, dir), Bm25QueryTerms, k = MaxScoreK, p = MaxScoreP)),
+
     // op 164: bibliographic-coupling pairs — pages linking to ≥2 common
     // targets ("cite the same sources" relatedness; orthogonal to
     // anchors/PageRank). dst-keyed self-join; super-connected targets
@@ -801,6 +807,10 @@ object PipelineQueries {
   /** q161's anchor-field BM25F weights (a2 rule). */
   val AnchorW: Double = 3.0
   val AnchorB: Double = 0.5
+
+  /** q163's cut and champion-pass sizes (a2 rule). */
+  val MaxScoreK: Int = 12
+  val MaxScoreP: Int = 4
 
   /** q150's split cuts — interpolated into the oracle (a2 rule). */
   val SplitTrainPermille: Int = 800
@@ -2542,6 +2552,25 @@ object PipelineQueries {
          |       round(dcg_raw / idcg_raw, 6) AS ndcg
          |  FROM m CROSS JOIN ideal""".stripMargin
     },
+
+    // The oracle is the PLAIN exact top-k (q53 formula, raw-score cut
+    // with doc_id tiebreak) — the pruning must be invisible by proof.
+    "q163_maxscore_topk" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |              sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+         |                  / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))) AS raw
+         |         FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+         |        GROUP BY doc_id)
+         |SELECT doc_id, round(raw, 4) AS bm25 FROM sc
+         | ORDER BY raw DESC, doc_id LIMIT $MaxScoreK""".stripMargin,
 
     "q160_coupling_pairs" ->
       s"""$LinkEdgesCte,

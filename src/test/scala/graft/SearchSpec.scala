@@ -915,6 +915,32 @@ class SearchSpec extends AnyFunSuite {
     assert(got(1L) > got(2L), "title hit must outrank body hit")
   }
 
+  test("maxScoreTopK == bm25TopK exactly, across corpora and champion sizes") {
+    // Skewed corpus: 'rare' concentrated in 3 docs, 'common' everywhere —
+    // the regime the bound prune exists for.
+    val skewed = (1L to 40L).map { i =>
+      val words = if (i <= 3) "rare rare spark common" else s"common w${i % 5} w${i % 7} x y"
+      (i, words)
+    }.toDF("doc_id", "text")
+    val q = Seq("rare", "spark", "common")
+    // champion pass (p=2 → 2 distinct docs) < k=5: θ must collapse to
+    // −∞ (the under-filled-champion regime that would otherwise prune
+    // real results) — still exact.
+    val exact = Search.bm25TopK(skewed, q, 5).as[(Long, Double)].collect().toSeq
+    val got = Search.maxScoreTopK(skewed, q, 5, p = 2).as[(Long, Double)].collect().toSeq
+    assert(got === exact, "pruned retrieval must be invisible")
+    // k=2 ≤ champion count: θ is live and the common-only docs fall
+    // below the bound — pruning ACTIVE and still invisible.
+    val exact2 = Search.bm25TopK(skewed, q, 2).as[(Long, Double)].collect().toSeq
+    val got2 = Search.maxScoreTopK(skewed, q, 2, p = 2).as[(Long, Double)].collect().toSeq
+    assert(got2 === exact2)
+    // and on the shared hand corpus with the tightest champion pass
+    val q2 = Seq("spark", "merge", "vector")
+    val e2 = Search.bm25TopK(corpus, q2, 3).as[(Long, Double)].collect().toSeq
+    val g2 = Search.maxScoreTopK(corpus, q2, 3, p = 1).as[(Long, Double)].collect().toSeq
+    assert(g2 === e2)
+  }
+
   test("bm25AnchorScores: anchor evidence outweighs body evidence (scalar truth)") {
     // doc 1 says 'spark' itself; doc 2 is CALLED 'spark …' by an
     // incoming anchor but never says it — the anchor field (w=3) wins.
