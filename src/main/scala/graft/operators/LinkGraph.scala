@@ -128,6 +128,21 @@ object LinkGraph {
     ranks.select(col("node").as("doc_id"), round(col("rank"), 6).as("trust"))
   }
 
+  /** Host-level link-graph rollup: page edges aggregated to the
+    * (src_host, dst_host) grain, same-host navigation excluded — the
+    * inter-publisher citation matrix that seeds TrustRank whitelists
+    * and surfaces link farms (a host pair with an absurd one-way link
+    * mass). Two 8-byte-key dim joins + one pair-grain hash agg; at a
+    * 10^10-page graph the OUTPUT is host²-bounded, which is the point
+    * of rolling up before any analysis. */
+  def hostGraph(edges: DataFrame, hosts: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    e.join(hosts.select(col("doc_id").as("src"), col("host").as("src_host")), Seq("src"))
+      .join(hosts.select(col("doc_id").as("dst"), col("host").as("dst_host")), Seq("dst"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
+  }
+
   /** Bibliographic-coupling pairs (Kessler 1963, the link-based
     * relatedness signal orthogonal to anchors/PageRank): two pages are
     * coupled iff they LINK TO ≥ `minShared` common targets — "cite the

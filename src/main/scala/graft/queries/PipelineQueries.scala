@@ -769,6 +769,14 @@ object PipelineQueries {
     "q163_maxscore_topk" -> ((s, dir) =>
       Search.maxScoreTopK(docs(s, dir), Bm25QueryTerms, k = MaxScoreK, p = MaxScoreP)),
 
+    // op 168: host-level link rollup — the inter-publisher citation
+    // matrix (same-host navigation excluded); host²-bounded output.
+    "q164_host_graph" -> ((s, dir) =>
+      graft.operators.LinkGraph.hostGraph(
+        linkEdges(s, dir),
+        docs(s, dir).select(col("doc_id"),
+          concat(col("source"), lit(".example.com")).as("host")))),
+
     // op 164: bibliographic-coupling pairs — pages linking to ≥2 common
     // targets ("cite the same sources" relatedness; orthogonal to
     // anchors/PageRank). dst-keyed self-join; super-connected targets
@@ -2571,6 +2579,15 @@ object PipelineQueries {
          |        GROUP BY doc_id)
          |SELECT doc_id, round(raw, 4) AS bm25 FROM sc
          | ORDER BY raw DESC, doc_id LIMIT $MaxScoreK""".stripMargin,
+
+    "q164_host_graph" ->
+      s"""$LinkEdgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |h AS (SELECT doc_id, source || '.example.com' AS host FROM documents)
+         |SELECT hs.host AS src_host, hd.host AS dst_host, count(*) AS n_links
+         |  FROM e JOIN h hs ON hs.doc_id = e.src JOIN h hd ON hd.doc_id = e.dst
+         | WHERE hs.host <> hd.host
+         | GROUP BY hs.host, hd.host""".stripMargin,
 
     "q160_coupling_pairs" ->
       s"""$LinkEdgesCte,

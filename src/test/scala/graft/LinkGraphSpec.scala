@@ -98,6 +98,16 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0.15, 2L -> 0.85))
   }
 
+  test("hostGraph: inter-host rollup excludes same-host edges, counts distinct page links") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
+    val hosts = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "host")
+    val got = LinkGraph.hostGraph(edges, hosts)
+      .as[(String, String, Long)].collect().toSet
+    // 1→2 same-host dropped (and the duplicate edge deduped first);
+    // a→b carries 1→3 and 2→3; b→a carries 3→1.
+    assert(got === Set(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
   test("couplingPairs: shared-target counting, threshold, maxIndeg prune") {
     // 1→{10,11,12}; 2→{10,11}; 3→{10}; 4→{20}
     val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
