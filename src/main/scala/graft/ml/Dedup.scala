@@ -351,6 +351,36 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Near-dup threshold sensitivity sweep — the tuning audit run before
+    * committing a dedup threshold: per candidate threshold, how many
+    * pairs fire and how many documents they touch. The pair relation is
+    * computed ONCE at the LOWEST threshold (PPJoin pruning at t_min is
+    * lossless, so every higher threshold's pair set is a filter of it —
+    * one kernel pass for the whole curve, never a per-threshold rerun);
+    * the per-threshold expansion is a plan-time-constant array explode
+    * on the PAIR grain (pairs × |T| rows, not corpus × |T|). Thresholds
+    * with zero pairs still appear (that IS the signal the audit wants).
+    * Counts compare the 4-dp-rounded Jaccard exactly as
+    * [[ngramJaccardPairs]]'s own gate does. */
+  def thresholdSweep(docs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val tArr = array(thresholds.distinct.sorted.map(lit): _*)
+    val tagged = ngramJaccardPairs(docs, thresholds.min)
+      .select(col("a"), col("b"), col("jaccard"), explode(tArr).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val perT = tagged.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docsAff = tagged
+      .select(col("threshold"), explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs_affected"))
+    docs.sparkSession.range(1).select(explode(tArr).as("threshold"))
+      .join(perT, Seq("threshold"), "left")
+      .join(docsAff, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+  }
+
   /** DIRECTED containment near-dups: (a, b, containment) with
     * containment = |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold and a ≠ b — the
     * asymmetric sibling of [[ngramJaccardPairs]]. A short document living

@@ -769,6 +769,12 @@ object PipelineQueries {
     "q163_maxscore_topk" -> ((s, dir) =>
       Search.maxScoreTopK(docs(s, dir), Bm25QueryTerms, k = MaxScoreK, p = MaxScoreP)),
 
+    // op 169: near-dup threshold sensitivity sweep — pairs and affected
+    // docs per candidate threshold, ONE kernel pass at t_min (lossless
+    // PPJoin superset) + a pair-grain constant-array explode.
+    "q165_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(docs(s, dir), SweepThresholds)),
+
     // op 168: host-level link rollup — the inter-publisher citation
     // matrix (same-host navigation excluded); host²-bounded output.
     "q164_host_graph" -> ((s, dir) =>
@@ -819,6 +825,9 @@ object PipelineQueries {
   /** q163's cut and champion-pass sizes (a2 rule). */
   val MaxScoreK: Int = 12
   val MaxScoreP: Int = 4
+
+  /** q165's candidate thresholds (a2 rule). */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
   /** q150's split cuts — interpolated into the oracle (a2 rule). */
   val SplitTrainPermille: Int = 800
@@ -2579,6 +2588,32 @@ object PipelineQueries {
          |        GROUP BY doc_id)
          |SELECT doc_id, round(raw, 4) AS bm25 FROM sc
          | ORDER BY raw DESC, doc_id LIMIT $MaxScoreK""".stripMargin,
+
+    // The oracle sweeps the SAME rounded-Jaccard all-pairs relation the
+    // q33/q46 oracles use; zero-pair thresholds survive the left joins.
+    "q165_threshold_sweep" -> {
+      val tValues = SweepThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, lang,
+         |         list_distinct(list_transform(generate_series(1, len(t)-2),
+         |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM toks),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |             round(len(list_intersect(a.s, b.s)) * 1.0
+         |                   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         |        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         |t(threshold) AS (VALUES $tValues),
+         |m AS (SELECT t.threshold, p.a, p.b FROM p JOIN t ON p.jaccard >= t.threshold),
+         |np AS (SELECT threshold, count(*) AS n_pairs FROM m GROUP BY threshold),
+         |nd AS (SELECT threshold, count(*) AS n FROM (
+         |         SELECT DISTINCT threshold, doc FROM (
+         |           SELECT threshold, a AS doc FROM m
+         |           UNION ALL SELECT threshold, b FROM m) AS u) AS v
+         |        GROUP BY threshold)
+         |SELECT t.threshold, COALESCE(np.n_pairs, 0) AS n_pairs,
+         |       COALESCE(nd.n, 0) AS n_docs_affected
+         |  FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)""".stripMargin
+    },
 
     "q164_host_graph" ->
       s"""$LinkEdgesCte,

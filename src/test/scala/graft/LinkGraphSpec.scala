@@ -63,6 +63,57 @@ class LinkGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("seedDepths == scalar BFS on seeded random graphs (3 seeds × cycles allowed)") {
+    for (seed <- Seq(11, 29, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val seeds = (0 until 3).map(_ => rnd.nextInt(n).toLong).distinct
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (r <- 1 to 5) {
+        val next = frontier.flatMap(x => adj.getOrElse(x, Nil)).diff(dist.keySet)
+        dist ++= next.map(_ -> r)
+        frontier = next
+      }
+      val got = LinkGraph.seedDepths(edges.toDF("src", "dst"), seeds.toDF("doc_id"), rounds = 5)
+        .as[(Long, Int)].collect().toMap
+      assert(got === dist, s"seed=$seed")
+    }
+  }
+
+  test("trustrank conserves bounded mass and matches scalar iteration on random graphs") {
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val seeds = nodes.take(3)
+      val d = 0.85
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val tele = nodes.map(x => x -> (if (seeds.contains(x)) 1.0 / seeds.size else 0.0)).toMap
+      var rank = tele
+      for (_ <- 1 to 3) {
+        val in = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+        for ((s, dsts) <- adj if rank.contains(s); dst <- dsts if rank.contains(dst))
+          in(dst) += rank(s) / dsts.size
+        rank = nodes.map(x => x -> ((1.0 - d) * tele(x) + d * in(x))).toMap
+      }
+      val got = LinkGraph.trustrank(edges.toDF("src", "dst"), seeds.toDF("doc_id"),
+        iters = 3, damping = d).as[(Long, Double)].collect().toMap
+      assert(got.keySet === nodes.toSet, s"seed=$seed")
+      for (x <- nodes) {
+        val want = BigDecimal(rank(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got(x) - want) <= 1e-6, s"seed=$seed node=$x: ${got(x)} vs ${rank(x)}")
+      }
+      // total mass never exceeds 1 (teleport 1, damping leaks via dangling nodes)
+      assert(got.values.sum <= 1.0 + 1e-9, s"seed=$seed mass ${got.values.sum}")
+    }
+  }
+
   test("trustrank == scalar power iteration; unreachable island scores teleport-zero") {
     // Seeded star: 0 links to 1,2; 1→2; island 7→8 no trusted path.
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (7L, 8L)).toDF("src", "dst")

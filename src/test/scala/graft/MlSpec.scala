@@ -729,4 +729,25 @@ class MlSpec extends AnyFunSuite {
       assert(fps(i * 2L + 1L) === winnowRef(b, 3, 4))
     }
   }
+
+  test("thresholdSweep: monotone curve, hand truth, zero-pair thresholds survive") {
+    // Identical docs (J=1.0), a 5-shared / 7-union pair (J=0.7143), and
+    // an unrelated doc.
+    val docs = Seq(
+      (1L, "a b c d e f g"),     // shingles {abc,bcd,cde,def,efg} (5)
+      (2L, "a b c d e f g"),     // identical → J(1,2)=1.0
+      (3L, "a b c d e f x"),     // {abc,bcd,cde,def,efx}: ∩=4, ∪=6 → 0.6667
+      (4L, "p q r s t u v"))     // unrelated
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Dedup.thresholdSweep(docs, Seq(0.5, 0.7, 0.9, 0.99))
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    // t=0.5: pairs (1,2) 1.0, (1,3) .6667, (2,3) .6667 → 3 pairs, 3 docs
+    // t=0.7: only (1,2) → 1 pair, 2 docs; t=0.9 same; t=0.99 same (J=1.0)
+    assert(got === Array(
+      (0.5, 3L, 3L), (0.7, 1L, 2L), (0.9, 1L, 2L), (0.99, 1L, 2L)))
+    // a sweep past every pair keeps the zero rows
+    val hi = Dedup.thresholdSweep(docs.filter(col("doc_id") =!= 2), Seq(0.9, 0.99))
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    assert(hi === Array((0.9, 0L, 0L), (0.99, 0L, 0L)))
+  }
 }
