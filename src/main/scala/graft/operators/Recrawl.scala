@@ -176,6 +176,45 @@ object Recrawl {
       .select("url", "warc_ts", "is_revisit")
   }
 
+  /** WARC storage-savings audit: per host, how many captures a
+    * deduplicating writer stores as lightweight `revisit` records
+    * (digest == previous capture of the same canonical url — the
+    * [[revisitRecords]] rule) and the byte mass that saves —
+    * the capacity-planning number behind running revisit dedup at all.
+    *
+    * Same shape as revisitRecords: digest AND record length computed
+    * MAP-SIDE (content never shuffles; the url-partition window carries
+    * 8-byte digests + lengths), then one host-grain hash agg;
+    * savings_ratio is one exact division of exactly-summed integers
+    * (q140 discipline). */
+  def warcSavings(pages: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"))
+      .orderBy(col("warc_ts").asc, col("digest").asc)
+    pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(
+        Canonicalize.canonicalUrl(col("url")).as("url"),
+        col("warc_ts"),
+        xxhash64(col("text")).as("digest"),
+        octet_length(col("text")).cast("long").as("record_len"))
+      .filter(col("url").isNotNull)
+      .withColumn("is_revisit",
+        coalesce(lag(col("digest"), 1).over(w) === col("digest"), lit(false)))
+      .withColumn("host", try_parse_url(col("url"), lit("HOST")))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_captures"),
+        sum(when(col("is_revisit"), lit(1L)).otherwise(lit(0L))).as("n_revisits"),
+        sum("record_len").as("bytes_total"),
+        sum(when(!col("is_revisit"), col("record_len")).otherwise(lit(0L)))
+          .as("bytes_stored"))
+      .select(col("host"), col("n_captures"), col("n_revisits"),
+        col("bytes_total"), col("bytes_stored"),
+        ((col("bytes_total") - col("bytes_stored")).cast("double") /
+          col("bytes_total").cast("double")).as("savings_ratio"))
+  }
+
   /** URL-template mining: collapse digit runs to `{N}` and group by
     * (host, path-template) — the crawl-trap / site-structure profile
     * (a template whose distinct-url cardinality explodes is an infinite

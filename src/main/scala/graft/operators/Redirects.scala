@@ -33,6 +33,26 @@ import org.apache.spark.sql.functions._
   * final_url/hops agree even on loops. */
 object Redirects {
 
+  /** Redirect-aware frontier collapse: map every frontier url to its
+    * EFFECTIVE fetch target (the redirect chain's terminal for resolved
+    * redirect sources, itself otherwise) and count how many frontier
+    * entries land on each — the dedup a seen-set keyed on raw urls
+    * misses (an /old/ alias and its /articles/ target would both fetch).
+    * Unresolved sources (loops / over-cap chains) are DROPPED — the
+    * polite client abandons them, so they never reach the fetch queue.
+    * One left equi-join of the (distinct) frontier against the
+    * pointer-doubled jump table + one hash agg on the effective key. */
+  def frontierCollapse(frontier: DataFrame, edges: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    val res = resolve(edges, rounds)
+    frontier.select(col("url")).distinct()
+      .join(res.select(col("src_url").as("url"), col("final_url"), col("status")),
+        Seq("url"), "left")
+      .filter(coalesce(col("status"), lit("ok")) === "ok")
+      .select(coalesce(col("final_url"), col("url")).as("effective_url"))
+      .groupBy("effective_url").agg(count(lit(1)).as("n_entries"))
+  }
+
   /** Resolve every redirecting url in `edges(src, dst)` to
     * (src_url, final_url, hops, status) where status ∈ {'ok',
     * 'unresolved'}; chains up to 2^rounds hops resolve exactly. */

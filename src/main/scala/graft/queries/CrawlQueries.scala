@@ -385,6 +385,21 @@ object CrawlQueries {
     "q151_volume_forecast" -> ((s, dir) =>
       Recrawl.volumeForecast(pages(s, dir), alpha = EwmaAlpha)),
 
+    // op 170: redirect-aware frontier collapse — the frontier (canonical
+    // candidates ∪ discovered redirect sources) mapped to effective
+    // fetch targets; aliases collapse, unresolved loops are abandoned.
+    "q166_redirect_collapse" -> ((s, dir) =>
+      graft.operators.Redirects.frontierCollapse(
+        allCandidates(s, dir).select("url")
+          .union(redirectEdges(s, dir).select(col("src").as("url"))),
+        redirectEdges(s, dir))),
+
+    // op 171: WARC revisit storage savings — per host the capture/
+    // revisit split and byte mass a deduplicating writer saves (the
+    // q132 rule at the capacity-planning grain).
+    "q167_warc_savings" -> ((s, dir) =>
+      Recrawl.warcSavings(pages(s, dir))),
+
     // op 166: sitemap-driven recrawl feed — announced lastmod vs the
     // newest capture per canonical url: 'new' (announced, never
     // fetched — injected /preview/ entries for doc_id%10==4), 'stale'
@@ -1032,6 +1047,61 @@ object CrawlQueries {
          |                      ELSE $al * power($om, n - t) * x END), 6) AS ewma
          |  FROM idx GROUP BY host""".stripMargin
     },
+
+    // The q134 recursive walk picks each source's terminal; the frontier
+    // union and the ok-only collapse rule mirrored clause-for-clause.
+    "q166_redirect_collapse" ->
+      s"""${PagesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |b2 AS (
+         |  SELECT doc_id, 'https://' || source || '.example.com' AS base,
+         |         CAST(doc_id AS VARCHAR) AS id FROM documents),
+         |e2 AS (
+         |  SELECT base || '/old/' || id AS src, base || '/articles/' || id AS dst FROM b2 WHERE doc_id % 17 = 1
+         |  UNION ALL SELECT base || '/legacy/' || id, base || '/old2/' || id FROM b2 WHERE doc_id % 17 = 2
+         |  UNION ALL SELECT base || '/old2/' || id, base || '/articles/' || id FROM b2 WHERE doc_id % 17 = 2
+         |  UNION ALL SELECT base || '/l1/' || id, base || '/l2/' || id FROM b2 WHERE doc_id % 17 = 3
+         |  UNION ALL SELECT base || '/l2/' || id, base || '/l3/' || id FROM b2 WHERE doc_id % 17 = 3
+         |  UNION ALL SELECT base || '/l3/' || id, base || '/articles/' || id FROM b2 WHERE doc_id % 17 = 3
+         |  UNION ALL SELECT base || '/a/' || id, base || '/b/' || id FROM b2 WHERE doc_id % 17 = 4
+         |  UNION ALL SELECT base || '/b/' || id, base || '/a/' || id FROM b2 WHERE doc_id % 17 = 4
+         |  UNION ALL SELECT base || '/self/' || id, base || '/self/' || id FROM b2 WHERE doc_id % 17 = 5),
+         |walk AS (
+         |  SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e2
+         |  UNION ALL
+         |  SELECT w.src, e2.dst, w.hops + 1 FROM walk w JOIN e2 ON w.cur = e2.src
+         |   WHERE w.hops < 16),
+         |res AS (
+         |  SELECT src AS src_url, cur AS final_url,
+         |         CASE WHEN cur IN (SELECT src FROM e2) THEN 'unresolved' ELSE 'ok' END AS status
+         |    FROM (SELECT src, cur, hops,
+         |                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+         |            FROM walk) AS t
+         |   WHERE rn = 1),
+         |frontier AS (
+         |  SELECT url FROM (SELECT url FROM canon GROUP BY url) AS c
+         |  UNION SELECT src FROM e2),
+         |eff AS (SELECT COALESCE(r.final_url, f.url) AS effective_url
+         |          FROM frontier f LEFT JOIN res r ON r.src_url = f.url
+         |         WHERE COALESCE(r.status, 'ok') = 'ok')
+         |SELECT effective_url, count(*) AS n_entries
+         |  FROM eff GROUP BY effective_url""".stripMargin,
+
+    // The q132 lag rule (text equality; the engine's digest tie-break is
+    // determinism safety — fixture ts are unique per url) with byte
+    // masses; savings_ratio is one exact division of summed integers.
+    "q167_warc_savings" ->
+      s"""$PagesCte,
+         |r AS (SELECT host, CAST(octet_length(encode(text)) AS BIGINT) AS record_len,
+         |             COALESCE(lag(text) OVER (PARTITION BY url ORDER BY warc_ts) = text,
+         |                      false) AS isrev
+         |        FROM canon)
+         |SELECT host, count(*) AS n_captures,
+         |       CAST(sum(CASE WHEN isrev THEN 1 ELSE 0 END) AS BIGINT) AS n_revisits,
+         |       CAST(sum(record_len) AS BIGINT) AS bytes_total,
+         |       CAST(sum(CASE WHEN isrev THEN 0 ELSE record_len END) AS BIGINT) AS bytes_stored,
+         |       CAST(sum(CASE WHEN isrev THEN record_len ELSE 0 END) AS DOUBLE)
+         |         / CAST(sum(record_len) AS DOUBLE) AS savings_ratio
+         |  FROM r GROUP BY host""".stripMargin,
 
     // The injections (lastmod +3d on doc_id%9==2; never-captured
     // /preview/ rows on doc_id%10==4) and the classify rule mirrored

@@ -769,6 +769,17 @@ object PipelineQueries {
     "q163_maxscore_topk" -> ((s, dir) =>
       Search.maxScoreTopK(docs(s, dir), Bm25QueryTerms, k = MaxScoreK, p = MaxScoreP)),
 
+    // op 172: anchor/content agreement audit — link targets whose
+    // DOMINANT incoming anchor term never appears in their own body
+    // (the classic clickbait/nepotistic-link tell: the web calls the
+    // page something it never says). Composes the q141 profile with one
+    // codegen'd containment probe.
+    "q168_anchor_mismatch" -> ((s, dir) =>
+      graft.operators.LinkGraph.anchorProfiles(linkEdges(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("top_term"), col("top_links"),
+          array_contains(split(col("text"), " "), col("top_term")).as("in_body"))),
+
     // op 169: near-dup threshold sensitivity sweep — pairs and affected
     // docs per candidate threshold, ONE kernel pass at t_min (lossless
     // PPJoin superset) + a pair-grain constant-array explode.
@@ -2316,6 +2327,22 @@ object PipelineQueries {
          |       (sum(nd) * sum(nd)) / (count(*) * sum(nd * nd)) AS jain,
          |       round(ln(sum(nd)) - sum(nd * ln(nd)) / sum(nd), 6) AS entropy
          |  FROM c GROUP BY lang""".stripMargin,
+
+    // The q141 profile CTE + one list_contains probe against the body.
+    "q168_anchor_mismatch" ->
+      s"""$LinkEdgesCte,
+         |t AS (SELECT dst, unnest(string_split(anchor, ' ')) AS term FROM edges),
+         |tc AS (SELECT dst, term, count(*) AS n_links FROM t GROUP BY dst, term),
+         |r AS (SELECT dst, term, n_links,
+         |             ROW_NUMBER() OVER (PARTITION BY dst
+         |                                ORDER BY n_links DESC, term) AS rn
+         |        FROM tc),
+         |p AS (SELECT dst, max(CASE WHEN rn = 1 THEN term END) AS top_term,
+         |             max(CASE WHEN rn = 1 THEN n_links END) AS top_links
+         |        FROM r GROUP BY dst)
+         |SELECT p.dst AS doc_id, p.top_term, p.top_links,
+         |       list_contains(string_split(d.text, ' '), p.top_term) AS in_body
+         |  FROM p JOIN documents d ON d.doc_id = p.dst""".stripMargin,
 
     // Window only on the (dst, term) aggregated grain, mirrored by the
     // same ROW_NUMBER tie-break (n_links DESC, term ASC).

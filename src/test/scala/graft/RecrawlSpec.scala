@@ -227,6 +227,41 @@ class RecrawlSpec extends AnyFunSuite {
     assert(got.size === 26) // every redirecting url resolves to one row
   }
 
+  test("frontierCollapse: aliases collapse onto terminals, loops abandoned, plain urls pass") {
+    val edges = Seq(
+      ("https://h/old/1", "https://h/articles/1"),          // 1-hop alias
+      ("https://h/legacy/2", "https://h/old2/2"),           // 2-hop chain
+      ("https://h/old2/2", "https://h/articles/2"),
+      ("https://h/a/9", "https://h/b/9"),                   // 2-cycle → abandoned
+      ("https://h/b/9", "https://h/a/9")).toDF("src", "dst")
+    val frontier = Seq(
+      "https://h/articles/1", "https://h/old/1",            // collapse to 2 entries
+      "https://h/legacy/2", "https://h/old2/2", "https://h/articles/2", // 3 entries
+      "https://h/a/9", "https://h/b/9",                     // dropped
+      "https://h/articles/3").toDF("url")                   // plain: passes as itself
+    val got = graft.operators.Redirects.frontierCollapse(frontier, edges)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "https://h/articles/1" -> 2L,
+      "https://h/articles/2" -> 3L,
+      "https://h/articles/3" -> 1L))
+  }
+
+  test("warcSavings: per-host revisit byte accounting, exact ratio") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60L))
+    // host a, url /x: A(4 bytes) → A(revisit, 4) → B(3); url /y: C(2).
+    val pages = Seq(
+      ("https://a.example.com/x", ts(1), "aaaa"),
+      ("https://a.example.com/x", ts(2), "aaaa"),
+      ("https://a.example.com/x", ts(3), "bbb"),
+      ("https://a.example.com/y", ts(4), "cc")).toDF("url", "warc_ts", "text")
+    val got = Recrawl.warcSavings(pages)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got === Array(("a.example.com", 4L, 1L, 13L, 9L, 4.0 / 13.0)))
+  }
+
   test("sitemapStale: new / stale / fresh classification against the capture log") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.from(
