@@ -385,6 +385,36 @@ object CrawlQueries {
     "q151_volume_forecast" -> ((s, dir) =>
       Recrawl.volumeForecast(pages(s, dir), alpha = EwmaAlpha)),
 
+    // op 173: politeness-funnel telemetry — per host the three-way split
+    // the scheduler ALREADY computes (robots-excluded / scheduled ≤
+    // budget / deferred past budget) plus the served share of allowed
+    // demand; the ops view of where frontier demand goes, with no
+    // formula re-derived (drift-proof by construction).
+    "q169_politeness_funnel" -> ((s, dir) => {
+      val out = Scheduler.schedule(
+        allCandidates(s, dir),
+        fix(s, dir, "robots"), fix(s, dir, "source_weights"),
+        fix(s, dir, "budgets"), CrawlConfig())
+      val hosts = allCandidates(s, dir).select("host").distinct()
+      val sched = out.scheduled.groupBy("host").agg(count(lit(1)).as("n_scheduled"))
+      val defer = out.deferred.groupBy("host").agg(count(lit(1)).as("n_deferred"))
+      val exc = out.excluded
+        .select(try_parse_url(col("url"), lit("HOST")).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_excluded"))
+      hosts
+        .join(sched, Seq("host"), "left")
+        .join(defer, Seq("host"), "left")
+        .join(exc, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("n_scheduled"), lit(0L)).as("n_scheduled"),
+          coalesce(col("n_deferred"), lit(0L)).as("n_deferred"),
+          coalesce(col("n_excluded"), lit(0L)).as("n_excluded"))
+        .withColumn("n_allowed", col("n_scheduled") + col("n_deferred"))
+        .withColumn("served_share",
+          when(col("n_allowed") > 0,
+            col("n_scheduled").cast("double") / col("n_allowed").cast("double")))
+    }),
+
     // op 170: redirect-aware frontier collapse — the frontier (canonical
     // candidates ∪ discovered redirect sources) mapped to effective
     // fetch targets; aliases collapse, unresolved loops are abandoned.
@@ -1047,6 +1077,51 @@ object CrawlQueries {
          |                      ELSE $al * power($om, n - t) * x END), 6) AS ewma
          |  FROM idx GROUP BY host""".stripMargin
     },
+
+    // The q05 allowed/budget/rank CTEs with the exclusion clause kept as
+    // a flag (the q105 negation trick); the funnel counts both sides of
+    // the rank boundary; served_share is one exact int division.
+    "q169_politeness_funnel" ->
+      s"""$PagesCte,
+         |cand AS (
+         |  SELECT url, host, max(warc_ts) AS discovered_ts
+         |    FROM canon GROUP BY url, host),
+         |flags AS (
+         |  SELECT c.url, c.host, c.discovered_ts,
+         |         (regexp_replace(url, '^https://[^/]*', '') LIKE '/private/%'
+         |          OR (host = 'src13.example.com'
+         |              AND regexp_replace(url, '^https://[^/]*', '') LIKE '/articles/%')) AS excl
+         |    FROM cand c),
+         |allowed AS (
+         |  SELECT f.url, f.host, f.discovered_ts,
+         |         CASE WHEN h.crawl_delay IS NOT NULL AND h.crawl_delay > 0
+         |              THEN least(COALESCE(h.budget, 2),
+         |                         greatest(1, CAST(floor(${CrawlConfig().deltaPerBatchSec}.0 / h.crawl_delay) AS BIGINT)))
+         |              ELSE COALESCE(h.budget, 2) END AS budget,
+         |         COALESCE(h.weight, 1.0) * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(f.discovered_ts))) AS priority
+         |    FROM flags f LEFT JOIN hostdim h USING (host)
+         |   WHERE NOT f.excl),
+         |ranked AS (
+         |  SELECT host, budget,
+         |         ROW_NUMBER() OVER (PARTITION BY host
+         |                            ORDER BY priority DESC, discovered_ts DESC, url ASC) AS host_rank
+         |    FROM allowed),
+         |per AS (SELECT host,
+         |               CAST(sum(CASE WHEN host_rank <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_scheduled,
+         |               CAST(sum(CASE WHEN host_rank > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
+         |          FROM ranked GROUP BY host),
+         |exc AS (SELECT host, count(*) AS n_excluded FROM flags WHERE excl GROUP BY host),
+         |hosts AS (SELECT DISTINCT host FROM cand)
+         |SELECT h.host,
+         |       COALESCE(p.n_scheduled, 0) AS n_scheduled,
+         |       COALESCE(p.n_deferred, 0) AS n_deferred,
+         |       COALESCE(e.n_excluded, 0) AS n_excluded,
+         |       COALESCE(p.n_scheduled, 0) + COALESCE(p.n_deferred, 0) AS n_allowed,
+         |       CASE WHEN COALESCE(p.n_scheduled, 0) + COALESCE(p.n_deferred, 0) > 0
+         |            THEN CAST(COALESCE(p.n_scheduled, 0) AS DOUBLE)
+         |                 / CAST(COALESCE(p.n_scheduled, 0) + COALESCE(p.n_deferred, 0) AS DOUBLE)
+         |            END AS served_share
+         |  FROM hosts h LEFT JOIN per p USING (host) LEFT JOIN exc e USING (host)""".stripMargin,
 
     // The q134 recursive walk picks each source's terminal; the frontier
     // union and the ok-only collapse rule mirrored clause-for-clause.
