@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CrawlQueries.entries ++
       graft.queries.RelationalQueries.entries ++
-      graft.queries.PipelineQueries.entries
+      graft.queries.PipelineQueries.entries ++
+      graft.queries.StreamingQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CrawlQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.StreamingQueries.oracles
 }

@@ -1622,21 +1622,6 @@ object Corpus {
           .as("containment_new"))
   }
 
-  /** Leakage-free train/val/test split: near-duplicate CLUSTERS are
-    * assigned to splits atomically (split by the cluster representative,
-    * never the document), so no near-dup pair straddles train and eval —
-    * the split-contamination rule every LLM data pipeline needs on top
-    * of plain hashing (a doc-keyed split leaks every duplicated
-    * document's content across the boundary).
-    *
-    * Clusters = [[dedupClusters]] (ngram-Jaccard pairs → connected
-    * components); documents in no pair are their own singleton cluster
-    * (rep = doc_id via the left join). The split key is the
-    * [[sampleBucket]] LCG over the REP (pmod — sign-safe for hashed
-    * production reps): bucket < trainPermille → train, <
-    * trainPermille+valPermille → val, else test. Deterministic,
-    * partition-stable, and clusters can't straddle splits by
-    * construction (all members share the rep). */
   /** Training-shard export sink: materialize the corpus as `numShards`
     * token-balanced parquet shards (the [[shardAssign]] LPT assignment)
     * partitioned by `shard=` directory — the layout a training job's
@@ -1662,7 +1647,10 @@ object Corpus {
     shardAssign(docs, numShards, parts)
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("doc_id"))
+      // the writer's required ordering for partitionBy("shard") must be
+      // satisfied by OUR sort or the planner inserts its own (dropping
+      // the doc_id sub-order) — lead with the partition column
+      .sortWithinPartitions(col("shard"), col("doc_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(s"$path/data")
@@ -1763,6 +1751,21 @@ object Corpus {
       .select(col("eval_doc"), col("neg_doc"), col("n_shared"), col("rank"))
   }
 
+  /** Leakage-free train/val/test split: near-duplicate CLUSTERS are
+    * assigned to splits atomically (split by the cluster representative,
+    * never the document), so no near-dup pair straddles train and eval —
+    * the split-contamination rule every LLM data pipeline needs on top
+    * of plain hashing (a doc-keyed split leaks every duplicated
+    * document's content across the boundary).
+    *
+    * Clusters = [[dedupClusters]] (ngram-Jaccard pairs → connected
+    * components); documents in no pair are their own singleton cluster
+    * (rep = doc_id via the left join). The split key is the
+    * [[sampleBucket]] LCG over the REP (pmod — sign-safe for hashed
+    * production reps): bucket < trainPermille → train, <
+    * trainPermille+valPermille → val, else test. Deterministic,
+    * partition-stable, and clusters can't straddle splits by
+    * construction (all members share the rep). */
   def leakageFreeSplit(docs: DataFrame, threshold: Double = 0.5,
       trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
     require(trainPermille > 0 && valPermille > 0 &&

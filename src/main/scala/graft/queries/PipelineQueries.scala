@@ -14,7 +14,7 @@ import graft.ml.{Corpus, Dedup, Multimodal, Search, Similarity, TextAnalysis}
   * ScalaTest instead (recall vs brute force, banding exactness). */
 object PipelineQueries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -994,6 +994,34 @@ object PipelineQueries {
     (3L, Seq("spark", "zzznope"), Seq.empty),
     (4L, Seq("batch", "batch", "join"), Seq("slow", "small")))
 
+  /** q76's oracle — shared with the streaming flavor (q174): alert rows
+    * interpolated from AlertRows (engine and oracle cannot drift),
+    * list_distinct mirrors the engine's array_distinct, the conjunction
+    * is the same count == n_terms group, the exclusion a NOT EXISTS over
+    * the must_not hit pairs. alert_id CAST to BIGINT so the schemas line
+    * up with the Spark Long. */
+  private[queries] lazy val AlertsOracleSql: String = {
+    def l(xs: Seq[String]) =
+      if (xs.isEmpty) "[]::VARCHAR[]"
+      else xs.map(x => s"'$x'").mkString("[", ",", "]")
+    val vals = AlertRows
+      .map { case (id, m, mn) => s"(CAST($id AS BIGINT), ${l(m)}, ${l(mn)})" }
+      .mkString(", ")
+    s"""WITH alerts(alert_id, must, must_not) AS (VALUES $vals),
+       |am AS (SELECT alert_id, len(list_distinct(must)) AS n_terms,
+       |              unnest(list_distinct(must)) AS term FROM alerts),
+       |an AS (SELECT alert_id, unnest(list_distinct(must_not)) AS term FROM alerts),
+       |p AS (SELECT DISTINCT doc_id, term
+       |        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+       |                FROM documents) AS u),
+       |pos AS (SELECT alert_id, doc_id FROM p JOIN am USING (term)
+       |        GROUP BY alert_id, doc_id, n_terms HAVING count(*) = n_terms)
+       |SELECT alert_id, doc_id FROM pos
+       | WHERE NOT EXISTS (SELECT 1 FROM p JOIN an USING (term)
+       |                    WHERE an.alert_id = pos.alert_id
+       |                      AND p.doc_id = pos.doc_id)""".stripMargin
+  }
+
   /** q53's query — mid-frequency fixture vocabulary so df varies by term. */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "merge", "vector")
 
@@ -1079,7 +1107,7 @@ object PipelineQueries {
        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
        | GROUP BY doc_id""".stripMargin
 
-  private val Bm25OracleSql: String = bm25OracleSqlOver("")
+  private[queries] val Bm25OracleSql: String = bm25OracleSqlOver("")
 
   /** q107's documents with a per-source boilerplate footer appended to 3
     * of every 4 docs (doc_id % 4 != 0) — the site-template text the miner
@@ -1536,27 +1564,7 @@ object PipelineQueries {
     // conjunction is the same count == n_terms group, the exclusion a
     // NOT EXISTS over the must_not hit pairs. alert_id CAST to BIGINT so
     // the schemas line up with the Spark Long.
-    "q76_alerts" -> {
-      def l(xs: Seq[String]) =
-        if (xs.isEmpty) "[]::VARCHAR[]"
-        else xs.map(x => s"'$x'").mkString("[", ",", "]")
-      val vals = AlertRows
-        .map { case (id, m, mn) => s"(CAST($id AS BIGINT), ${l(m)}, ${l(mn)})" }
-        .mkString(", ")
-      s"""WITH alerts(alert_id, must, must_not) AS (VALUES $vals),
-         |am AS (SELECT alert_id, len(list_distinct(must)) AS n_terms,
-         |              unnest(list_distinct(must)) AS term FROM alerts),
-         |an AS (SELECT alert_id, unnest(list_distinct(must_not)) AS term FROM alerts),
-         |p AS (SELECT DISTINCT doc_id, term
-         |        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
-         |                FROM documents) AS u),
-         |pos AS (SELECT alert_id, doc_id FROM p JOIN am USING (term)
-         |        GROUP BY alert_id, doc_id, n_terms HAVING count(*) = n_terms)
-         |SELECT alert_id, doc_id FROM pos
-         | WHERE NOT EXISTS (SELECT 1 FROM p JOIN an USING (term)
-         |                    WHERE an.alert_id = pos.alert_id
-         |                      AND p.doc_id = pos.doc_id)""".stripMargin
-    },
+    "q76_alerts" -> AlertsOracleSql,
 
     // quantile_cont IS the engine's interpolation definition (linear at
     // rank p·(n−1), R type 7 — verified against numpy); 4-dp rounding
@@ -2589,7 +2597,9 @@ object PipelineQueries {
          |        FROM hits),
          |ideal AS (SELECT n_relevant, sum($ln2 / ln(CAST(i AS DOUBLE) + 1.0)) AS idcg_raw
          |            FROM (SELECT n_relevant,
-         |                         unnest(generate_series(1, least(n_relevant, $EvalAtK))) AS i
+         |                         unnest(CASE WHEN n_relevant > 0
+         |                                THEN generate_series(1, least(n_relevant, $EvalAtK))
+         |                                ELSE [CAST(NULL AS BIGINT)] END) AS i
          |                    FROM nr) AS s GROUP BY n_relevant)
          |SELECT n_relevant, n_hits, precision_at_k, COALESCE(mrr, 0.0) AS mrr,
          |       round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,

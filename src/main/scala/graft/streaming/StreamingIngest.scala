@@ -150,12 +150,13 @@ object StreamingIngest {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (host: String, events: Iterator[RateEvent], state: GroupState[RateState]) =>
           val carried = state.getOption.map(_.deferred).getOrElse(Vector.empty)
+          val carriedSet = carried.toSet // O(1) membership; contains on Vector is O(backlog²)
           val fresh = events.map(_.url).toVector.distinct.sorted
-            .filterNot(carried.contains)
+            .filterNot(carriedSet.contains)
           val queue = carried ++ fresh
           val (emit, keep) = queue.splitAt(perBatch)
           state.update(RateState(keep))
-          emit.iterator.map(u => RateEmit(host, u, carried.contains(u)))
+          emit.iterator.map(u => RateEmit(host, u, carriedSet.contains(u)))
       }
   }
 

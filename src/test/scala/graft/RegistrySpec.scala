@@ -11,7 +11,8 @@ class RegistrySpec extends AnyFunSuite {
     val all = Seq(
       graft.queries.CrawlQueries.entries.keys,
       graft.queries.RelationalQueries.entries.keys,
-      graft.queries.PipelineQueries.entries.keys).flatten.toSeq
+      graft.queries.PipelineQueries.entries.keys,
+      graft.queries.StreamingQueries.entries.keys).flatten.toSeq
     val dupes = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dupes.isEmpty, s"duplicate keys: $dupes")
     assert(SparkEntry.queries.size === all.size)

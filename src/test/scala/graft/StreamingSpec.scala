@@ -324,6 +324,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === (all -- foldedSet))
   }
 
+  test("q175 driver entry == sequential FIFO rate-limiter simulation") {
+    // Independent check of the q175 oracle's rank equation: replay the
+    // first-capture feed through a hand-rolled sequential simulation of
+    // the perBatch=1 limiter (invoke-on-data-only, FIFO carry, fresh
+    // sorted, waited = was carried) and compare the full trace.
+    val got = SparkEntry.queries("q175_stream_ratelimit")(spark, TestSpark.Sf0001)
+      .as[(String, String, Boolean)].collect().toSet
+
+    val firstCap = Fixtures.pages(spark, TestSpark.Sf0001)
+      .filter(graft.core.Canonicalize.isHttpScheme($"url"))
+      .select(graft.core.Canonicalize.canonicalUrl($"url").as("url"),
+        floor(unix_timestamp($"warc_ts") / 3600).cast("long").as("b"))
+      .filter($"url".isNotNull)
+      .groupBy("url").agg(min("b").as("b"))
+      .withColumn("host", graft.core.Canonicalize.hostOf($"url"))
+      .as[(String, Long, String)].collect()
+
+    val exp = firstCap.groupBy(_._3).flatMap { case (host, evs) =>
+      val byBatch = evs.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toVector)
+      var queue = Vector.empty[String]
+      byBatch.keys.toSeq.sorted.flatMap { b =>
+        val carried = queue.toSet
+        queue = queue ++ byBatch(b).filterNot(carried)
+        val (emit, keep) = queue.splitAt(1)
+        queue = keep
+        emit.map(u => (host, u, carried(u)))
+      }
+    }.toSet
+    assert(exp.nonEmpty && got === exp)
+  }
+
   test("mapGroupsWithState accumulates per-host crawl state across batches") {
     val stream = StreamingIngest.pagesStream(spark, pagesDir)
     StreamingIngest.drainToMemory(spark,
