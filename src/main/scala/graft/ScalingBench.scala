@@ -163,6 +163,36 @@ object ScalingBench {
           System.err.println(s"[trace] job=${je.jobId} end=${je.time}")
       })
     }
+    // SPARK_GRAFT_SCALE_TRACE=stage: per-stage scaling profile — wall,
+    // Σ task time, max task, task count. `par` = Στask/wall is the stage's
+    // ACHIEVED parallelism; a stage whose par ≪ cores at local[32] but not
+    // at local[8] is an 8→32 bottleneck (too few/skewed partitions); a
+    // stage whose Στask itself grows with cores is contention (memory
+    // bandwidth / GC). The round-5 crawl-leg diagnosis ran on this.
+    if (sys.env.get("SPARK_GRAFT_SCALE_TRACE").contains("stage")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val taskSum = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        private val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          taskSum.merge(te.stageId, d, (a, b) => a + b)
+          taskMax.merge(te.stageId, d, (a, b) => math.max(a, b))
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for (s <- si.submissionTime; e <- si.completionTime)
+            yield (e - s) / 1000.0).getOrElse(0.0)
+          val sum = taskSum.getOrDefault(si.stageId, 0L) / 1000.0
+          val mx = taskMax.getOrDefault(si.stageId, 0L) / 1000.0
+          if (wall >= 0.2) // skip noise stages
+            System.err.println(
+              f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d wall=$wall%7.2f " +
+                f"sum=$sum%8.2f max=$mx%7.2f par=${if (wall > 0) sum / wall else 0.0}%5.1f " +
+                s"name=${si.name.takeWhile(_ != '\n').take(90)}")
+        }
+      })
+    }
     try {
       // html never cached; everything flows scan → shuffle → parse once.
       val cfg = CrawlConfig(

@@ -37,6 +37,10 @@ object Constants {
   val BloomExpectedPerShard: Long = 100000L
   val BloomFpp: Double = 0.01
 
+  /** Expected insertions per cuckoo shard (sizing: power-of-two buckets at
+    * ≤84% target load; 16-bit fingerprints → fp rate ≈ 2·4/2^16). */
+  val CuckooExpectedPerShard: Long = 100000L
+
   /** Number of links a listing (root) page exposes (FIXTURES.md B2). */
   val ListingLinks: Int = 10
 
@@ -71,8 +75,11 @@ object Constants {
   /** Fixture layout version — bump to invalidate cached generated fixtures.
     * v3: article pages carry an `article:tickers` meta (entity extraction).
     * v4: %-escaped alias rows (doc_id % 11 == 7) exercise the guarded
-    * unreserved percent-decode in canonicalization. */
-  val FixtureVersion: Int = 4
+    * unreserved percent-decode in canonicalization.
+    * v5: media payloads are REAL encoded BMP/WAV/Y4M bytes (MediaCodecs)
+    * instead of raw text bytes; formats bmp/wav/y4m, dims 16+id%17 ×
+    * 16+id%13. */
+  val FixtureVersion: Int = 5
 
   /** Root for generated fixtures / crawl state. Overridable for tests. */
   def workDir: String = sys.env.getOrElse("GRAFT_WORK_DIR", "/tmp/graft")

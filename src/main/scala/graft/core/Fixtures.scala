@@ -161,13 +161,33 @@ object Fixtures {
       FixtureConstants.hosts.map(h => (h.host, h.budget)).toDF("host", "budget"),
       s"$outDir/budgets.parquet")
 
-    // Multimodal fixture: opaque binary payload (deterministic fake bytes =
-    // UTF-8 of the doc text) + typed metadata derived from doc_id.
+    // Multimodal fixture (v5: REAL encoded payloads — BMP / WAV PCM / Y4M,
+    // one library-free format per modality, content derived from the doc
+    // text bytes): the pipeline's decoders (core.MediaCodecs) read the
+    // dims/duration/frames back out of these bytes, so metadata and
+    // payload agree by construction.
     val media = withHost.map { case (docId, text, _, _, _) =>
       val kind = Array("image", "audio", "video").apply((docId % 3).toInt)
-      val fmt = Map("image" -> "png", "audio" -> "wav", "video" -> "mp4")(kind)
-      MediaRow(docId, kind, text.getBytes("UTF-8"),
-        (32 + docId % 97).toInt, (32 + docId % 53).toInt, fmt)
+      val fmt = Map("image" -> "bmp", "audio" -> "wav", "video" -> "y4m")(kind)
+      val w = (16 + docId % 17).toInt
+      val h = (16 + docId % 13).toInt
+      val tb = text.getBytes("UTF-8")
+      def cb(i: Int): Int =
+        if (tb.isEmpty) (docId & 0xff).toInt else tb(i % tb.length) & 0xff
+      val payload = kind match {
+        case "image" =>
+          MediaCodecs.encodeBmp(w, h,
+            (x, y) => { val i = 3 * (y * w + x); (cb(i), cb(i + 1), cb(i + 2)) })
+        case "audio" =>
+          val n = (400 + docId % 256).toInt
+          MediaCodecs.encodeWavPcm16(8000,
+            Array.tabulate(n)(i => ((cb(i) - 128) * 128).toShort))
+        case _ =>
+          val frames = (2 + docId % 3).toInt
+          MediaCodecs.encodeY4m(w, h, frames,
+            (f, x, y) => cb(f * 31 + y * w + x))
+      }
+      MediaRow(docId, kind, payload, w, h, fmt)
     }
     write(media.toDF(), s"$outDir/media.parquet")
   }

@@ -35,6 +35,26 @@ import java.util.Locale
   *   7 mixed-encoding    — non-ASCII / control chars as hex NCRs, ASCII
   *                         raw; extraction decodes &#x…; and &amp;
   *
+  * Round 5 widened the space to FOURTEEN families (the verdict's realistic
+  * next shapes; fixture hosts keep their frozen 0-5 families — the new
+  * kernels are exercised by the all-family render→extract identity gate
+  * q177 over `documents` plus the generated robustness properties):
+  *   8 table-in-body     — body char-chunked into <td> cells of a marked
+  *                         <table>; a second ("related") table after it is
+  *                         a trap; extraction rejoins only the body cells
+  *   9 script/style      — inline <script> and <style> blocks INSIDE the
+  *                         body div; extraction strips the blocks and keeps
+  *                         the surrounding text byte-exact
+  *  10 cdata             — body inside <![CDATA[…]]> of an <article> node
+  *  11 malformed-attrs   — the body div's tag has unquoted/spaced/quoted
+  *                         attributes including a literal '>' inside a
+  *                         quoted value; extraction must scan the tag end
+  *                         quote-aware (a naive indexOf('>') cuts inside)
+  *  12 br-paragraphs     — body chunks joined by <br>/<br/>/<br /> variants
+  *                         instead of block tags; extraction removes them
+  *  13 double-encoded    — entityEncode applied TWICE on the wire
+  *                         (&amp;amp;, &amp;#32;); extraction decodes twice
+  *
   * Every article page also carries a published-date <meta> whose FORMAT is
   * family-specific (ISO-ish, RFC-1123-ish with weekday, US slashes, epoch
   * seconds, dotted) — the heterogeneous per-source date parsing the
@@ -188,6 +208,74 @@ object Parsers {
   }
 
   // ------------------------------------------------------------------
+  // Table cells (family 8): fixed-width char-chunking into <td> cells.
+  // ------------------------------------------------------------------
+
+  private[core] val CellWidth = 24
+
+  private[core] def cells(body: String): Seq[String] =
+    if (body.isEmpty) Seq("")
+    else body.grouped(CellWidth).toSeq
+
+  /** Concatenate the `<td>…</td>` cell contents of `inner` left to right;
+    * a cell with no intact close delimiter contributes nothing (truncated
+    * pages degrade, never fabricate). */
+  private def joinCells(inner: String): String = {
+    val b = new StringBuilder(inner.length)
+    var i = 0
+    while (true) {
+      val open = inner.indexOf("<td>", i)
+      if (open < 0) return b.toString
+      val close = inner.indexOf("</td>", open + 4)
+      if (close < 0) return b.toString
+      b.append(inner.substring(open + 4, close))
+      i = close + 5
+    }
+    b.toString
+  }
+
+  // ------------------------------------------------------------------
+  // Script/style stripping (family 9): remove <script>…</script> and
+  // <style>…</style> spans; an unterminated block truncates the rest
+  // (degrade, never fabricate).
+  // ------------------------------------------------------------------
+
+  private def stripBlocks(s: String, open: String, close: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (true) {
+      val at = s.indexOf(open, i)
+      if (at < 0) { b.append(s.substring(i)); return b.toString }
+      b.append(s.substring(i, at))
+      val end = s.indexOf(close, at + open.length)
+      if (end < 0) return b.toString
+      i = end + close.length
+    }
+    b.toString
+  }
+
+  // ------------------------------------------------------------------
+  // Malformed attributes (family 11): find the true end of a tag whose
+  // attributes are unquoted / oddly spaced / contain a quoted '>'.
+  // ------------------------------------------------------------------
+
+  /** Index just past the tag-closing '>' scanning from `from`, honoring
+    * single- and double-quoted attribute values; -1 if the tag never
+    * closes (truncated page). */
+  private def tagEnd(s: String, from: Int): Int = {
+    var i = from
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    -1
+  }
+
+  // ------------------------------------------------------------------
   // Segmented body (family 4): char-based tri-chunking, byte-exact rejoin.
   // ------------------------------------------------------------------
 
@@ -250,9 +338,36 @@ object Parsers {
           s"""<div class="lead">Summary: $title</div>$body""" +
           s"""<div class="promo">more from $source</div></div>""" +
           s"""<div class="comments">0 comments</div></body></html>"""
-      case _ =>
+      case 7 =>
         s"""<html>$h<body><div class="mixed-body">${ncrEncode(body)}</div>""" +
           s"""</body></html>"""
+      case 8 =>
+        val rows = cells(body).grouped(3)
+          .map(r => "<tr>" + r.map(c => s"<td>$c</td>").mkString + "</tr>")
+          .mkString
+        s"""<html>$h<body><table class="body-table">$rows</table>""" +
+          s"""<table class="related"><tr><td>more from $source</td></tr>""" +
+          s"""</table></body></html>"""
+      case 9 =>
+        val segs = segments(body) // Seq("") for an empty body — pad to 3
+        val (a, b, c) = (segs.head, segs.lift(1).getOrElse(""), segs.lift(2).getOrElse(""))
+        s"""<html>$h<body><div class="scripted-body">$a""" +
+          s"""<script>var t=1;track("$source");</script>$b""" +
+          s"""<style>.promo{display:none}</style>$c</div></body></html>"""
+      case 10 =>
+        s"""<html>$h<body><article id="cdata-body"><![CDATA[$body]]>""" +
+          s"""</article></body></html>"""
+      case 11 =>
+        s"""<html>$h<body><div class=mal-body id = "b-1" data-q='a > b' >""" +
+          s"""$body</div></body></html>"""
+      case 12 =>
+        val segs = segments(body) // Seq("") for an empty body — pad to 3
+        val (a, b, c) = (segs.head, segs.lift(1).getOrElse(""), segs.lift(2).getOrElse(""))
+        s"""<html>$h<body><div class="br-body">$a<br>$b<br/>$c<br />""" +
+          s"""</div></body></html>"""
+      case _ =>
+        s"""<html>$h<body><div class="dbl-body">""" +
+          entityEncode(entityEncode(body)) + s"""</div></body></html>"""
     }
     page.getBytes(StandardCharsets.UTF_8)
   }
@@ -303,7 +418,7 @@ object Parsers {
     extractFamily(FixtureConstants.familyOf(host), html)
 
   /** Number of extractor families ([[renderArticle]]/[[extractFamily]]). */
-  val NumFamilies: Int = 8
+  val NumFamilies: Int = 14
 
   /** Family-explicit extraction — the per-site parser kernels themselves.
     * Hosts outside the fixture dim dispatch here through
@@ -352,9 +467,39 @@ object Parsers {
         val promoAt = afterLead.lastIndexOf("""<div class="promo">""")
         if (promoAt < 0 || !afterLead.endsWith("</div>")) return ""
         afterLead.substring(0, promoAt)
-      case _ =>
+      case 7 =>
         between(s, """<div class="mixed-body">""", """</div>""")
           .map(ncrDecode).getOrElse("")
+      case 8 =>
+        // only the marked body table's cells; the trailing "related" table
+        // sits outside the between() span and never contributes.
+        between(s, """<table class="body-table">""", """</table>""")
+          .map(joinCells).getOrElse("")
+      case 9 =>
+        between(s, """<div class="scripted-body">""", """</div>""")
+          .map(inner => stripBlocks(
+            stripBlocks(inner, "<script>", "</script>"), "<style>", "</style>"))
+          .getOrElse("")
+      case 10 =>
+        between(s, """<article id="cdata-body"><![CDATA[""", """]]>""")
+          .getOrElse("")
+      case 11 =>
+        // quote-aware tag-end scan: the data-q value contains a literal
+        // '>', so indexOf('>') lands inside the tag and fabricates text.
+        val open = """<div class=mal-body"""
+        val i = s.indexOf(open)
+        if (i < 0) return ""
+        val from = tagEnd(s, i + open.length)
+        if (from < 0) return ""
+        val close = s.indexOf("</div>", from)
+        if (close < 0) "" else s.substring(from, close)
+      case 12 =>
+        between(s, """<div class="br-body">""", """</div>""")
+          .map(_.replace("<br />", "").replace("<br/>", "").replace("<br>", ""))
+          .getOrElse("")
+      case _ =>
+        between(s, """<div class="dbl-body">""", """</div>""")
+          .map(t => entityDecode(entityDecode(t))).getOrElse("")
     }
   }
 

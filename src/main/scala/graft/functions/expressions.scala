@@ -156,6 +156,32 @@ object expressions {
     override def prettyName: String = "shingles_all_n"
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local algorithm) as ONE codegen'd kernel: word-k-grams of the
+    * input, minimum gram of every sliding w-window (byte-lexicographic —
+    * the guarantee holds for any total order, and binary string order keeps
+    * the op oracle-expressible), distinct in first-occurrence order. The
+    * native upgrade of the q94 `transform(sequence…)` HOF pipeline (the
+    * round-2 finding: lambda HOFs run interpreted, one closure per
+    * element); this is a zero-copy byte scan + O(g) monotonic-deque
+    * sliding minimum with UTF8String views over the input bytes —
+    * round-4 VERDICT item 8. split-on-' ' semantics here are SPARK's
+    * `split(text, ' ')` (trailing empty tokens KEPT — unlike shingles_n's
+    * Java-split grain) so the relation is bit-identical to the HOF
+    * predecessor the q94 oracle pins. */
+  case class WinnowFps(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      NativeOps.winnowN(v.asInstanceOf[UTF8String], k, w)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.NativeOps.winnowN($x, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+      copy(child = newChild)
+    override def prettyName: String = "winnow_fps"
+  }
+
   /** Count of whitespace tokens of a string that belong to a FIXED plan-time
     * word set — the lexicon-scan kernel under sentiment (q61/q62), language
     * ID (q37) and the stopword ratio (q38). Replaces the
@@ -273,6 +299,8 @@ object expressions {
     Bridge.column(ShinglesN(Bridge.expression(c), n))
   def shingles_all_n(c: Column, n: Int): Column =
     Bridge.column(ShinglesAllN(Bridge.expression(c), n))
+  def winnow_fps(c: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFps(Bridge.expression(c), k, w))
   def pct_decode_unreserved(c: Column): Column =
     Bridge.column(PctDecodeUnreserved(Bridge.expression(c)))
   def tokens_in_count(c: Column, words: Seq[String]): Column =
@@ -298,6 +326,9 @@ object expressions {
       ShinglesN(es(0), es(1).eval().asInstanceOf[Number].intValue()))
     Bridge.registerFunction(spark, "shingles_all_n", es =>
       ShinglesAllN(es(0), es(1).eval().asInstanceOf[Number].intValue()))
+    Bridge.registerFunction(spark, "winnow_fps", es =>
+      WinnowFps(es(0), es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()))
     Bridge.registerFunction(spark, "pct_decode_unreserved", es => PctDecodeUnreserved(es.head))
     Bridge.registerFunction(spark, "tokens_in_count", es =>
       TokensInCount(es.head, es.tail.map(_.eval().asInstanceOf[UTF8String].toString)))
@@ -475,6 +506,76 @@ object NativeOps {
       out(k) = UTF8String.fromBytes(b, starts.get(k), ends.get(k + n - 1) - starts.get(k))
       k += 1
     }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Winnowing kernel (see [[expressions.WinnowFps]]): token boundaries on
+    * ' ' with trailing empties KEPT (Spark `split(text, ' ')` grain — the
+    * q94 contract), gram i = byte range [start(i), end(i+k-1)) of the input
+    * (adjacent tokens are separated by exactly one space, so no join/copy),
+    * sliding w-window minimum via a monotonic index deque (amortized O(1)
+    * per gram), dedup into first-occurrence order. Gram comparison is
+    * unsigned byte-lexicographic then length — exactly UTF8String binary
+    * order, the StringType sort Spark's array_min used before. */
+  def winnowN(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val b = s.getBytes
+    val nb = b.length
+    // Spark-split token count: one token per separator gap, trailing kept.
+    var m = 1
+    var i = 0
+    while (i < nb) { if (b(i) == ' ') m += 1; i += 1 }
+    if (m < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](m)
+    val ends = new Array[Int](m)
+    var t = 0
+    var tokStart = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || b(i) == ' ') {
+        starts(t) = tokStart; ends(t) = i; t += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    val g = m - k + 1 // gram count; gram x spans bytes [starts(x), ends(x+k-1))
+    // unsigned byte-lexicographic compare of grams x and y (then length)
+    def cmp(x: Int, y: Int): Int = {
+      var a = starts(x); val ae = ends(x + k - 1)
+      var c = starts(y); val ce = ends(y + k - 1)
+      while (a < ae && c < ce) {
+        val d = (b(a) & 0xff) - (b(c) & 0xff)
+        if (d != 0) return d
+        a += 1; c += 1
+      }
+      (ae - starts(x)) - (ce - starts(y))
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    def add(x: Int): Unit =
+      seen.add(UTF8String.fromBytes(b, starts(x), ends(x + k - 1) - starts(x)))
+    if (g <= w) {
+      // fewer grams than the window: one window over what exists
+      var best = 0
+      var j = 1
+      while (j < g) { if (cmp(j, best) < 0) best = j; j += 1 }
+      add(best)
+    } else {
+      val deque = new Array[Int](g)
+      var head = 0
+      var tail = 0 // deque holds indices with strictly increasing gram values
+      var j = 0
+      while (j < g) {
+        while (tail > head && cmp(deque(tail - 1), j) >= 0) tail -= 1
+        deque(tail) = j; tail += 1
+        if (deque(head) <= j - w) head += 1
+        if (j >= w - 1) add(deque(head))
+        j += 1
+      }
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 

@@ -169,6 +169,12 @@ object Corpus {
   def dedupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     connectedComponents(Dedup.ngramJaccardPairs(docs, threshold))
 
+  /** [[dedupClusters]] over an ALREADY-COMPUTED pair relation — the shape
+    * the query registry uses so q33/q46/q88/q99/q101 derive from ONE cached
+    * PPJoin pair kernel instead of five (round-4 VERDICT item 10). */
+  def dedupClustersFrom(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+
   /** News story threading — the "related coverage" grouping a news index
     * serves next to each article: two articles belong to the same thread
     * iff they are textual near-duplicates (word-3-gram Jaccard ≥
@@ -191,9 +197,16 @@ object Corpus {
     * edges — with PPJoin pruning the candidate set is already
     * near-output-sized, so the exact gate is the right default. */
   def storyThreads(docs: DataFrame, threshold: Double = 0.5,
+      maxGapSec: Long = 10800L): DataFrame =
+    storyThreadsFrom(docs, Dedup.ngramJaccardPairs(docs, threshold), maxGapSec)
+
+  /** [[storyThreads]] over a precomputed pair relation (shared-kernel
+    * registry shape — see [[dedupClustersFrom]]); `docs` still carries
+    * the `ts` publish-time column the gate and summary read. */
+  def storyThreadsFrom(docs: DataFrame, basePairs: DataFrame,
       maxGapSec: Long = 10800L): DataFrame = {
     val ts = docs.select(col("doc_id"), col("ts"))
-    val pairs = Dedup.ngramJaccardPairs(docs, threshold)
+    val pairs = basePairs
       .join(ts.select(col("doc_id").as("a"), col("ts").as("ts_a")), Seq("a"))
       .join(ts.select(col("doc_id").as("b"), col("ts").as("ts_b")), Seq("b"))
       .filter(abs(unix_timestamp(col("ts_a")) - unix_timestamp(col("ts_b")))
@@ -857,8 +870,13 @@ object Corpus {
     * rep (max_by over a (n_tokens, −doc_id) struct — partial-aggregable,
     * no per-cluster window), and the keeper rejoin is cluster-count-sized.
     * Nothing corpus-sized shuffles beyond what the pair join already did. */
-  def dedupKeepBest(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val clusters = connectedComponents(Dedup.ngramJaccardPairs(docs, threshold))
+  def dedupKeepBest(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    dedupKeepBestFrom(docs, Dedup.ngramJaccardPairs(docs, threshold))
+
+  /** [[dedupKeepBest]] over a precomputed pair relation (shared-kernel
+    * registry shape — see [[dedupClustersFrom]]). */
+  def dedupKeepBestFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(pairs)
     val ntok = docs.select(
       col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val labeled = clusters.join(ntok, Seq("doc_id"))
@@ -1045,8 +1063,12 @@ object Corpus {
     * prefix pruning; attaching hosts is two 8-byte equi-joins against a
     * (doc_id, source) projection; the rollup is one hash agg on the host
     * pair — host-pair cardinality, not corpus cardinality. */
-  def syndicationPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs, threshold)
+  def syndicationPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    syndicationPairsFrom(docs, Dedup.ngramJaccardPairs(docs, threshold))
+
+  /** [[syndicationPairs]] over a precomputed pair relation (shared-kernel
+    * registry shape — see [[dedupClustersFrom]]). */
+  def syndicationPairsFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))

@@ -456,27 +456,19 @@ object Dedup {
     * shorter than w (docs with < w grams) winnow to the single minimum
     * over what exists — every doc with ≥ 1 gram emits ≥ 1 fingerprint.
     *
-    * Plan: a pure per-document map stage (gram/window/min/dedup inside
-    * array builtins, no shuffle until the caller aggregates fingerprints);
-    * the two lambda HOFs run interpreted over PER-DOC arrays bounded by
-    * doc length — the round-2 HOF finding, acceptable here because the
-    * arrays never leave their row; the native-Expression upgrade is the
-    * same path shingles_n took. */
+    * Plan: a pure per-document map stage — the whole gram/window-min/dedup
+    * chain is ONE codegen'd native kernel
+    * ([[graft.functions.expressions.WinnowFps]]: zero-copy byte-range
+    * grams + O(g) monotonic-deque sliding minimum), replacing the round-4
+    * `transform(sequence…)` HOF formulation whose lambdas evaluated
+    * interpreted per element (the round-2 finding); relation bit-identical
+    * (MlSpec pins == the scalar reference, q94 stays oracle-green). No
+    * shuffle until the caller aggregates fingerprints. */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
-    docs
-      .withColumn("tk", split(col("text"), " "))
-      // size >= k BEFORE sequence: Spark's sequence(1, 0) is a DESCENDING
-      // [1, 0] (not empty like DuckDB's generate_series), whose 0 start
-      // makes slice throw on sub-k-token docs.
-      .filter(size(col("tk")) >= k)
-      .withColumn("grams",
-        expr(s"transform(sequence(1, size(tk) - ${k - 1}), " +
-          s"i -> array_join(slice(tk, i, $k), ' '))"))
-      .select(col("doc_id"),
-        explode(array_distinct(
-          expr(s"transform(sequence(1, greatest(size(grams) - ${w - 1}, 1)), " +
-            s"j -> array_min(slice(grams, j, $w)))"))).as("fingerprint"))
+    docs.select(col("doc_id"),
+      explode(graft.functions.expressions.winnow_fps(col("text"), k, w))
+        .as("fingerprint"))
   }
 
   /** C4/CCNet-style normalization fold for dedup keys: lowercase,

@@ -131,8 +131,13 @@ object CrawlLoop {
         Scheduler.runBatch(spark, pages, frontier, seenExact, seenShards,
           robots, weights, budgets, k, articleCount, cfg, scheduledBound))
 
-      val newShards = BloomSeen.mergeShards(seenShards,
-        BloomSeen.buildShards(r.seenDelta.select("url_hash")))
+      val newShards =
+        if (cfg.cuckooSeen)
+          CuckooSeen.mergeShards(seenShards,
+            CuckooSeen.buildShards(r.seenDelta.select("url_hash")))
+        else
+          BloomSeen.mergeShards(seenShards,
+            BloomSeen.buildShards(r.seenDelta.select("url_hash")))
 
       // Batch counters ride the write jobs as observe() metrics (op 21's
       // mechanism): the fetch_log/host_log write actions collect them as a

@@ -26,6 +26,13 @@ final case class CrawlConfig(
       * true = broadcast-map fast path for small seen-states. Final sets are
       * identical either way (BloomSeenSpec parity). */
     bloomBroadcastProbe: Boolean = false,
+    /** Tier-1 filter family: false (default) = Bloom, true = cuckoo — the
+      * DELETABLE family the north rule also names; takedowns can then
+      * remove seen entries (CuckooSeen.deleteFromShards) instead of
+      * waiting for a full filter rebuild. Final sets are identical for any
+      * un-deleted state (no false negatives either way — parity pinned in
+      * CuckooSeenSpec). */
+    cuckooSeen: Boolean = false,
     /** Post-budget salted repartition of the fetch/parse stage (op 51). */
     saltParse: Boolean = true,
     /** Cache the pages table across batches. Right at bench scale (the whole
@@ -139,6 +146,35 @@ object Scheduler {
       .groupBy("url")
       .agg(max("discovered_ts").as("discovered_ts"))
       .withColumn("host", try_parse_url(col("url"), lit("HOST")))
+  }
+
+  /** Batch late-data policy (op 45's batch half — the documented
+    * counterpart of the streaming watermark): rows of a delivery whose
+    * warc_ts is at or before the loop's current high-water mark belong to
+    * a Δ-window that has ALREADY been scanned ([[deltaScan]] windows are
+    * (lo, hi] and never revisit), so silently appending them to `pages`
+    * would lose them forever. The policy: route them to a quarantine
+    * table — (url, warc_ts, host, lateness_sec), the raw row plus how far
+    * behind the hwm it arrived — for an explicit replay/backfill decision,
+    * and report the straggler count + worst lateness as observe() metrics
+    * on the same pass (op 21 discipline; no second scan). `hwmSec` is
+    * seconds since the corpus epoch, the loop's own hwm clock.
+    *
+    * Plan shape at 100 TB: one pushed-down timestamp range filter on the
+    * delivery scan, a codegen'd projection, no shuffle, no UDF — the
+    * quarantine write is a map-only job. */
+  def lateQuarantine(delivery: DataFrame, hwmSec: Long): DataFrame = {
+    val hwmTs = java.sql.Timestamp.from(Constants.EPOCH.plusSeconds(hwmSec))
+    delivery
+      .filter(col("warc_ts") <= lit(hwmTs))
+      .select(col("url"), col("warc_ts"),
+        Canonicalize.hostOf(col("url")).as("host"),
+        (lit(hwmSec) -
+          (unix_timestamp(col("warc_ts")) - lit(Constants.EPOCH.getEpochSecond)))
+          .as("lateness_sec"))
+      .observe("late_quarantine",
+        count(lit(1)).as("n_late"),
+        max(col("lateness_sec")).as("max_lateness_sec"))
   }
 
   /** Scheduling-stage outputs (pre-fetch). `cached` holds the shared cached
@@ -285,8 +321,12 @@ object Scheduler {
 
     // ---- two-tier seen-set anti-join (op 12) ------------------------------
     val (newRows, dedupCached) =
-      BloomSeen.antiJoinSeen(spark, cands, seenExact,
-        if (cfg.useBloom) Some(seenShards) else None, cfg.bloomBroadcastProbe)
+      if (cfg.cuckooSeen)
+        CuckooSeen.antiJoinSeen(spark, cands, seenExact,
+          if (cfg.useBloom) Some(seenShards) else None)
+      else
+        BloomSeen.antiJoinSeen(spark, cands, seenExact,
+          if (cfg.useBloom) Some(seenShards) else None, cfg.bloomBroadcastProbe)
 
     // ---- robots + priority + politeness ranking (ops 13/49/38/51/24/25) ---
     val sched = schedule(newRows, robots, weights, budgets, cfg)

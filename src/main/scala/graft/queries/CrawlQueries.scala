@@ -92,6 +92,12 @@ object CrawlQueries {
   val SnapshotBoundarySec = 15000L
   val RecrawlNowSec = 40000L
 
+  /** q176's high-water mark (offset from the fixture EPOCH) — 4 h in, so
+    * the simulated re-delivery splits: early captures (incl. every
+    * listing root at the epoch) quarantine as stragglers, later ones
+    * pass as on-time. */
+  val QuarantineHwmSec = 14400L
+
   private def pages(spark: SparkSession, sfDir: String): DataFrame =
     Fixtures.pages(spark, sfDir)
 
@@ -418,6 +424,30 @@ object CrawlQueries {
     // op 170: redirect-aware frontier collapse — the frontier (canonical
     // candidates ∪ discovered redirect sources) mapped to effective
     // fetch targets; aliases collapse, unresolved loops are abandoned.
+    // op 35 all-family gate: render→extract byte-identity across ALL
+    // fourteen parser families (the fixture's hosts exercise only the
+    // frozen 0-5) — each document rendered in family doc_id % NumFamilies
+    // and re-extracted; the oracle is the document text itself, so any
+    // drift in any family kernel breaks the hash compare.
+    "q177_parse_families" -> ((s, dir) => {
+      val roundtrip = udf { (docId: Long, text: String) =>
+        val fam = java.lang.Math.floorMod(docId, Parsers.NumFamilies.toLong).toInt
+        Parsers.extractFamily(fam,
+          Parsers.renderArticle(fam, s"Doc $docId", "srcX", Option(text).getOrElse("")))
+      }
+      PipelineQueries.docs(s, dir).select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(Parsers.NumFamilies.toLong)).as("family"),
+        roundtrip(col("doc_id"), col("text")).as("text"))
+    }),
+
+    // op 45 batch half: late-data quarantine — treat the pages table as a
+    // re-delivery against a mid-crawl hwm; stragglers (warc_ts ≤ hwm, their
+    // Δ-window already scanned) land in the quarantine relation with
+    // lateness, and ride an observe() metric on the same pass.
+    "q176_late_quarantine" -> ((s, dir) =>
+      Scheduler.lateQuarantine(pages(s, dir), QuarantineHwmSec)),
+
     "q166_redirect_collapse" -> ((s, dir) =>
       graft.operators.Redirects.frontierCollapse(
         allCandidates(s, dir).select("url")
@@ -1628,6 +1658,23 @@ object CrawlQueries {
          |       CASE WHEN sd IS NULL OR sd = 0 THEN NULL
          |            ELSE round((n_articles - mu) / sd, 4) END AS z_score
          |  FROM hourly JOIN st USING (ticker)""".stripMargin,
+
+    // the oracle IS the identity: extract(render(text)) must equal text
+    // for every family, so the expected relation is documents verbatim.
+    "q177_parse_families" ->
+      s"""SELECT doc_id, doc_id % ${graft.core.Parsers.NumFamilies} AS family, text
+         |  FROM documents""".stripMargin,
+
+    // hwm interpolated from QuarantineHwmSec; lateness on epoch-offset
+    // integers (the q90 anchor-cancel argument). Raw pages rows (the
+    // delivery is stored as-is for replay), host via the canon split.
+    "q176_late_quarantine" ->
+      s"""$PagesCte
+         |SELECT url, warc_ts,
+         |       split_part(split_part(url, '://', 2), '/', 1) AS host,
+         |       $QuarantineHwmSec - date_diff('second', TIMESTAMP '2024-01-01 00:00:00', warc_ts) AS lateness_sec
+         |  FROM pages
+         | WHERE warc_ts <= TIMESTAMP '2024-01-01 00:00:00' + to_seconds($QuarantineHwmSec)""".stripMargin,
 
     "q09_link_extract" ->
       s"""WITH ranked AS (

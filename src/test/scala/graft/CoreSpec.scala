@@ -106,15 +106,38 @@ class CoreSpec extends AnyFunSuite {
       assert(Parsers.extract(h.host, html) === body,
         s"family ${h.family}, body <$body>")
     }
-    // Families 6/7 (nested misleading markup, mixed-encoding NCRs) have no
-    // fixture host yet — byte-identity via the family-explicit kernel,
-    // including non-ASCII bodies that family 7 NCR-encodes on the wire.
+    // Families 6-13 (nested markup, mixed NCRs, and the round-5 shapes:
+    // table-in-body, script/style, CDATA, malformed attrs, <br>
+    // paragraphs, double-encoded entities) have no fixture host —
+    // byte-identity via the family-explicit kernel, including non-ASCII
+    // bodies that families 7/13 encode on the wire.
     val extra = bodies ++ Seq("的 是 了 在", "café & crème brûlée", "tab\there\nnewline")
-    for (f <- 6 to 7; body <- extra) {
+    for (f <- 6 until Parsers.NumFamilies; body <- extra) {
       val html = Parsers.renderArticle(f, "Doc 7", "srcX", body)
       assert(Parsers.extractFamily(f, html) === body, s"family $f, body <$body>")
     }
-    assert(Parsers.NumFamilies === 8)
+    assert(Parsers.NumFamilies === 14)
+  }
+
+  test("parsers: family 8 related-table trap and family 11 '>' trap defeated") {
+    val body = "alpha beta gamma delta words enough to span cells " * 2
+    // family 8: a naive all-<td> collection would append the related
+    // table's cell; the marked-table span excludes it.
+    val h8 = new String(Parsers.renderArticle(8, "D", "srcX", body.trim),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(h8.contains("""<table class="related">"""))
+    val naiveCells = """<td>([^<]*)</td>""".r.findAllMatchIn(h8).map(_.group(1)).mkString
+    assert(naiveCells !== body.trim, "related-table trap vanished")
+    assert(Parsers.extractFamily(8, h8.getBytes("UTF-8")) === body.trim)
+    // family 11: a naive indexOf('>') after the open tag cuts inside the
+    // quoted attribute value and fabricates " >…" text.
+    val h11 = new String(Parsers.renderArticle(11, "D", "srcX", "clean body"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val open = "<div class=mal-body"
+    val naiveFrom = h11.indexOf('>', h11.indexOf(open) + open.length) + 1
+    val naive = h11.substring(naiveFrom, h11.indexOf("</div>", naiveFrom))
+    assert(naive !== "clean body", "malformed-attr trap vanished")
+    assert(Parsers.extractFamily(11, h11.getBytes("UTF-8")) === "clean body")
   }
 
   test("parsers: family 6 nested markup defeats a naive first-close scan") {

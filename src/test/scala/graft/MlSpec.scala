@@ -663,17 +663,72 @@ class MlSpec extends AnyFunSuite {
     assert(got === ref)
   }
 
-  test("multimodal decode plumbing: schema, determinism, per-kind behavior") {
+  test("multimodal decode: real codecs read dims/duration/frames from payload bytes") {
     val media = graft.core.Fixtures.table(spark, TestSpark.Sf0001, "media")
     val feats = Multimodal.decodeFeatures(spark, media)
     val rows = feats.collect()
     assert(rows.length === 500)
-    assert(rows.forall(f => f.byte_len > 0 && f.thumb_w <= 32 && f.thumb_h <= 32))
-    assert(rows.filter(_.kind == "video").forall(_.n_frames_sampled > 0))
-    assert(rows.filter(_.kind != "video").forall(_.n_frames_sampled == 0))
+    assert(rows.forall(_.decode_ok), "every fixture payload decodes")
+    // metadata ↔ payload agreement: the DECODED header dims equal the
+    // fixture's metadata columns (nothing is copied — the decoder reads
+    // the bytes the encoder wrote).
+    val meta = media.select("doc_id", "width", "height")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for (f <- rows if f.kind != "audio")
+      assert((f.decoded_w, f.decoded_h) === meta(f.doc_id), s"dims for ${f.doc_id}")
+    for (f <- rows) f.kind match {
+      case "image" =>
+        assert(f.thumb_w <= 32 && f.thumb_h <= 32 && f.thumb_w > 0)
+        assert(f.mean_signal > 0.0 && f.n_frames == 0 && f.duration_sec == 0.0)
+      case "audio" =>
+        val n = 400 + f.doc_id % 256
+        assert(f.duration_sec === math.rint(n / 8000.0 * 10000) / 10000)
+        assert(f.mean_signal > 0.0 && f.decoded_w == 0)
+      case _ =>
+        val exp = (2 + f.doc_id % 3).toInt
+        assert(f.n_frames === exp)
+        assert(f.n_frames_sampled === (exp + 1) / 2) // stride-2 sampler
+        assert(f.mean_signal > 0.0)
+    }
     // determinism across runs
     val again = Multimodal.decodeFeatures(spark, media).collect()
     assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("media codecs: hand-computed truths and corrupt-payload degradation") {
+    import graft.core.MediaCodecs
+    // BMP 2×2 with known pixels: luma (299r+587g+114b)/1000 per pixel.
+    val bmp = MediaCodecs.encodeBmp(2, 2, {
+      case (0, 0) => (255, 0, 0) // luma 76
+      case (1, 0) => (0, 255, 0) // luma 149
+      case (0, 1) => (0, 0, 255) // luma 29
+      case _      => (255, 255, 255) // luma 255
+    })
+    assert(bmp.length === MediaCodecs.bmpSize(2, 2))
+    val bi = MediaCodecs.decodeBmp(bmp).get
+    assert(bi.width === 2 && bi.height === 2)
+    assert(bi.meanLuma === (76 + 149 + 29 + 255) / 4.0)
+    assert((bi.thumbW, bi.thumbH) === (2, 2)) // already inside the box
+    assert(bi.thumbMeanLuma === bi.meanLuma)
+    // WAV: two samples ±1000 → RMS exactly 1000.
+    val wav = MediaCodecs.encodeWavPcm16(8000, Array[Short](1000, -1000))
+    assert(wav.length === MediaCodecs.wavSize(2))
+    val wi = MediaCodecs.decodeWav(wav).get
+    assert(wi.sampleRate === 8000 && wi.nSamples === 2 && wi.rms === 1000.0)
+    // Y4M: 2 frames of 1×2 mono, lumas (10,20) and (30,40); stride 2
+    // samples only frame 0 → mean 15.
+    val y4m = MediaCodecs.encodeY4m(1, 2, 2, (f, _, y) => 10 * (1 + 2 * f + y))
+    assert(y4m.length === MediaCodecs.y4mSize(1, 2, 2))
+    val vi = MediaCodecs.decodeY4m(y4m, stride = 2).get
+    assert(vi.width === 1 && vi.height === 2 && vi.nFrames === 2)
+    assert(vi.nSampled === 1 && vi.sampledMeanLuma === 15.0)
+    // corruption degrades to None, never throws
+    assert(MediaCodecs.decodeBmp("junk".getBytes).isEmpty)
+    assert(MediaCodecs.decodeWav(bmp).isEmpty)
+    assert(MediaCodecs.decodeY4m(wav).isEmpty)
+    assert(MediaCodecs.decodeBmp(bmp.take(40)).isEmpty)
+    assert(MediaCodecs.decodeWav(wav.take(43)).isEmpty)
+    assert(MediaCodecs.decodeY4m(y4m.take(y4m.length - 1)).isEmpty)
   }
 
   /** Scalar reference for winnowing: k-grams, min per w-window, dedup. */
@@ -727,6 +782,36 @@ class MlSpec extends AnyFunSuite {
       // and the engine agrees with the scalar reference on both docs
       assert(fps(i * 2L) === winnowRef(a, 3, 4))
       assert(fps(i * 2L + 1L) === winnowRef(b, 3, 4))
+    }
+  }
+
+  test("native winnow_fps: codegen == driver kernel == scalar ref on edge shapes") {
+    import graft.functions.NativeOps
+    import org.apache.spark.unsafe.types.UTF8String
+    // Spark-split grain (trailing/consecutive empties kept), duplicate
+    // minima, sub-window docs, multi-byte UTF-8 ordering.
+    val cases = Seq(
+      "e d c b a e d c b a",
+      "a  b c ",            // empty tokens: consecutive + trailing space
+      "a b c",              // single gram
+      "a b",                // < k tokens → empty
+      "",                   // 1 empty token → empty at k=3
+      "z y x w v u t s r q p o n m",
+      "é z a 的 b ß c d")   // multi-byte: binary order, not collation
+    for (c <- cases; (k, w) <- Seq((3, 4), (1, 2), (2, 1))) {
+      val want = // scalar reference at (k, w), Spark-split token grain
+        { val tk = c.split(" ", -1)
+          val grams = tk.sliding(k).filter(_.length == k).map(_.mkString(" ")).toVector
+          if (grams.isEmpty) Vector.empty
+          else if (grams.length < w) Vector(grams.min)
+          else grams.sliding(w).map(_.min).toVector }
+      val drv = NativeOps.winnowN(UTF8String.fromString(c), k, w)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toVector
+      assert(drv === want.distinct, s"driver kernel, '$c' k=$k w=$w")
+      val cg = Seq(c).toDF("text")
+        .select(graft.functions.expressions.winnow_fps($"text", k, w))
+        .as[Seq[String]].head().toVector
+      assert(cg === want.distinct, s"codegen path, '$c' k=$k w=$w")
     }
   }
 

@@ -37,6 +37,26 @@ class RecrawlSpec extends AnyFunSuite {
       ("https://a.example.com/alias", 2L, 2L, 600L, 600L)))
   }
 
+  test("lateQuarantine: hwm split, lateness arithmetic, observe() metrics") {
+    // hwm = epoch + 100 s. Rows at/below it quarantine; later ones pass.
+    val epoch = graft.core.Constants.EPOCH
+    def at(off: Long) = java.sql.Timestamp.from(epoch.plusSeconds(off))
+    val delivery = Seq(
+      ("https://a.example.com/x", at(0L)),    // 100 s late
+      ("https://a.example.com/y", at(100L)),  // exactly at hwm → late (≤)
+      ("https://b.example.com/z", at(101L)))  // on-time, not quarantined
+      .toDF("url", "warc_ts")
+    val q = graft.operators.Scheduler.lateQuarantine(delivery, 100L)
+    val obs = org.apache.spark.sql.Observation()
+    val got = q.observe(obs, count(lit(1)).as("n"))
+      .select("url", "host", "lateness_sec")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("https://a.example.com/x", "a.example.com", 100L),
+      ("https://a.example.com/y", "a.example.com", 0L)))
+    assert(obs.get("n") === 2L)
+  }
+
   test("changeStats: text never enters the shuffle (hash-keyed versions)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
