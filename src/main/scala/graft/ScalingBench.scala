@@ -185,11 +185,16 @@ object ScalingBench {
             yield (e - s) / 1000.0).getOrElse(0.0)
           val sum = taskSum.getOrDefault(si.stageId, 0L) / 1000.0
           val mx = taskMax.getOrDefault(si.stageId, 0L) / 1000.0
-          if (wall >= 0.2) // skip noise stages
+          if (wall >= 0.2) { // skip noise stages
+            // first graft-frame of the callsite beats the AQE-mangled name
+            val site = si.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("ScalingBench"))
+              .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(90)
             System.err.println(
               f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d wall=$wall%7.2f " +
                 f"sum=$sum%8.2f max=$mx%7.2f par=${if (wall > 0) sum / wall else 0.0}%5.1f " +
-                s"name=${si.name.takeWhile(_ != '\n').take(90)}")
+                s"at=$site")
+          }
         }
       })
     }
@@ -355,11 +360,18 @@ object ScalingBench {
     // Child JVMs inherit the env, so the mode propagates through
     // runOnceFreshJvm unchanged.
     val pipeline = sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("pipeline")
-    val prep = newSession(8)
+    val prep = newSession(sys.env.getOrElse("SPARK_GRAFT_SCALE_PREP_CPUS", "8").toInt)
     val xlDir = if (pipeline) ensureXlDocs(prep, sfDir, r) else ensureXl(prep, sfDir, r)
     prep.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // SPARK_GRAFT_SCALE_PREP_ONLY=1: generate/refresh the XL fixture cache
+    // and exit — lets a long ladder campaign pay the (untimed anyway) input
+    // build OUTSIDE the quiet measurement window it is trying to catch.
+    if (sys.env.get("SPARK_GRAFT_SCALE_PREP_ONLY").contains("1")) {
+      println(s"""{"metric":"scaling-prep","r":$r,"xl_dir":"$xlDir"}""")
+      return
+    }
 
     val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq

@@ -44,6 +44,13 @@ object CrawlLoop {
 
   /** SPARK_GRAFT_CRAWL_TRACE=1 → per-phase driver timings on stderr. */
   private val trace = sys.env.get("SPARK_GRAFT_CRAWL_TRACE").contains("1")
+
+  /** Host-universe bound for the distributed per-host rank (see
+    * runWithFixtures): its two-phase driver partials are parts × hosts
+    * rows, so the strategy is only selected when the budgets dim is small
+    * (the consolidated-publisher regime); above it the per-host window
+    * already spreads across cores on host cardinality alone. */
+  val DistHostRankMaxHosts: Long = 1024L
   private[operators] def timed[A](name: String)(f: => A): A =
     if (!trace) f
     else {
@@ -101,10 +108,21 @@ object CrawlLoop {
     // budgets dim should set cfg.scheduledBoundOverride (the choice only
     // affects the PHYSICAL plan — both order strategies produce identical
     // output, a misfire just picks the slower one, see Scheduler).
-    val budgetSum = budgets.agg(coalesce(sum("budget"), lit(0L))).head().getLong(0)
+    val budgetRow = budgets.agg(
+      coalesce(sum("budget"), lit(0L)), count(lit(1))).head()
+    val budgetSum = budgetRow.getLong(0)
+    val hostCount = budgetRow.getLong(1)
     val scheduledBound =
       if (cfg.scheduledBoundOverride > 0) cfg.scheduledBoundOverride
       else 2L * budgetSum * cfg.budgetScale
+    // Mega-batches over a SMALL host universe flip the final per-host rank
+    // to the distributed two-phase strategy (Scheduler.rankCandidates):
+    // the window's parallelism is capped at the occupied-host-bucket count,
+    // which idles most cores exactly when batches are huge. Output-identical
+    // (CrawlParitySpec); bounded because the two-phase driver partials are
+    // parts × hosts rows.
+    val distHostRank = scheduledBound > Scheduler.BroadcastFetchBound &&
+      hostCount <= DistHostRankMaxHosts
 
     // ---- resume point (op 5): max committed manifest ----------------------
     // Running totals are restored from the manifest's cumulative fields so a
@@ -129,7 +147,8 @@ object CrawlLoop {
       val seenExact = seenUpTo(spark, dir, k - 1)
       val r = timed(s"b$k runBatch")(
         Scheduler.runBatch(spark, pages, frontier, seenExact, seenShards,
-          robots, weights, budgets, k, articleCount, cfg, scheduledBound))
+          robots, weights, budgets, k, articleCount, cfg, scheduledBound,
+          distHostRank))
 
       val newShards =
         if (cfg.cuckooSeen)

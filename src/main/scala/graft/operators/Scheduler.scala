@@ -190,7 +190,8 @@ object Scheduler {
       robots: DataFrame,
       weights: DataFrame,
       budgets: DataFrame,
-      cfg: CrawlConfig): ScheduleOut = {
+      cfg: CrawlConfig,
+      distHostRank: Boolean = false): ScheduleOut = {
     // Cache the tagged candidate set: both the excluded split and the
     // ranking path read it.
     val tagged = Robots.tag(cands, robots).cache()
@@ -209,7 +210,7 @@ object Scheduler {
     // Cache the ranked stage: scheduled, deferred, and the downstream state
     // writes all read it — without the cache each consumer would re-run the
     // whole candidate+dedup+rank pipeline (one full pass per output).
-    val ranked = rankCandidates(allowed, weights, budgets, cfg, delays).cache()
+    val ranked = rankCandidates(allowed, weights, budgets, cfg, delays, distHostRank).cache()
 
     ScheduleOut(
       ranked.filter(col("host_rank") <= col("budget"))
@@ -226,7 +227,8 @@ object Scheduler {
       weights: DataFrame,
       budgets: DataFrame,
       cfg: CrawlConfig,
-      delays: Option[DataFrame] = None): DataFrame = {
+      delays: Option[DataFrame] = None,
+      distHostRank: Boolean = false): DataFrame = {
     val budgeted = allowed
       .join(broadcast(weights), Seq("host"), "left")
       .withColumn("weight", coalesce(col("weight"), lit(1.0)))
@@ -276,15 +278,40 @@ object Scheduler {
           .drop("__salt", "__lrank")
       } else prioritized
 
-    // Window key (host_bucket, host): HashPartitioning(host_bucket) satisfies
-    // the required ClusteredDistribution by the subset rule — ranking reuses
-    // the repartition exchange (probe-verified on 4.1.2, SURVEY.md §4).
-    val rankWindow = Window
-      .partitionBy(col("host_bucket"), col("host"))
-      .orderBy(rankOrder: _*)
-    preFiltered
-      .repartition(cfg.numBuckets, col("host_bucket"))
-      .withColumn("host_rank", row_number().over(rankWindow))
+    // Final per-host rank. Two output-identical physical strategies
+    // (CrawlParitySpec pins parity):
+    //  - WINDOW (the norm): partition by (host_bucket, host), row_number.
+    //    HashPartitioning(host_bucket) satisfies the required
+    //    ClusteredDistribution by the subset rule — ranking reuses the
+    //    repartition exchange (probe-verified on 4.1.2, SURVEY.md §4).
+    //    Scales whenever hosts ≫ cores (the open-web norm: host-grain
+    //    groups spread evenly, the salted pre-rank has already split any
+    //    mega-host).
+    //  - DISTRIBUTED (mega-batches over a SMALL host universe — the
+    //    consolidated-publisher regime this engine's fixture models, ~20
+    //    hosts): the window's parallelism is capped at the number of
+    //    occupied host buckets, so at 32 threads most cores idle through
+    //    the rank sort (round-5 stage profile: par ≈ 4 of 32). Instead,
+    //    range-partition by the GLOBAL rank order and take a per-host
+    //    running count — per-host rank == the window's row_number because
+    //    a host's rows stay relatively ordered inside a global sort.
+    //    Parallelism = range partitions, balanced regardless of host skew.
+    //    Driver partials are parts × |hosts present| rows, which is why
+    //    this path is gated to small host universes (CrawlLoop's
+    //    DistHostRankMaxHosts bound).
+    if (distHostRank) {
+      GlobalOrder.withRunningSum(
+        preFiltered.withColumn("__one", lit(1L)),
+        "host", "__one", rankOrder, cfg.numBuckets, "host_rank")
+        .drop("__one")
+    } else {
+      val rankWindow = Window
+        .partitionBy(col("host_bucket"), col("host"))
+        .orderBy(rankOrder: _*)
+      preFiltered
+        .repartition(cfg.numBuckets, col("host_bucket"))
+        .withColumn("host_rank", row_number().over(rankWindow))
+    }
   }
 
   /** Run one micro-batch. `frontier`: (url, host, discovered_ts) queued rows;
@@ -307,7 +334,8 @@ object Scheduler {
       batchId: Long,
       articleCountSoFar: Long,
       cfg: CrawlConfig,
-      scheduledBound: Long = Long.MaxValue): BatchResult = {
+      scheduledBound: Long = Long.MaxValue,
+      distHostRank: Boolean = false): BatchResult = {
 
     val loSec = Constants.EPOCH.getEpochSecond + (batchId - 1) * cfg.deltaPerBatchSec
     val hiSec = loSec + cfg.deltaPerBatchSec
@@ -329,7 +357,7 @@ object Scheduler {
           if (cfg.useBloom) Some(seenShards) else None, cfg.bloomBroadcastProbe)
 
     // ---- robots + priority + politeness ranking (ops 13/49/38/51/24/25) ---
-    val sched = schedule(newRows, robots, weights, budgets, cfg)
+    val sched = schedule(newRows, robots, weights, budgets, cfg, distHostRank)
     val excluded = sched.excluded
     val scheduled = sched.scheduled
       .select("url", "url_hash", "host", "discovered_ts", "priority", "host_bucket")
@@ -421,15 +449,28 @@ object Scheduler {
     val articleBase = parsed
       .filter(!col("is_listing"))
       .select(col("url"), col("warc_ts"), col("extracted").as("text"), col("lang"), col("priority"))
+      .withColumn("url_hash", Canonicalize.urlHash(col("url")))
     val orderCols = Seq(desc("priority"), asc("url"))
     val withOrd =
       if (broadcastFetch)
         articleBase.withColumn("__ord", row_number().over(Window.orderBy(orderCols: _*)).cast("long"))
-      else
-        GlobalOrder.withRank(articleBase, orderCols, cfg.numBuckets, "__ord")
+      else {
+        // NARROW two-phase rank (round-5 stage profile: range-sorting the
+        // text-fat article rows was the single largest CPU sink of the XL
+        // mega-batch — the sorted shuffle is read+sorted by BOTH
+        // zipWithIndex jobs). Rank a (url_hash, priority, url) projection
+        // instead, then hash-join the 16-byte rank relation back on
+        // url_hash (unique per batch — capture winners are per-url; 64-bit
+        // collisions are the same accepted trade the seen tier documents).
+        // Article text now crosses exactly ONE exchange, un-sorted.
+        val ranks = GlobalOrder.withRank(
+          articleBase.select(col("url_hash"), col("priority"), col("url")),
+          orderCols, cfg.numBuckets, "__ord")
+          .select(col("url_hash"), col("__ord"))
+        articleBase.join(ranks.hint("shuffle_hash"), Seq("url_hash"))
+      }
     val articles = withOrd
       .withColumn("fetch_order", lit(articleCountSoFar) + col("__ord"))
-      .withColumn("url_hash", Canonicalize.urlHash(col("url")))
       .withColumn("batch_id", lit(batchId))
       .select("url", "url_hash", "warc_ts", "text", "lang", "batch_id", "fetch_order")
 

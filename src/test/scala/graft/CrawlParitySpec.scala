@@ -210,6 +210,30 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sa === sb)
   }
 
+  test("host-rank strategy invariance: distributed two-phase == window (skew + ties)") {
+    // Synthetic candidates: heavy host skew (h0 ≫ others), duplicate
+    // priorities inside a host (ties broken by url asc), a host absent
+    // from the dims (defaults), and a budget that cuts mid-group.
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 03:00:00")
+    val cands = ((1 to 500).map(i => (f"https://h0.example.com/a$i%03d", "h0.example.com")) ++
+      (1 to 40).map(i => (f"https://h1.example.com/b$i%03d", "h1.example.com")) ++
+      (1 to 3).map(i => (f"https://hx.example.com/c$i%03d", "hx.example.com")))
+      .toDF("url", "host")
+      .withColumn("discovered_ts",
+        expr("timestampadd(MINUTE, CAST(substring(url, -2) AS INT) % 7, TIMESTAMP '2024-01-01 00:00:00')"))
+      .withColumn("url_hash", xxhash64(col("url")))
+    val weights = Seq(("h0.example.com", 2.0), ("h1.example.com", 5.0)).toDF("host", "weight")
+    val budgets = Seq(("h0.example.com", 3L), ("h1.example.com", 2L)).toDF("host", "budget")
+    val cfg = CrawlConfig(budgetScale = 7) // budget 21/14 cuts inside both hosts
+    def ranked(dist: Boolean) =
+      graft.operators.Scheduler.rankCandidates(cands, weights, budgets, cfg,
+        None, distHostRank = dist)
+        .select($"url", $"host_rank".cast("long"))
+        .as[(String, Long)].collect().toSeq.sorted
+    assert(ranked(dist = true) === ranked(dist = false))
+    assert(ranked(dist = false).nonEmpty)
+  }
+
   test("seen compaction: aggressive K=2 folds deltas, outputs identical, resume works") {
     val cfg = cfgBase.copy(runTag = "compact2", seenCompactEvery = 2)
     // Interrupt mid-run so resume crosses a compaction boundary, then finish.
