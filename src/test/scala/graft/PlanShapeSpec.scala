@@ -133,7 +133,48 @@ class PlanShapeSpec extends AnyFunSuite {
         }
         assert(schedBcasts.isEmpty,
           s"scheduled/winner set still force-broadcast above the bound:\n$plan")
+        // Narrow fetch_order (round 5): the text-fat article rows must cross
+        // exactly ONE exchange, hash-partitioned (the rank-attach join) —
+        // never a RangePartitioning one (the rank's range sort runs on the
+        // 16-byte (url_hash, priority, url) projection only).
+        val textShuffles = plan.collect {
+          case e: ShuffleExchangeExec if e.child.output.exists(_.name == "text") => e
+        }
+        assert(textShuffles.size <= 1,
+          s"text crosses ${textShuffles.size} exchanges:\n$plan")
+        assert(!textShuffles.exists(
+          _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+          s"text rides a sorted (range) exchange:\n$plan")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("distributed host rank: no window operator, no single-task rank stage") {
+    // The mega-batch/small-host-universe strategy (round 5) replaces the
+    // (host_bucket, host) row_number window — whose parallelism is capped at
+    // the occupied-bucket count — with GlobalOrder's range-partitioned
+    // running count (an RDD-backed relation; its inner range shuffle lives
+    // in the RDD lineage). Pin: no WindowExec and no single-partition
+    // exchange may appear in the executed plan — a regression that routes
+    // the distHostRank branch back through the window WOULD surface both.
+    withStaticPlans {
+      val cands = (1 to 100)
+        .map(i => (s"https://h${i % 5}.example.com/a/$i", s"h${i % 5}.example.com"))
+        .toDF("url", "host")
+        .withColumn("discovered_ts", lit(Constants.EpochTs))
+        .withColumn("url_hash", xxhash64($"url"))
+      val weights = Seq(("h0.example.com", 2.0)).toDF("host", "weight")
+      val budgets = Seq(("h0.example.com", 3)).toDF("host", "budget")
+      val ranked = Scheduler.rankCandidates(cands, weights, budgets,
+        CrawlConfig(), None, distHostRank = true)
+      val plan = ranked.queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"distributed rank still plans a window:\n$plan")
+      val singleTask = shuffles(ranked).filter(
+        _.outputPartitioning.numPartitions == 1)
+      assert(singleTask.isEmpty, s"single-partition exchange in rank plan:\n$plan")
     }
   }
 
