@@ -141,7 +141,14 @@ object ScalingBench {
       .appName(s"graft-scaling-$cpus")
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4× cores (uniform policy across levels; SPARK_GRAFT_SHUFFLE_PARTS
+      // overrides). Rounds 1-4 ran partitions == cores, which gives a
+      // skewed/straggling reduce task ZERO rebalance slack — one 17 s task
+      // stalled a whole 32-slot stage in the round-5 trace. At 4× cores AQE
+      // coalesces evenly and a straggler costs 1/4 of a wave, worth +44%
+      // local[32] throughput on the same engine (BENCH.md §6d).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", (4 * cpus).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -173,10 +180,22 @@ object ScalingBench {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         private val taskSum = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         private val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        // Byte totals identify WHICH relation a stage carries when the
+        // callsite is AQE-mangled (html-fat shuffles are GBs; rank/key
+        // projections are MBs) — the round-5 straggler attribution.
+        private val bytesIn = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        private val bytesSh = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        private val bytesWr = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val d = te.taskInfo.duration
           taskSum.merge(te.stageId, d, (a, b) => a + b)
           taskMax.merge(te.stageId, d, (a, b) => math.max(a, b))
+          val tm = te.taskMetrics
+          if (tm != null) {
+            bytesIn.merge(te.stageId, tm.inputMetrics.bytesRead, (a, b) => a + b)
+            bytesSh.merge(te.stageId, tm.shuffleReadMetrics.totalBytesRead, (a, b) => a + b)
+            bytesWr.merge(te.stageId, tm.shuffleWriteMetrics.bytesWritten, (a, b) => a + b)
+          }
         }
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -190,9 +209,12 @@ object ScalingBench {
             val site = si.details.linesIterator
               .find(l => l.contains("graft.") && !l.contains("ScalingBench"))
               .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(90)
+            def mb(m: java.util.concurrent.ConcurrentHashMap[Int, Long]) =
+              m.getOrDefault(si.stageId, 0L) / 1e6
             System.err.println(
               f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d wall=$wall%7.2f " +
                 f"sum=$sum%8.2f max=$mx%7.2f par=${if (wall > 0) sum / wall else 0.0}%5.1f " +
+                f"in=${mb(bytesIn)}%8.1fMB shr=${mb(bytesSh)}%8.1fMB shw=${mb(bytesWr)}%8.1fMB " +
                 s"at=$site")
           }
         }
@@ -379,6 +401,32 @@ object ScalingBench {
     // disciplined pair shape) so a multi-level invocation can emit a
     // fresh-JVM ladder artifact in one go.
     val fresh = sys.env.get("SPARK_GRAFT_SCALE_FRESH").contains("1")
+    // SPARK_GRAFT_SCALE_BURN=1: bracket the ladder with the pure-CPU
+    // host-ceiling burn at EVERY measured level, before and after, and
+    // embed both in the artifact — a ladder self-certifies its window
+    // (round-5 campaign discipline: the host ceiling drifts WITHIN one
+    // ladder's ~10 minutes, so a single same-session ceiling is not
+    // enough to normalize against; adopt a ladder only when the brackets
+    // agree). Fresh child JVM per burn, same harness as the engine legs.
+    val doBurn = sys.env.get("SPARK_GRAFT_SCALE_BURN").contains("1")
+    val burnN = sys.env.getOrElse("SPARK_GRAFT_BURN_N", "4000000000").toLong
+    def burnAll(): Seq[(Int, Double)] =
+      if (!doBurn) Seq.empty else levels.map(c => (c, burnFreshJvm(c, burnN)))
+    def burnJson(tag: String, walls: Seq[(Int, Double)]): String =
+      if (walls.isEmpty) ""
+      else {
+        def w(c: Int) = walls.find(_._1 == c).map(_._2)
+        // Constant per-thread work → ceiling(a→b) = wallₐ/wallᵦ, one per
+        // adjacent level pair (2→8, 8→32 on the default ladder).
+        val effs = levels.sliding(2).flatMap {
+          case Seq(a, b) => for (wa <- w(a); wb <- w(b))
+            yield s""""eff_${a}_to_${b}":${wa / wb}"""
+          case _ => None // single-level ladder: no pair
+        }.mkString(",")
+        val effPart = if (effs.isEmpty) "" else s",$effs"
+        s""","$tag":{${walls.map { case (c, s) => s""""wall$c":$s""" }.mkString(",")}$effPart}"""
+      }
+    val burnPre = burnAll()
     val results = levels.map { c =>
       val (n, s) =
         if (fresh) runOnceFreshJvm(c, xlDir, r)
@@ -386,6 +434,7 @@ object ScalingBench {
         else runOnce(c, xlDir)
       (c, n, s, n / s)
     }
+    val burnPost = burnAll()
     val itemKey = if (pipeline) "docs" else "urls"
     val parts = results.map { case (c, n, s, tp) =>
       s""""local$c":{"$itemKey":$n,"wall_sec":$s,"throughput":$tp}"""
@@ -396,7 +445,8 @@ object ScalingBench {
     val line =
       s"""{"metric":"scaling","mode":"${if (pipeline) "pipeline-minhash" else "crawl"}","r":$r,${parts.mkString(",")}""" +
         eff28.map(e => s""","efficiency_2_to_8":$e""").getOrElse("") +
-        eff832.map(e => s""","efficiency_8_to_32":$e""").getOrElse("") + "}"
+        eff832.map(e => s""","efficiency_8_to_32":$e""").getOrElse("") +
+        burnJson("host_burn_pre", burnPre) + burnJson("host_burn_post", burnPost) + "}"
     println(line)
     // Commit the ladder as an artifact so Bench's ladder_ref cites MEASURED
     // data instead of hardcoded historical constants (round-2 ADVICE).
