@@ -33,7 +33,11 @@ object Bench {
     def selected(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4× cores (BENCH.md §6d): at partitions == cores one skewed reduce
+      // task stalls a whole wave with zero AQE rebalance slack; at 4× AQE
+      // coalesces narrow stages back down and a straggler costs 1/4 wave
+      // (+44% local[32] crawl throughput on the same engine).
+      .config("spark.sql.shuffle.partitions", (4 * cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
