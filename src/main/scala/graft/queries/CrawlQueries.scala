@@ -92,6 +92,13 @@ object CrawlQueries {
   val SnapshotBoundarySec = 15000L
   val RecrawlNowSec = 40000L
 
+  /** q181's soft-404 error template — the body substituted for doc_id %
+    * 19 == 6 article captures, interpolated verbatim into the oracle (no
+    * quotes, so it embeds in SQL string literals as-is). */
+  val Soft404Template: String =
+    "Page not found. The article you are looking for does not exist " +
+      "or has been removed. Error 404."
+
   /** q176's high-water mark (offset from the fixture EPOCH) — 4 h in, so
     * the simulated re-delivery splits: early captures (incl. every
     * listing root at the epoch) quarantine as stragglers, later ones
@@ -447,6 +454,74 @@ object CrawlQueries {
     // lateness, and ride an observe() metric on the same pass.
     "q176_late_quarantine" -> ((s, dir) =>
       Scheduler.lateQuarantine(pages(s, dir), QuarantineHwmSec)),
+
+    // round 5: DUST rule mining (Bar-Yossef et al., WWW'07) — learn
+    // per-site suffix-strip rewrite rules from observed content-identical
+    // URL pairs. The fixture's tracking aliases mine back out as one
+    // dominant rule; its %-escaped aliases are not prefix-shaped and
+    // exercise the negative side.
+    "q178_dust_rules" -> ((s, dir) =>
+      graft.operators.PageHygiene.dustRules(pages(s, dir))),
+
+    // round 5: rel=canonical collapse — capture grouping follows the
+    // publisher-declared canonical target. Syndicated copies (rendered
+    // in-query on a host no URL-string rule can map home, the q177
+    // derive-in-query pattern) fold onto their origin article; everything
+    // else onto its op-7 canonical form.
+    "q179_canonical_collapse" -> ((s, dir) => {
+      val synd = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 13 === 5)
+        .select(
+          concat(lit("https://syndication.example.net/s/"), col("doc_id")).as("url"),
+          timestamp_seconds(lit(Constants.EPOCH.getEpochSecond) +
+            col("doc_id") * 60L + 90L).as("warc_ts"),
+          encode(concat(
+            lit("<html><head><link rel=\"canonical\" href=\"https://"),
+            col("source"), lit(".example.com/articles/"), col("doc_id"),
+            lit("\"/><title>synd</title></head><body>"), col("text"),
+            lit("</body></html>")), "UTF-8").as("html"))
+      graft.operators.PageHygiene.canonicalCollapse(
+        pages(s, dir).select("url", "warc_ts", "html").unionByName(synd))
+    }),
+
+    // round 5: page-level meta-robots gate — noindex/nofollow parsed from
+    // the markup (the indexing-side counterpart of robots.txt, ops 6/49).
+    // Directives injected in-query by url-derived doc_id (%-escaped urls
+    // yield no doc_id, so their captures stay unflagged — the engine can
+    // only act on what the bytes say; the oracle mirrors the same
+    // url-observable rule).
+    "q180_meta_robots" -> ((s, dir) => {
+      val did = nullif(regexp_extract(col("url"), "articles/([0-9]+)", 1),
+        lit("")).cast("long")
+      val h = decode(col("html"), "UTF-8")
+      val injected = when(pmod(did, lit(17)) === 4,
+          regexp_replace(h, "<head>",
+            "<head><meta name=\"robots\" content=\"noindex, nofollow\"/>"))
+        .when(pmod(did, lit(17)) === 9,
+          regexp_replace(h, "<head>",
+            "<head><meta name=\"robots\" content=\"NOINDEX\"/>"))
+        .otherwise(h)
+      graft.operators.PageHygiene.metaRobotsGate(
+        pages(s, dir).select(col("url"), col("warc_ts"),
+          encode(injected, "UTF-8").as("html")))
+    }),
+
+    // round 5: soft-404 detection — "200 OK" error pages classified from
+    // extracted-text features (hard phrase + error-code token + short
+    // body); article captures whose url-derived doc_id % 19 == 6 carry an
+    // in-query error-template body, the rest their real text.
+    "q181_soft404" -> ((s, dir) => {
+      val did = nullif(regexp_extract(col("url"), "articles/([0-9]+)", 1),
+        lit("")).cast("long")
+      val art = pages(s, dir)
+        .withColumn("d", did)
+        .filter(col("d").isNotNull)
+        .withColumn("text",
+          when(pmod(col("d"), lit(19)) === 6, lit(Soft404Template))
+            .otherwise(col("text")))
+      graft.operators.PageHygiene.soft404Flags(
+        art.select("url", "warc_ts", "text"))
+    }),
 
     "q166_redirect_collapse" -> ((s, dir) =>
       graft.operators.Redirects.frontierCollapse(
@@ -1675,6 +1750,72 @@ object CrawlQueries {
          |       $QuarantineHwmSec - date_diff('second', TIMESTAMP '2024-01-01 00:00:00', warc_ts) AS lateness_sec
          |  FROM pages
          | WHERE warc_ts <= TIMESTAMP '2024-01-01 00:00:00' + to_seconds($QuarantineHwmSec)""".stripMargin,
+
+    // content identity stated as text equality (≡ the engine's
+    // (xxhash64, length) key absent 64-bit collisions — the q30 contract);
+    // support counts DISTINCT prefix pairs in both.
+    "q178_dust_rules" ->
+      s"""$PagesCte,
+         |g AS (SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+         |             text, url
+         |        FROM pages),
+         |pr AS (SELECT DISTINCT a.host AS host, a.url AS u1, b.url AS u2
+         |         FROM g a JOIN g b
+         |           ON a.host = b.host AND a.text = b.text AND a.url < b.url
+         |        WHERE starts_with(b.url, a.url))
+         |SELECT substr(u2, len(u1) + 1) AS rule_suffix,
+         |       count(*) AS support,
+         |       count(DISTINCT host) AS n_hosts
+         |  FROM pr GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // real captures collapse via the canon CTE (the engine parses no
+    // canonical link out of fixture article html — there is none);
+    // syndicated rows map to their declared origin article.
+    "q179_canonical_collapse" ->
+      s"""$PagesCte,
+         |eff AS (
+         |  SELECT url AS eff_url, raw_url, warc_ts FROM canon
+         |  UNION ALL
+         |  SELECT 'https://' || source || '.example.com/articles/' || doc_id,
+         |         'https://syndication.example.net/s/' || doc_id,
+         |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) + to_seconds(90)
+         |    FROM documents WHERE doc_id % 13 = 5)
+         |SELECT eff_url AS url, count(*) AS n_captures,
+         |       count(DISTINCT raw_url) AS n_variants, max(warc_ts) AS last_ts
+         |  FROM eff GROUP BY 1""".stripMargin,
+
+    // the oracle states the url-observable injection rule the engine's
+    // parsed flags must reproduce from the bytes (q177's asymmetric-oracle
+    // pattern); TRY_CAST('') is NULL, so %-escaped and listing urls fall
+    // to false on both sides.
+    "q180_meta_robots" ->
+      s"""$PagesCte
+         |SELECT url, warc_ts,
+         |       coalesce(d % 17 = 4 OR d % 17 = 9, false) AS noindex,
+         |       coalesce(d % 17 = 4, false) AS nofollow
+         |  FROM (SELECT url, warc_ts,
+         |               TRY_CAST(regexp_extract(url, 'articles/([0-9]+)', 1) AS BIGINT) AS d
+         |          FROM pages) t""".stripMargin,
+
+    // feature mirror over the same substituted text; word counting on the
+    // fixture's single-space token separator (the q70 convention).
+    "q181_soft404" ->
+      s"""$PagesCte,
+         |art AS (
+         |  SELECT url, warc_ts,
+         |         CASE WHEN d % 19 = 6 THEN '$Soft404Template' ELSE text END AS text
+         |    FROM (SELECT url, warc_ts, text,
+         |                 TRY_CAST(regexp_extract(url, 'articles/([0-9]+)', 1) AS BIGINT) AS d
+         |            FROM pages) t
+         |   WHERE d IS NOT NULL)
+         |SELECT url, warc_ts,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |       contains(lower(text), 'page not found') AS has_phrase,
+         |       contains(lower(text), '404') AS has_code,
+         |       (CASE WHEN contains(lower(text), 'page not found') THEN 2 ELSE 0 END
+         |        + CASE WHEN contains(lower(text), '404') THEN 1 ELSE 0 END
+         |        + CASE WHEN len(string_split(text, ' ')) <= 40 THEN 1 ELSE 0 END) >= 3 AS soft404
+         |  FROM art""".stripMargin,
 
     "q09_link_extract" ->
       s"""WITH ranked AS (

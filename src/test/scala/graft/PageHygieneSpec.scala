@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Constants, Fixtures}
+import graft.operators.PageHygiene
+import graft.queries.CrawlQueries
+
+/** Round-5 crawl-hygiene operators: DUST rule mining, rel=canonical
+  * collapse, meta-robots gate, soft-404 detection (q178–q181). */
+class PageHygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = Timestamp.from(Constants.EPOCH.plusSeconds(sec))
+
+  test("dustRules mines the tracking-alias suffix with full support") {
+    val rules = PageHygiene
+      .dustRules(Fixtures.pages(spark, TestSpark.Sf0001))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // Every doc_id % 5 == 0 article carries a (url, url+AliasSuffix) pair.
+    val expected = spark.read
+      .parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .filter($"doc_id" % 5 === 0).count()
+    assert(rules.contains(Constants.AliasSuffix))
+    assert(rules(Constants.AliasSuffix)._1 >= expected)
+    // %-escaped aliases are not prefix-shaped: no rule starts with '%'.
+    assert(!rules.keys.exists(_.startsWith("%")))
+  }
+
+  test("dustRules honors minSupport and pairs only within a host") {
+    val pages = Seq(
+      // host a: two identical pairs for rule "?x=1" (support 2)
+      ("https://a.example.com/p/1", ts(0), "same one", "en"),
+      ("https://a.example.com/p/1?x=1", ts(1), "same one", "en"),
+      ("https://a.example.com/p/2", ts(2), "same two", "en"),
+      ("https://a.example.com/p/2?x=1", ts(3), "same two", "en"),
+      // host b: one pair only (support 1 — filtered at minSupport=2)
+      ("https://b.example.com/p/3", ts(4), "same three", "en"),
+      ("https://b.example.com/p/3?y=9", ts(5), "same three", "en"),
+      // cross-host identical content, prefix-shaped urls — never paired
+      ("https://a.example.com/q", ts(6), "xhost", "en"),
+      ("https://a.example.com.evil.net/q?z", ts(7), "xhost", "en")
+    ).toDF("url", "warc_ts", "text", "lang")
+    val got = PageHygiene.dustRules(pages, minSupport = 2)
+      .as[(String, Long, Long)].collect().toList
+    assert(got === List(("?x=1", 2L, 1L)))
+    val loose = PageHygiene.dustRules(pages, minSupport = 1)
+      .as[(String, Long, Long)].collect()
+      .map { case (r, s, h) => r -> ((s, h)) }.toMap
+    assert(loose === Map("?x=1" -> ((2L, 1L)), "?y=9" -> ((1L, 1L))))
+  }
+
+  test("canonicalHref parses a declared target; canonicalCollapse follows it") {
+    val synd = ("https://mirror.example.net/s/7", ts(90),
+      ("<html><head><link rel=\"canonical\" href=\"https://o.example.com/articles/7\"/>" +
+        "</head><body>b</body></html>").getBytes("UTF-8"))
+    val plain = ("https://o.example.com/articles/7?utm=x", ts(30),
+      "<html><head><title>t</title></head><body>b</body></html>".getBytes("UTF-8"))
+    val base = ("https://o.example.com/articles/7", ts(0),
+      "<html><head><title>t</title></head><body>b</body></html>".getBytes("UTF-8"))
+    val df = Seq(synd, plain, base).toDF("url", "warc_ts", "html")
+    val got = PageHygiene.canonicalCollapse(df)
+      .as[(String, Long, Long, Timestamp)].collect().toList
+    assert(got === List(("https://o.example.com/articles/7", 3L, 3L, ts(90))))
+  }
+
+  test("metaRobotsGate parses directives case-insensitively and tolerates spaces") {
+    val mk = (c: String) =>
+      s"""<html><head><meta name="robots" content="$c"/></head><body>x</body></html>"""
+        .getBytes("UTF-8")
+    val df = Seq(
+      ("u1", ts(0), mk("noindex, nofollow")),
+      ("u2", ts(1), mk("NOINDEX")),
+      ("u3", ts(2), mk("nofollow")),
+      ("u4", ts(3), "<html><head></head><body>x</body></html>".getBytes("UTF-8"))
+    ).toDF("url", "warc_ts", "html")
+    val got = PageHygiene.metaRobotsGate(df)
+      .as[(String, Timestamp, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      "u1" -> ((true, true)), "u2" -> ((true, false)),
+      "u3" -> ((false, true)), "u4" -> ((false, false))))
+  }
+
+  test("soft404Flags needs the phrase — short or 404-citing real pages survive") {
+    val df = Seq(
+      ("err", ts(0), CrawlQueries.Soft404Template),
+      ("short", ts(1), "tiny body"),
+      ("cites", ts(2),
+        ("the server returned 404 yesterday " * 10).trim), // long, code, no phrase
+      ("verbose-err", ts(3),
+        ("filler words here " * 20).trim + " page not found") // long, phrase, no code
+    ).toDF("url", "warc_ts", "text")
+    val got = PageHygiene.soft404Flags(df)
+      .as[(String, Timestamp, Long, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r._6).toMap
+    assert(got === Map(
+      "err" -> true, "short" -> false, "cites" -> false, "verbose-err" -> false))
+  }
+
+  test("q180/q181 engine output matches the url-observable injection rule") {
+    val dir = TestSpark.Sf0001
+    val meta = graft.SparkEntry.queries("q180_meta_robots")(spark, dir)
+    val flagged = meta.filter($"noindex").select($"url").as[String].collect()
+    assert(flagged.nonEmpty)
+    assert(flagged.forall { u =>
+      val d = "articles/([0-9]+)".r.findFirstMatchIn(u).map(_.group(1).toLong)
+      d.exists(x => x % 17 == 4 || x % 17 == 9)
+    })
+    val s404 = graft.SparkEntry.queries("q181_soft404")(spark, dir)
+    val hit = s404.filter($"soft404").select($"url").as[String].collect()
+    assert(hit.nonEmpty)
+    assert(hit.forall { u =>
+      "articles/([0-9]+)".r.findFirstMatchIn(u).exists(_.group(1).toLong % 19 == 6)
+    })
+  }
+}
