@@ -1080,6 +1080,32 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Mirror-host clusters (round 5): connected components over the
+    * syndication pair graph ([[syndicationPairsFrom]]'s host pairs as
+    * edges) — wire-copy mirror FARMS, not just pairs. The canonical
+    * source of each farm is its lexicographically first host
+    * (deterministic, oracle-matched); only hosts with at least one
+    * mirror edge appear.
+    *
+    * Plan: the host universe is tiny relative to the corpus, but the
+    * shape is the scale one — hash-keyed min-label CC (pointer doubling,
+    * O(log diameter) rounds, [[connectedComponents]]) plus two
+    * host-grain joins; no driver-side graph. */
+  def mirrorClustersFrom(hostPairs: DataFrame): DataFrame = {
+    val edges = hostPairs.select(
+      xxhash64(col("host_a")).as("a"), xxhash64(col("host_b")).as("b"))
+    val hosts = hostPairs.select(col("host_a").as("host"))
+      .unionByName(hostPairs.select(col("host_b").as("host"))).distinct()
+      .withColumn("id", xxhash64(col("host")))
+    val labeled = hosts.join(
+      connectedComponents(edges).select(col("doc_id").as("id"), col("rep")),
+      Seq("id"))
+    val reps = labeled.groupBy("rep")
+      .agg(min("host").as("mirror_group"), countDistinct("host").as("group_size"))
+    labeled.join(reps, Seq("rep"))
+      .select(col("host"), col("mirror_group"), col("group_size"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every RAW document
     * by how much more likely its tokens are under a TARGET-domain unigram

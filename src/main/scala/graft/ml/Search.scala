@@ -143,6 +143,50 @@ object Search {
       .limit(k)
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
 
+  /** Static score-based index pruning (Carmel et al., SIGIR 2001,
+    * "Static Index Pruning for Information Retrieval Systems"): per term
+    * keep only the top-`keepK` postings by BM25 contribution
+    * (rounded-rank discipline — q63's rule, so a sub-ulp sum-order
+    * wobble cannot move the cut), then evaluate the query over the
+    * pruned postings. Returns per matched doc the full and pruned scores
+    * plus pruned-tier membership — the retrieval-quality audit a
+    * tiered-index deployment runs before shipping the small tier.
+    *
+    * Plan: contributions are exactly the q53 frames; the only window is
+    * per-TERM over matched postings (a q-term query ⇒ q bounded frames,
+    * never the corpus); both sums land in one hash agg. */
+  def staticPrunedScores(docs: DataFrame, queryTerms: Seq[String],
+      keepK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(queryTerms.map(t => t: Any): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val s = idf * col("tf") * lit(K1 + 1) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
+    val contrib = tf.join(dfr, Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), s.as("s"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(round(col("s"), 4).desc, col("doc_id"))
+    contrib
+      .withColumn("rk", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        round(sum("s"), 4).as("bm25_full"),
+        round(sum(when(col("rk") <= keepK, col("s")).otherwise(lit(0.0))), 4)
+          .as("bm25_pruned"),
+        max((col("rk") <= keepK).cast("int")).cast("boolean").as("in_pruned"))
+  }
+
   /** Host-collapsed top-k (SERP diversity): at most `maxPerHost` results
     * per publisher host before the global cut — the result-page dedup
     * every web engine applies so one syndicating host can't fill the

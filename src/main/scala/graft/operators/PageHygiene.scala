@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Canonicalize
@@ -76,6 +77,106 @@ object PageHygiene {
         count(lit(1)).as("support"),
         countDistinct(col("host")).as("n_hosts"))
       .filter(col("support") >= minSupport)
+  }
+
+  /** Apply mined DUST rules to the URL universe — the second half of the
+    * DUST loop (mine → validate → rewrite before fetch). Every distinct
+    * URL ending in a mined suffix rewrites to its stripped spelling; a
+    * rewrite whose target is itself a known URL is a saved fetch. The
+    * per-rule precision (saved/rewritten) is the paper's rule-validation
+    * signal — low-precision coincidence rules are dropped before
+    * deployment.
+    *
+    * Plan: the mined rule table is model-sized (support-thresholded), so
+    * the suffix match broadcasts rules into a nested-loop probe over the
+    * URL scan — O(|urls|·|rules|) with constant |rules| is the
+    * scale-correct shape for a non-equi dim probe (the q34 pin forbids
+    * ACCIDENTAL BNLJs, not a deliberate constant-size one). The
+    * saved-check is one equi-join back to the distinct URL set. */
+  def dustApply(pages: DataFrame, minSupport: Int = 2): DataFrame = {
+    val rules = dustRules(pages, minSupport).select("rule_suffix")
+    val urls = pages.select(col("url")).distinct()
+    val m = urls
+      .join(broadcast(rules), col("url").endsWith(col("rule_suffix")))
+      .select(
+        col("rule_suffix"),
+        col("url").substr(lit(1), length(col("url")) - length(col("rule_suffix")))
+          .as("rewritten"))
+    val targets = urls.select(col("url").as("rewritten")).withColumn("hit", lit(1))
+    m.join(targets, Seq("rewritten"), "left")
+      .groupBy("rule_suffix")
+      .agg(count(lit(1)).as("n_rewritten"), count(col("hit")).as("n_saved"))
+      .withColumn("rule_precision",
+        round(col("n_saved").cast("double") / col("n_rewritten"), 4))
+  }
+
+  // ------------------------------------------------------------------
+  // content-defined chunk dedup
+  // ------------------------------------------------------------------
+
+  /** Content-defined chunk dedup stats — the web-archive storage shape of
+    * LBFS/FastCDC applied to extracted text. Chunk boundaries are a pure
+    * function of local content (here: after any word whose length % 4 ==
+    * 0 — an oracle-expressible stand-in for a Rabin rolling-hash cut; the
+    * native `rolling_hash` expression is the byte-grain production
+    * variant), so an edit shifts only its own chunk frame and downstream
+    * chunks still dedup — recaptures share every chunk except the edited
+    * tail. Dedup grain is per host (the storage-shard grain).
+    *
+    * Plan: the only window is pos-ordered INSIDE one capture (the q119
+    * gaps-and-islands shape — never a corpus-wide frame); chunk identity
+    * then shuffles as (xxhash64, length) so chunk text never rides the
+    * wide exchange (the q30 contract); two hash aggs finish it. */
+  def cdcChunkStats(pages: DataFrame): DataFrame = {
+    val words = pages
+      .filter(length(col("text")) > 0)
+      .select(
+        col("url"), col("warc_ts"),
+        Canonicalize.hostOf(col("url")).as("host"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val w = Window.partitionBy(col("url"), col("warc_ts")).orderBy(col("pos"))
+    val flag = (length(col("word")) % 4 === 0).cast("int")
+    val chunks = words
+      .withColumn("chunk_id", sum(flag).over(w) - flag)
+      .groupBy(col("host"), col("url"), col("warc_ts"), col("chunk_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("chunk"))
+    chunks
+      .select(col("host"),
+        xxhash64(col("chunk")).as("ck"), length(col("chunk")).as("cl"))
+      .groupBy("host", "ck", "cl")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("host")
+      .agg(
+        sum("cnt").as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("cnt") * col("cl")).as("chunk_chars"),
+        sum((col("cnt") - 1) * col("cl")).as("dup_chars_saved"))
+  }
+
+  // ------------------------------------------------------------------
+  // dead-link pruning
+  // ------------------------------------------------------------------
+
+  /** Drop frontier links whose target is a detected soft-404 (a crawler
+    * that keeps fetching "200 OK" error pages re-discovers them forever).
+    * `links` is the op-48 edge relation (host, link); `flags` is
+    * [[soft404Flags]] output — any flagged capture of a target URL kills
+    * the edge. Per origin host: kept vs pruned. Plan: the dead set is a
+    * distinct-url projection joined once; at scale it rides hash keys
+    * like the seen set (op 12). */
+  def deadLinkPrune(links: DataFrame, flags: DataFrame): DataFrame = {
+    val dead = flags.filter(col("soft404"))
+      .select(col("url").as("link")).distinct()
+      .withColumn("dead", lit(1))
+    links
+      .join(dead, Seq("link"), "left")
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_links"),
+        count(col("dead")).as("n_pruned"),
+        (count(lit(1)) - count(col("dead"))).as("n_kept"))
   }
 
   // ------------------------------------------------------------------

@@ -523,6 +523,43 @@ object CrawlQueries {
         art.select("url", "warc_ts", "text"))
     }),
 
+    // round 5: DUST rule application — the mine → validate → rewrite
+    // second half of the DUST loop: every URL ending in a mined suffix
+    // rewrites to its stripped spelling; rewrites whose target is already
+    // known are saved fetches, and per-rule precision is the deployment
+    // gate.
+    "q182_dust_apply" -> ((s, dir) =>
+      graft.operators.PageHygiene.dustApply(pages(s, dir))),
+
+    // round 5: content-defined chunk dedup — per-host storage stats under
+    // CDC chunking of extracted text (recaptures share all chunks except
+    // the edited tail frame; the fixture's ' updated' recaptures are the
+    // live case).
+    "q183_cdc_chunks" -> ((s, dir) =>
+      graft.operators.PageHygiene.cdcChunkStats(pages(s, dir))),
+
+    // round 5: dead-link pruning — op-48 link edges whose target url has
+    // a soft-404-flagged capture (q181's substituted corpus) drop before
+    // discovery; per origin host kept vs pruned.
+    "q185_dead_links" -> ((s, dir) => {
+      val links = pages(s, dir)
+        .filter(col("url").endsWith("/"))
+        .select(
+          Canonicalize.hostOf(col("url")).as("host"),
+          explode(linksUdf(col("html"))).as("link"))
+      val did = nullif(regexp_extract(col("url"), "articles/([0-9]+)", 1),
+        lit("")).cast("long")
+      val art = pages(s, dir)
+        .withColumn("d", did)
+        .filter(col("d").isNotNull)
+        .withColumn("text",
+          when(pmod(col("d"), lit(19)) === 6, lit(Soft404Template))
+            .otherwise(col("text")))
+      val flags = graft.operators.PageHygiene.soft404Flags(
+        art.select("url", "warc_ts", "text"))
+      graft.operators.PageHygiene.deadLinkPrune(links, flags)
+    }),
+
     "q166_redirect_collapse" -> ((s, dir) =>
       graft.operators.Redirects.frontierCollapse(
         allCandidates(s, dir).select("url")
@@ -1816,6 +1853,84 @@ object CrawlQueries {
          |        + CASE WHEN contains(lower(text), '404') THEN 1 ELSE 0 END
          |        + CASE WHEN len(string_split(text, ' ')) <= 40 THEN 1 ELSE 0 END) >= 3 AS soft404
          |  FROM art""".stripMargin,
+
+    // the q178 mining CTE feeds a suffix-match probe over the distinct
+    // URL universe; precision = validated share per rule.
+    "q182_dust_apply" ->
+      s"""$PagesCte,
+         |g AS (SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+         |             text, url
+         |        FROM pages),
+         |pr AS (SELECT DISTINCT a.host AS host, a.url AS u1, b.url AS u2
+         |         FROM g a JOIN g b
+         |           ON a.host = b.host AND a.text = b.text AND a.url < b.url
+         |        WHERE starts_with(b.url, a.url)),
+         |rules AS (SELECT substr(u2, len(u1) + 1) AS rule_suffix
+         |            FROM pr GROUP BY 1 HAVING count(*) >= 2),
+         |urls AS (SELECT DISTINCT url FROM pages),
+         |m AS (SELECT r.rule_suffix,
+         |             substr(u.url, 1, len(u.url) - len(r.rule_suffix)) AS rewritten
+         |        FROM urls u JOIN rules r ON ends_with(u.url, r.rule_suffix)),
+         |j AS (SELECT m.rule_suffix, (t.url IS NOT NULL) AS hit
+         |        FROM m LEFT JOIN urls t ON t.url = m.rewritten)
+         |SELECT rule_suffix, count(*) AS n_rewritten,
+         |       count(CASE WHEN hit THEN 1 END) AS n_saved,
+         |       round(count(CASE WHEN hit THEN 1 END) * 1.0 / count(*), 4) AS rule_precision
+         |  FROM j GROUP BY 1""".stripMargin,
+
+    // chunk identity stated as chunk-text equality (≡ the engine's
+    // (xxhash64, length) key — the q30 contract); per-capture running
+    // boundary sum mirrors the engine's pos window exactly.
+    "q183_cdc_chunks" ->
+      s"""$PagesCte,
+         |art AS (SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+         |               url, warc_ts, text
+         |          FROM pages WHERE len(text) > 0),
+         |w AS (SELECT host, url, warc_ts,
+         |             unnest(string_split(text, ' ')) AS word,
+         |             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         |        FROM art),
+         |f AS (SELECT *, CASE WHEN len(word) % 4 = 0 THEN 1 ELSE 0 END AS flag FROM w),
+         |c AS (SELECT *, sum(flag) OVER (PARTITION BY url, warc_ts ORDER BY pos) - flag AS chunk_id
+         |        FROM f),
+         |ch AS (SELECT host, url, warc_ts, chunk_id,
+         |              string_agg(word, ' ' ORDER BY pos) AS chunk
+         |         FROM c GROUP BY host, url, warc_ts, chunk_id),
+         |gr AS (SELECT host, chunk, count(*) AS cnt FROM ch GROUP BY host, chunk)
+         |SELECT host, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |       count(*) AS n_unique_chunks,
+         |       CAST(sum(cnt * len(chunk)) AS BIGINT) AS chunk_chars,
+         |       CAST(sum((cnt - 1) * len(chunk)) AS BIGINT) AS dup_chars_saved
+         |  FROM gr GROUP BY host""".stripMargin,
+
+    // q181's flagged-url set pruning the q09 edge relation.
+    "q185_dead_links" ->
+      s"""$PagesCte,
+         |art AS (
+         |  SELECT url,
+         |         CASE WHEN d % 19 = 6 THEN '$Soft404Template' ELSE text END AS text
+         |    FROM (SELECT url, text,
+         |                 TRY_CAST(regexp_extract(url, 'articles/([0-9]+)', 1) AS BIGINT) AS d
+         |            FROM pages) t
+         |   WHERE d IS NOT NULL),
+         |dead AS (
+         |  SELECT DISTINCT url FROM art
+         |   WHERE (CASE WHEN contains(lower(text), 'page not found') THEN 2 ELSE 0 END
+         |          + CASE WHEN contains(lower(text), '404') THEN 1 ELSE 0 END
+         |          + CASE WHEN len(string_split(text, ' ')) <= 40 THEN 1 ELSE 0 END) >= 3),
+         |ranked AS (
+         |  SELECT source, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |    FROM documents),
+         |links AS (
+         |  SELECT source || '.example.com' AS host,
+         |         'https://' || source || '.example.com/articles/' || doc_id AS link
+         |    FROM ranked WHERE rn <= ${Constants.ListingLinks})
+         |SELECT host, count(*) AS n_links,
+         |       count(CASE WHEN dead.url IS NOT NULL THEN 1 END) AS n_pruned,
+         |       count(*) - count(CASE WHEN dead.url IS NOT NULL THEN 1 END) AS n_kept
+         |  FROM links LEFT JOIN dead ON dead.url = links.link
+         | GROUP BY host""".stripMargin,
 
     "q09_link_extract" ->
       s"""WITH ranked AS (

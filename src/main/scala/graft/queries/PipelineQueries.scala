@@ -226,6 +226,12 @@ object PipelineQueries {
     "q53_bm25" -> ((s, dir) =>
       Search.bm25Scores(docs(s, dir), Bm25QueryTerms)),
 
+    // round 5: static score-based index pruning (Carmel et al. 2001) —
+    // per-term top-K postings by BM25 impact form the small serving tier;
+    // the entry audits pruned vs full scores on the standard query.
+    "q186_static_pruning" -> ((s, dir) =>
+      Search.staticPrunedScores(docs(s, dir), Bm25QueryTerms, StaticPruneK)),
+
     // PII detection + redaction (emails/IPv4/phones → tokens + counts)
     // over fixture text with deterministically injected PII spans.
     "q54_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(piiDocs(s, dir))),
@@ -445,6 +451,13 @@ object PipelineQueries {
     // near-dup document pairs (wire-copy mirror detection).
     "q101_syndication" -> ((s, dir) =>
       Corpus.syndicationPairsFrom(docs(s, dir), ngramPairs(s, dir, 0.5))),
+
+    // round 5: mirror-host clusters — connected components over the q101
+    // pair graph elect one canonical source per wire-copy mirror FARM
+    // (shared PPJoin pair kernel; hash-keyed CC, no driver-side graph).
+    "q184_mirror_clusters" -> ((s, dir) =>
+      Corpus.mirrorClustersFrom(
+        Corpus.syndicationPairsFrom(docs(s, dir), ngramPairs(s, dir, 0.5)))),
 
     // SemDeDup: embedding-space dedup (cluster → within-cell cosine pairs
     // → keep the member least similar to its centroid). Rows-only by
@@ -1040,6 +1053,9 @@ object PipelineQueries {
   /** q53's query — mid-frequency fixture vocabulary so df varies by term. */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "merge", "vector")
 
+  /** q186's per-term pruned-tier size — interpolated into the oracle. */
+  val StaticPruneK: Int = 8
+
   /** q56's phrase — occurs in a handful of sf0.01 fixture docs. */
   val PhraseNeedle: String = "row column sort"
 
@@ -1396,6 +1412,28 @@ object PipelineQueries {
     // mirrors Search.scoresRaw left-assoc chains so per-term doubles are
     // bit-identical (only the sum's addition order differs; 4 dp absorbs).
     "q53_bm25" -> Bm25OracleSql,
+
+    // q53's contribution frames + a per-term rounded-rank cut at K; both
+    // sums re-round to 4 dp (the q53 bit-identity argument per term).
+    "q186_static_pruning" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |c AS (SELECT doc_id, term,
+         |             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+         |             / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl)) AS s
+         |        FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY round(s, 4) DESC, doc_id) AS rk
+         |        FROM c)
+         |SELECT doc_id, round(sum(s), 4) AS bm25_full,
+         |       round(sum(CASE WHEN rk <= $StaticPruneK THEN s ELSE 0 END), 4) AS bm25_pruned,
+         |       CAST(max(CASE WHEN rk <= $StaticPruneK THEN 1 ELSE 0 END) AS BOOLEAN) AS in_pruned
+         |  FROM r GROUP BY doc_id""".stripMargin,
 
     // The persisted-index path must produce the SAME relation (the index
     // stores the identical tf/df/dl/stats doubles, parquet-roundtripped
@@ -1902,6 +1940,37 @@ object PipelineQueries {
         |  JOIN d db ON db.doc_id = pairs.b
         | WHERE da.source <> db.source
         | GROUP BY 1, 2""".stripMargin,
+
+    // q101's pair relation as edges, then the q46 recursive-CC shape over
+    // host-string nodes; the rep is min(host) in both (string min).
+    "q184_mirror_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |pairs AS (SELECT a, b FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         round(len(list_intersect(a.s, b.s)) * 1.0
+        |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) AS p
+        | WHERE jaccard >= 0.5),
+        |d AS (SELECT doc_id, source FROM documents),
+        |hp AS (SELECT DISTINCT least(da.source, db.source) AS host_a,
+        |              greatest(da.source, db.source) AS host_b
+        |         FROM pairs
+        |         JOIN d da ON da.doc_id = pairs.a
+        |         JOIN d db ON db.doc_id = pairs.b
+        |        WHERE da.source <> db.source),
+        |edges AS (SELECT host_a AS src, host_b AS dst FROM hp
+        |          UNION SELECT host_b AS src, host_a AS dst FROM hp),
+        |cc AS (SELECT src AS node, src AS root FROM edges
+        |       UNION
+        |       SELECT e.dst AS node, cc.root FROM cc JOIN edges e ON cc.node = e.src),
+        |lab AS (SELECT node AS host, min(root) AS mirror_group FROM cc GROUP BY node)
+        |SELECT host, mirror_group,
+        |       count(*) OVER (PARTITION BY mirror_group) AS group_size
+        |  FROM lab""".stripMargin,
 
     // Gate constants interpolated from the same Scala vals the entry uses.
     "q102_host_quality" ->

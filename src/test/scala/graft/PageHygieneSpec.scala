@@ -103,6 +103,57 @@ class PageHygieneSpec extends AnyFunSuite {
       "err" -> true, "short" -> false, "cites" -> false, "verbose-err" -> false))
   }
 
+  test("dustApply rewrites, validates, and scores rule precision") {
+    val pages = Seq(
+      ("https://a.example.com/p/1", ts(0), "same one", "en"),
+      ("https://a.example.com/p/1?x=1", ts(1), "same one", "en"),
+      ("https://a.example.com/p/2", ts(2), "same two", "en"),
+      ("https://a.example.com/p/2?x=1", ts(3), "same two", "en"),
+      // matches the mined rule but its stripped target is unknown
+      ("https://c.example.com/solo?x=1", ts(4), "uniq", "en")
+    ).toDF("url", "warc_ts", "text", "lang")
+    val got = PageHygiene.dustApply(pages, minSupport = 2)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got === List(("?x=1", 3L, 2L, 0.6667)))
+  }
+
+  test("cdcChunkStats: an edited tail reuses every untouched chunk") {
+    val pages = Seq(
+      ("https://h.example.com/a", ts(0), "aaaa bb cccc dd", "en"),
+      ("https://h.example.com/a", ts(10), "aaaa bb cccc ee", "en")
+    ).toDF("url", "warc_ts", "text", "lang")
+    // boundaries after 4-char words: chunks = "aaaa" | "bb cccc" | tail
+    val got = PageHygiene.cdcChunkStats(pages)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got === List(("h.example.com", 6L, 4L, 26L, 11L)))
+  }
+
+  test("deadLinkPrune drops edges into flagged targets per origin host") {
+    val links = Seq(
+      ("h1", "https://t.example.com/articles/1"),
+      ("h1", "https://t.example.com/articles/2"),
+      ("h2", "https://t.example.com/articles/2")
+    ).toDF("host", "link")
+    val flags = Seq(
+      ("https://t.example.com/articles/2", ts(0), 5L, true, true, true),
+      ("https://t.example.com/articles/1", ts(1), 99L, false, false, false)
+    ).toDF("url", "warc_ts", "n_words", "has_phrase", "has_code", "soft404")
+    val got = PageHygiene.deadLinkPrune(links, flags)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(("h1", 2L, 1L, 1L), ("h2", 1L, 1L, 0L)))
+  }
+
+  test("mirrorClustersFrom elects the min-host rep per component") {
+    val pairs = Seq(
+      ("a", "b", 3L), ("b", "c", 1L), ("x", "y", 2L)
+    ).toDF("host_a", "host_b", "n_shared")
+    val got = graft.ml.Corpus.mirrorClustersFrom(pairs)
+      .as[(String, String, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("a", "a", 3L), ("b", "a", 3L), ("c", "a", 3L),
+      ("x", "x", 2L), ("y", "x", 2L)))
+  }
+
   test("q180/q181 engine output matches the url-observable injection rule") {
     val dir = TestSpark.Sf0001
     val meta = graft.SparkEntry.queries("q180_meta_robots")(spark, dir)

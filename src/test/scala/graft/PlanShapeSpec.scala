@@ -349,4 +349,63 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q178 dust mining: equi-join on content keys — no nested loop, text never shuffles") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q178_dust_rules")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      val bad = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(bad.isEmpty, s"dust pair join fell back to a nested loop:\n$plan")
+      for (s <- shuffles(df))
+        assert(!s.output.exists(_.name == "text"),
+          s"page text rides a shuffle:\n$plan")
+    }
+  }
+
+  test("q182 dust apply: the ONLY nested loop is the deliberate broadcast rule probe") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q182_dust_apply")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      val bnl = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bnl.size === 1, s"expected exactly the rules probe BNLJ:\n$plan")
+      val sides = Seq(bnl.head.left.output.map(_.name), bnl.head.right.output.map(_.name))
+      assert(sides.exists(_ == Seq("rule_suffix")),
+        s"the broadcast side is not the 1-column rule dim: $sides")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty)
+    }
+  }
+
+  test("q183 cdc chunks: one per-capture window; chunk identity shuffles as hashes") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q183_cdc_chunks")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.size === 1, s"expected exactly one window:\n$plan")
+      assert(wins.head.partitionSpec.nonEmpty, "boundary window is unpartitioned")
+      for (s <- shuffles(df))
+        assert(!s.output.exists(n => n.name == "chunk" || n.name == "text"),
+          s"chunk/text strings ride a shuffle:\n$plan")
+    }
+  }
+
+  test("q186 static pruning: windows stay per-term partitioned, never corpus-wide") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q186_static_pruning")(spark, TestSpark.Sf0001)
+      val wins = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty)
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        "an unpartitioned (single-task) window appeared on the pruning path")
+    }
+  }
 }

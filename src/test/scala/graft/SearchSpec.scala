@@ -28,6 +28,29 @@ class SearchSpec extends AnyFunSuite {
       (tf + Search.K1 * ((1 - Search.B) + Search.B * dl / avgdl))
   }
 
+  test("staticPrunedScores: keepK=1 keeps only each term's best posting") {
+    val n = 5.0
+    val avgdl = (4 + 6 + 3 + 5 + 1) / 5.0
+    // Per-term best contribution: spark → doc1 (tf2,dl4 beats tf1,dl6);
+    // merge → doc3 (tf3,dl3 beats tf1,dl4); vector → doc5.
+    val got = Search.staticPrunedScores(corpus, Seq("spark", "merge", "vector"), 1)
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got(1L)._3 === true) // survives via spark
+    assert(got(1L)._2 === r4(bm25Ref(2, 2, 4, n, avgdl))) // merge posting pruned
+    assert(got(2L) === ((r4(bm25Ref(1, 2, 6, n, avgdl)), 0.0, false)))
+    assert(got(3L)._2 === r4(bm25Ref(3, 2, 3, n, avgdl)))
+    assert(got(3L)._3 === true)
+    assert(got(5L) === ((r4(bm25Ref(1, 1, 1, n, avgdl)), r4(bm25Ref(1, 1, 1, n, avgdl)), true)))
+    // full scores always dominate pruned ones
+    assert(got.values.forall { case (f, p, _) => f >= p })
+    // with keepK large, pruning is the identity
+    val id = Search.staticPrunedScores(corpus, Seq("spark", "merge", "vector"), 100)
+      .as[(Long, Double, Double, Boolean)].collect()
+    assert(id.forall(r => r._2 == r._3 && r._4))
+  }
+
   test("bm25Scores matches the scalar formula on a hand corpus") {
     val n = 5.0
     val avgdl = (4 + 6 + 3 + 5 + 1) / 5.0
