@@ -187,6 +187,28 @@ object Search {
         max((col("rk") <= keepK).cast("int")).cast("boolean").as("in_pruned"))
   }
 
+  /** Pruned-tier retrieval quality: recall@k of the [[staticPrunedScores]]
+    * small tier against the full ranking, at each cut in `ks` — the
+    * go/no-go curve a tiered-index deployment reads before routing
+    * traffic to the pruned tier. Both rankings order by the 4-dp rounded
+    * score with doc_id ties (deterministic, oracle-coupled); each top-k
+    * is orderBy+limit = TakeOrderedAndProject, never a global window. */
+  def prunedRecallAtK(docs: DataFrame, queryTerms: Seq[String], keepK: Int,
+      ks: Seq[Int]): DataFrame = {
+    val sc = staticPrunedScores(docs, queryTerms, keepK)
+    ks.map { k =>
+      val fullK = sc.orderBy(col("bm25_full").desc, col("doc_id")).limit(k)
+        .select("doc_id")
+      val prunedK = sc.filter(col("in_pruned"))
+        .orderBy(col("bm25_pruned").desc, col("doc_id")).limit(k)
+        .select("doc_id")
+      fullK.join(prunedK, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(k).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / k, 4).as("recall_at_k"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Host-collapsed top-k (SERP diversity): at most `maxPerHost` results
     * per publisher host before the global cut — the result-page dedup
     * every web engine applies so one syndicating host can't fill the

@@ -128,6 +128,65 @@ object LinkGraph {
     ranks.select(col("node").as("doc_id"), round(col("rank"), 6).as("trust"))
   }
 
+  /** Spam-mass estimation (Gyöngyi, Berkhin, Garcia-Molina & Pedersen,
+    * "Link Spam Detection Based on Mass Estimation", VLDB'06): how much
+    * of a page's PageRank arrives via paths the trusted core cannot
+    * explain. Runs TWO personalized-PageRank recursions in ONE joint
+    * iteration over the same edges:
+    *   - `pr`: teleport uniform 1/N over ALL nodes (plain PageRank);
+    *   - `tr`: teleport 1/N at the trusted seeds, 0 elsewhere (the
+    *     paper's q′ — note 1/N, NOT TrustRank's 1/|S|, so tr ≤ pr holds
+    *     component-wise by teleport-vector monotonicity and the
+    *     relative mass (pr − tr)/pr lands in [0, 1]).
+    * High relative mass ≈ rank manufactured by link structure no
+    * trusted page endorses — the demotion signal.
+    *
+    * Plan shape: the per-round in-mass join runs ONCE and aggregates
+    * BOTH columns in the same map-side-combined hash agg (half the
+    * shuffles of composing [[trustrank]] with `pagerankFixed`). Float
+    * discipline: q69's — (1−d) and d Scala-evaluated (oracle
+    * interpolates), per-edge terms the left-assoc rank/outdeg, only the
+    * in-mass sums' addition order differs (absorbed by the 6-dp round);
+    * the mass ratio is one division of two already-rounded values. */
+  def spamMass(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(col("src"), col("dst"))
+    val outw = e.groupBy("src").agg(count(lit(1)).cast("double").as("outw"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nCount = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val seedNodes = seeds.select(col("doc_id").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val tele = nodes
+      .join(seedNodes.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .crossJoin(broadcast(nCount))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("tp"),
+        when(col("is_seed").isNotNull, lit(1.0) / col("n_nodes"))
+          .otherwise(lit(0.0)).as("tt"))
+    val teleportMass = 1.0 - damping // Scala-evaluated; oracle interpolates
+    var ranks = tele.select(col("node"), col("tp").as("pr"), col("tt").as("tr"))
+    for (_ <- 1 to iters) {
+      val inMass = e
+        .join(outw, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("pr") / col("outw")).as("cp"), (col("tr") / col("outw")).as("ct"))
+        .groupBy("node").agg(sum("cp").as("cinp"), sum("ct").as("cint"))
+      ranks = tele
+        .join(inMass, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleportMass) * col("tp") +
+            lit(damping) * coalesce(col("cinp"), lit(0.0))).as("pr"),
+          (lit(teleportMass) * col("tt") +
+            lit(damping) * coalesce(col("cint"), lit(0.0))).as("tr"))
+    }
+    ranks.select(col("node").as("doc_id"),
+      round(col("pr"), 6).as("pagerank"), round(col("tr"), 6).as("trusted_pr"),
+      round((round(col("pr"), 6) - round(col("tr"), 6)) / round(col("pr"), 6), 6)
+        .as("rel_spam_mass"))
+  }
+
   /** Host-level link-graph rollup: page edges aggregated to the
     * (src_host, dst_host) grain, same-host navigation excluded — the
     * inter-publisher citation matrix that seeds TrustRank whitelists

@@ -177,6 +177,26 @@ object Scheduler {
         max(col("lateness_sec")).as("max_lateness_sec"))
   }
 
+  /** Schedule-fairness audit (round 5): how evenly a scheduled batch
+    * spreads across hosts — Gini coefficient by the rank formula over
+    * per-host counts sorted (count, host), plus the max single-host
+    * share. A rising Gini or max_share is the operational tell that one
+    * publisher is monopolizing the batch (skew fixture B6 territory).
+    * The ONLY window runs on the host-dim grain (bounded — the q164
+    * host-cardinality argument), never the url grain; all sums are
+    * integer until the single division per output column. */
+  def fairnessStats(scheduled: DataFrame): DataFrame = {
+    val counts = scheduled.groupBy("host").agg(count(lit(1)).as("x"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("host"))))
+    ranked.agg(
+      count(lit(1)).as("n_hosts"),
+      sum("x").as("n_scheduled"),
+      round(max(col("x")).cast("double") / sum(col("x")), 4).as("max_share"),
+      round(lit(2.0) * sum(col("i") * col("x")) / (count(lit(1)) * sum(col("x"))) -
+        (count(lit(1)) + lit(1)).cast("double") / count(lit(1)), 4).as("gini"))
+  }
+
   /** Scheduling-stage outputs (pre-fetch). `cached` holds the shared cached
     * parents of the three outputs — unpersist when done. */
   final case class ScheduleOut(scheduled: DataFrame, deferred: DataFrame,

@@ -560,6 +560,15 @@ object CrawlQueries {
       graft.operators.PageHygiene.deadLinkPrune(links, flags)
     }),
 
+    // round 5: schedule-fairness audit — how evenly the politeness-ranked
+    // batch (the oracle-proven q05 relation) spreads across hosts: Gini
+    // coefficient by the rank formula over per-host counts sorted
+    // (count, host), plus the max single-host share. The ONLY window runs
+    // on the host-dim grain (bounded — the q164 host-cardinality
+    // argument), never the url grain.
+    "q187_schedule_fairness" -> ((s, dir) =>
+      Scheduler.fairnessStats(scheduleOnce(s, dir))),
+
     "q166_redirect_collapse" -> ((s, dir) =>
       graft.operators.Redirects.frontierCollapse(
         allCandidates(s, dir).select("url")
@@ -1853,6 +1862,43 @@ object CrawlQueries {
          |        + CASE WHEN contains(lower(text), '404') THEN 1 ELSE 0 END
          |        + CASE WHEN len(string_split(text, ' ')) <= 40 THEN 1 ELSE 0 END) >= 3 AS soft404
          |  FROM art""".stripMargin,
+
+    // the q05 scheduled relation rolled to per-host counts, then the Gini
+    // rank formula over (count, host)-sorted rows — all-integer sums, one
+    // division per output column, 4-dp rounded on both sides.
+    "q187_schedule_fairness" ->
+      s"""$PagesCte,
+         |cand AS (
+         |  SELECT url, host, max(warc_ts) AS discovered_ts
+         |    FROM canon GROUP BY url, host
+         |),
+         |allowed AS (
+         |  SELECT c.*, COALESCE(h.weight, 1.0) AS weight,
+         |         CASE WHEN h.crawl_delay IS NOT NULL AND h.crawl_delay > 0
+         |              THEN least(COALESCE(h.budget, 2),
+         |                         greatest(1, CAST(floor(${CrawlConfig().deltaPerBatchSec}.0 / h.crawl_delay) AS BIGINT)))
+         |              ELSE COALESCE(h.budget, 2) END AS budget,
+         |         COALESCE(h.weight, 1.0) * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
+         |    FROM cand c LEFT JOIN hostdim h USING (host)
+         |   WHERE NOT (regexp_replace(url, '^https://[^/]*', '') LIKE '/private/%'
+         |              OR (host = 'src13.example.com'
+         |                  AND regexp_replace(url, '^https://[^/]*', '') LIKE '/articles/%'))
+         |),
+         |ranked AS (
+         |  SELECT url, host, budget,
+         |         ROW_NUMBER() OVER (PARTITION BY host
+         |                            ORDER BY priority DESC, discovered_ts DESC, url ASC) AS host_rank
+         |    FROM allowed
+         |),
+         |counts AS (
+         |  SELECT host, count(*) AS x FROM ranked WHERE host_rank <= budget
+         |   GROUP BY host),
+         |r2 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY x, host) AS i FROM counts)
+         |SELECT count(*) AS n_hosts, CAST(sum(x) AS BIGINT) AS n_scheduled,
+         |       round(max(x) * 1.0 / sum(x), 4) AS max_share,
+         |       round(2.0 * sum(i * x) / (count(*) * sum(x))
+         |             - (count(*) + 1) * 1.0 / count(*), 4) AS gini
+         |  FROM r2""".stripMargin,
 
     // the q178 mining CTE feeds a suffix-match probe over the distinct
     // URL universe; precision = validated share per rule.

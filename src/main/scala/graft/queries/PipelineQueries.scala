@@ -232,6 +232,13 @@ object PipelineQueries {
     "q186_static_pruning" -> ((s, dir) =>
       Search.staticPrunedScores(docs(s, dir), Bm25QueryTerms, StaticPruneK)),
 
+    // round 5: pruned-tier recall@k curve — the go/no-go audit before
+    // routing traffic to the q186 small tier (both rankings on the
+    // rounded-score/doc_id key; top-k = TakeOrderedAndProject).
+    "q188_pruning_recall" -> ((s, dir) =>
+      Search.prunedRecallAtK(docs(s, dir), Bm25QueryTerms, StaticPruneK,
+        PruningRecallKs)),
+
     // PII detection + redaction (emails/IPv4/phones → tokens + counts)
     // over fixture text with deterministically injected PII spans.
     "q54_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(piiDocs(s, dir))),
@@ -1056,6 +1063,9 @@ object PipelineQueries {
   /** q186's per-term pruned-tier size — interpolated into the oracle. */
   val StaticPruneK: Int = 8
 
+  /** q188's recall cuts — interpolated into the oracle. */
+  val PruningRecallKs: Seq[Int] = Seq(5, 10, 20)
+
   /** q56's phrase — occurs in a handful of sf0.01 fixture docs. */
   val PhraseNeedle: String = "row column sort"
 
@@ -1434,6 +1444,38 @@ object PipelineQueries {
          |       round(sum(CASE WHEN rk <= $StaticPruneK THEN s ELSE 0 END), 4) AS bm25_pruned,
          |       CAST(max(CASE WHEN rk <= $StaticPruneK THEN 1 ELSE 0 END) AS BOOLEAN) AS in_pruned
          |  FROM r GROUP BY doc_id""".stripMargin,
+
+    // the q186 relation re-ranked twice on the rounded-score/doc_id key;
+    // ks LEFT JOIN keeps a zero-overlap cut visible as n_overlap = 0.
+    "q188_pruning_recall" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |c AS (SELECT doc_id, term,
+         |             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+         |             / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl)) AS s
+         |        FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY round(s, 4) DESC, doc_id) AS rk
+         |        FROM c),
+         |base AS (
+         |  SELECT doc_id, round(sum(s), 4) AS bm25_full,
+         |         round(sum(CASE WHEN rk <= $StaticPruneK THEN s ELSE 0 END), 4) AS bm25_pruned,
+         |         max(CASE WHEN rk <= $StaticPruneK THEN 1 ELSE 0 END) = 1 AS in_pruned
+         |    FROM r GROUP BY doc_id),
+         |ks AS (SELECT unnest([${PruningRecallKs.mkString(",")}]) AS k),
+         |fr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_full DESC, doc_id) AS r FROM base),
+         |pr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_pruned DESC, doc_id) AS r
+         |         FROM base WHERE in_pruned),
+         |ov AS (SELECT ks.k, fr.doc_id
+         |         FROM ks JOIN fr ON fr.r <= ks.k JOIN pr ON pr.doc_id = fr.doc_id AND pr.r <= ks.k)
+         |SELECT ks.k, count(ov.doc_id) AS n_overlap,
+         |       round(count(ov.doc_id) * 1.0 / ks.k, 4) AS recall_at_k
+         |  FROM ks LEFT JOIN ov USING (k) GROUP BY ks.k""".stripMargin,
 
     // The persisted-index path must produce the SAME relation (the index
     // stores the identical tf/df/dl/stats doubles, parquet-roundtripped

@@ -154,6 +154,22 @@ class PageHygieneSpec extends AnyFunSuite {
       ("x", "x", 2L), ("y", "x", 2L)))
   }
 
+  test("fairnessStats: Gini and max-share match hand arithmetic") {
+    // counts 1,1,2,4 sorted → i=1..4; Σx=8, Σi·x = 1+2+6+16 = 25
+    // gini = 2·25/(4·8) − 5/4 = 1.5625 − 1.25 = 0.3125; max_share = 0.5
+    val sched = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++
+      Seq.fill(2)("c") ++ Seq.fill(4)("d"))
+      .zipWithIndex.map { case (h, i) => (s"u$i", h) }.toDF("url", "host")
+    val got = graft.operators.Scheduler.fairnessStats(sched)
+      .as[(Long, Long, Double, Double)].collect().toList
+    assert(got === List((4L, 8L, 0.5, 0.3125)))
+    // perfectly even batch → gini 0
+    val even = (1 to 12).map(i => (s"u$i", s"h${i % 4}")).toDF("url", "host")
+    val g0 = graft.operators.Scheduler.fairnessStats(even)
+      .as[(Long, Long, Double, Double)].head()
+    assert(g0 === ((4L, 12L, 0.25, 0.0)))
+  }
+
   test("q180/q181 engine output matches the url-observable injection rule") {
     val dir = TestSpark.Sf0001
     val meta = graft.SparkEntry.queries("q180_meta_robots")(spark, dir)

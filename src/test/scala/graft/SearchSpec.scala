@@ -51,6 +51,17 @@ class SearchSpec extends AnyFunSuite {
     assert(id.forall(r => r._2 == r._3 && r._4))
   }
 
+  test("prunedRecallAtK: hand-ranked overlap at each cut; identity at large keepK") {
+    // Full ranking: doc1 > doc5 > doc3 > doc2. keepK=1 champions: doc1
+    // (spark), doc3 (merge), doc5 (vector) → pruned ranking doc5 > doc3 > doc1.
+    val got = Search.prunedRecallAtK(corpus, Seq("spark", "merge", "vector"), 1, Seq(2, 4))
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    assert(got === List((2, 1L, 0.5), (4, 3L, 0.75)))
+    val id = Search.prunedRecallAtK(corpus, Seq("spark", "merge", "vector"), 100, Seq(2, 4))
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    assert(id === List((2, 2L, 1.0), (4, 4L, 1.0)))
+  }
+
   test("bm25Scores matches the scalar formula on a hand corpus") {
     val n = 5.0
     val avgdl = (4 + 6 + 3 + 5 + 1) / 5.0
