@@ -228,6 +228,56 @@ object LinkGraph {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    * Preda & Cobena, WWW'03): the frontier-priority signal a crawler can
+    * maintain WHILE crawling, unlike PageRank's converge-then-read. Each
+    * node starts with cash 1/N; every round it distributes its whole
+    * cash equally over its out-edges (dangling nodes return theirs
+    * uniformly to all N — the paper's virtual-root shortcut), and banks
+    * what it distributed in its history. The importance estimate after k
+    * rounds is (history + cash) / (k + 1): total cash is conserved at 1
+    * and history grows by exactly 1 per round, so the scores sum to 1.
+    *
+    * Fixed `iters` rounds keep it deterministic and oracle-unrollable
+    * (the q69 PageRank discipline — the oracle replays the same per-round
+    * formula; only the in-mass addition order differs and the 6-dp output
+    * rounding absorbs it). Every round is two hash-keyed equi-joins plus
+    * one hash agg on node ids — no driver-side graph state; the dangling
+    * mass is a 1-row broadcast crossJoin (constant attach). */
+  def opicFixed(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1,16]")
+    val e = edges.select(col("src"), col("dst"))
+    val outd = e.groupBy("src").agg(count(lit(1)).as("outd"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nCount = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var state = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("cash"),
+        lit(0.0).as("hist"), col("n_nodes"))
+    for (_ <- 1 to iters) {
+      // mass arriving over edges: src's cash split equally per out-edge
+      val inMass = e
+        .join(outd, Seq("src"))
+        .join(state.select(col("node").as("src"), col("cash")), Seq("src"))
+        .select(col("dst").as("node"), (col("cash") / col("outd")).as("c"))
+        .groupBy("node").agg(sum("c").as("cin"))
+      // dangling nodes (no out-edges) return their cash uniformly
+      val dangling = state
+        .join(outd.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum("cash"), lit(0.0)).as("dmass"))
+      state = state
+        .join(inMass, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (coalesce(col("cin"), lit(0.0)) + col("dmass") / col("n_nodes"))
+            .as("cash"),
+          (col("hist") + col("cash")).as("hist"),
+          col("n_nodes"))
+    }
+    state.select(col("node").as("doc_id"),
+      round((col("hist") + col("cash")) / (iters + 1.0), 6).as("opic"))
+  }
+
   /** Per-node degree audit: out-degree, in-degree, and the count of
     * reciprocated out-edges (dst links back to src — mutual-linking is
     * the cheapest link-farm tell). One row per node with any edge.

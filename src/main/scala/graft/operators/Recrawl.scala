@@ -112,6 +112,93 @@ object Recrawl {
         (lit(nowSec) - col("due_at_sec")).as("overdue_sec"))
   }
 
+  /** Poisson change-rate estimation (Cho & Garcia-Molina, TOIT 2003,
+    * "Estimating frequency of change"): the bias-reduced MLE of a page's
+    * change rate λ from a capture log that only OBSERVES changes at
+    * visit times — the estimator [[changeStats]]'s degenerate span/c
+    * policy upgrades to once a url has interval-grain history. With n
+    * consecutive-capture intervals of which X showed a content change,
+    *   λ̂ = −ln((n − X + 0.5) / (n + 0.5)) / T̄
+    * (T̄ = mean interval); the +0.5 terms are the paper's bias correction
+    * that keeps X = n finite and X = 0 at exactly λ̂ = 0. The adaptive
+    * revisit interval is 1/λ̂ (null when no change was ever observed —
+    * the caller's default-backoff regime, cf. [[dueForRecrawl]]).
+    *
+    * Interval flags need consecutive-capture adjacency, so unlike the
+    * span-grain [[changeStats]] this runs one lag window PARTITIONED BY
+    * url — per-url frames are retention-bounded (op 98 caps captures per
+    * url), never corpus-wide, and only 8-byte hashes + timestamps enter
+    * the shuffle (the capture-index trade: text never rides an exchange).
+    * Emitted rates are per HOUR: raw per-second λ̂ for a monthly-changing
+    * page is ~4e-7 and dies in 6-dp rounding. */
+  def poissonChangeRate(pages: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url")).orderBy(col("warc_ts"), col("text_h"))
+    pages
+      .filter(Canonicalize.isHttpScheme(col("url")))
+      .select(
+        Canonicalize.canonicalUrl(col("url")).as("url"),
+        col("warc_ts"),
+        xxhash64(col("text")).as("text_h"))
+      .filter(col("url").isNotNull)
+      .withColumn("prev_h", lag(col("text_h"), 1).over(w))
+      .groupBy("url")
+      .agg(
+        sum(when(col("prev_h").isNotNull, 1L).otherwise(0L)).as("n_intervals"),
+        sum(when(col("prev_h").isNotNull && col("prev_h") =!= col("text_h"), 1L)
+          .otherwise(0L)).as("n_changes"),
+        (unix_timestamp(max("warc_ts")) - unix_timestamp(min("warc_ts")))
+          .as("span_sec"))
+      .filter(col("n_intervals") >= 1 && col("span_sec") > 0)
+      .withColumn("mean_interval_hours",
+        col("span_sec") / (col("n_intervals") * lit(3600.0)))
+      .withColumn("lambda_per_hour",
+        -log((col("n_intervals") - col("n_changes") + lit(0.5)) /
+          (col("n_intervals") + lit(0.5))) / col("mean_interval_hours"))
+      .select(
+        col("url"), col("n_intervals"), col("n_changes"),
+        round(col("mean_interval_hours"), 6).as("mean_interval_hours"),
+        round(col("lambda_per_hour"), 6).as("lambda_per_hour"),
+        when(col("lambda_per_hour") > 0,
+          round(lit(1.0) / col("lambda_per_hour"), 6)).as("recrawl_hours"))
+  }
+
+  /** Largest-remainder (Hamilton) crawl-budget apportionment: split an
+    * integer global fetch budget across hosts proportionally to an
+    * integer weight (here: demand — e.g. frontier backlog or capture
+    * volume), exactly. Each host gets floor(total·w/W) plus one extra
+    * for the (total − Σfloor) largest remainders (ties: host asc) — the
+    * whole-batch counterpart of the per-host politeness CAP: the cap
+    * bounds a host, this SPENDS a cluster-wide budget without over- or
+    * under-committing it (Σalloc == total exactly, which a rounded
+    * proportional split cannot guarantee).
+    *
+    * All-integer arithmetic (div/mod on longs) → hash-exact across
+    * engines. One hash agg feeds a 1-row total (broadcast crossJoin
+    * attach) and one rank window on the HOST-dim grain — bounded by
+    * host cardinality, the q164 argument; url-grain rows never enter. */
+  def allocateBudget(hostWeights: DataFrame, total: Long): DataFrame = {
+    require(total >= 0, "budget must be non-negative")
+    val tot = hostWeights.agg(sum("weight").as("wsum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rem"), col("host"))
+    hostWeights
+      .crossJoin(broadcast(tot))
+      .filter(col("wsum") > 0)
+      .select(col("host"), col("weight"),
+        expr(s"($total * weight) div wsum").as("base"),
+        expr(s"($total * weight) % wsum").as("rem"),
+        col("wsum"))
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(
+        hostWeights.crossJoin(broadcast(tot)).filter(col("wsum") > 0)
+          .agg((lit(total) - sum(expr(s"($total * weight) div wsum")))
+            .as("n_extra"))))
+      .select(col("host"), col("weight"),
+        (col("base") + when(col("rk") <= col("n_extra"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Capture retention (op 98): keep the newest `keepN` captures per
     * canonical url — the WARC-storage retention policy that bounds the
     * capture log's growth under recrawling (the storage-side complement

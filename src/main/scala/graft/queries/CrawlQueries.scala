@@ -69,6 +69,9 @@ object CrawlQueries {
   /** q155's per-IP politeness budget — interpolated into the oracle. */
   val IpBudget: Int = 40
 
+  /** q191's cluster-wide fetch budget — interpolated into the oracle. */
+  val FetchBudgetTotal: Long = 1000L
+
   /** q157's CDX block size — interpolated into the oracle. */
   val CdxBlockSize: Int = 16
 
@@ -568,6 +571,29 @@ object CrawlQueries {
     // argument), never the url grain.
     "q187_schedule_fairness" -> ((s, dir) =>
       Scheduler.fairnessStats(scheduleOnce(s, dir))),
+
+    // round 5: Poisson change-rate estimation (Cho & Garcia-Molina,
+    // TOIT 2003) — the bias-reduced λ̂ from interval-grain change flags
+    // that q85's degenerate span/c policy upgrades to: n intervals, X
+    // observed changes, λ̂ = -ln((n-X+0.5)/(n+0.5))/T̄ per hour, revisit
+    // = 1/λ̂ (null when no change observed → default backoff regime).
+    // One lag window on per-url frames (retention-bounded), hashes only
+    // in the shuffle.
+    "q190_change_rate" -> ((s, dir) =>
+      Recrawl.poissonChangeRate(pages(s, dir))),
+
+    // round 5: largest-remainder (Hamilton) crawl-budget apportionment —
+    // spend an integer cluster-wide fetch budget across hosts exactly
+    // proportionally to capture volume: floor(total·w/W) each plus one
+    // for the largest remainders, Σalloc == total exactly. All-integer
+    // (hash-exact); the one rank window runs on the bounded host dim.
+    "q191_budget_allocation" -> ((s, dir) => {
+      val weights = pages(s, dir)
+        .filter(Canonicalize.isHttpScheme(col("url")))
+        .select(Canonicalize.hostOf(col("url")).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("weight"))
+      Recrawl.allocateBudget(weights, FetchBudgetTotal)
+    }),
 
     "q166_redirect_collapse" -> ((s, dir) =>
       graft.operators.Redirects.frontierCollapse(
@@ -1899,6 +1925,58 @@ object CrawlQueries {
          |       round(2.0 * sum(i * x) / (count(*) * sum(x))
          |             - (count(*) + 1) * 1.0 / count(*), 4) AS gini
          |  FROM r2""".stripMargin,
+
+    // Cho & Garcia-Molina λ̂ replayed relationally: lag over the same
+    // (url, warc_ts) frames (fixture timestamps are unique per url, so
+    // the engine's text_h tiebreak never fires), change = text
+    // inequality (the engine compares xxhash64(text) — equal iff equal
+    // text modulo the accepted 64-bit trade), λ from the identical
+    // left-assoc formula, 6-dp round absorbing the ln/division ulps;
+    // the +0.0 folds DuckDB's -ln(1) = −0.0 to the engine's 0.0.
+    "q190_change_rate" ->
+      s"""$PagesCte,
+         |seq AS (
+         |  SELECT url, warc_ts, text,
+         |         lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev_text
+         |    FROM canon),
+         |st AS (
+         |  SELECT url,
+         |         sum(CASE WHEN prev_text IS NOT NULL THEN 1 ELSE 0 END) AS n_intervals,
+         |         sum(CASE WHEN prev_text IS NOT NULL AND prev_text <> text
+         |                  THEN 1 ELSE 0 END) AS n_changes,
+         |         epoch(max(warc_ts)) - epoch(min(warc_ts)) AS span_sec
+         |    FROM seq GROUP BY url),
+         |lam AS (
+         |  SELECT url, CAST(n_intervals AS BIGINT) AS n_intervals,
+         |         CAST(n_changes AS BIGINT) AS n_changes,
+         |         span_sec / (n_intervals * 3600.0) AS mih,
+         |         -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+         |           / (span_sec / (n_intervals * 3600.0)) AS lam
+         |    FROM st WHERE n_intervals >= 1 AND span_sec > 0)
+         |SELECT url, n_intervals, n_changes,
+         |       round(mih, 6) AS mean_interval_hours,
+         |       round(lam, 6) + 0.0 AS lambda_per_hour,
+         |       CASE WHEN lam > 0 THEN round(1.0 / lam, 6) END AS recrawl_hours
+         |  FROM lam""".stripMargin,
+
+    // all-integer Hamilton apportionment — base = floor division,
+    // remainder rank (rem desc, host asc), extras = total − Σbase;
+    // hash-exact, no float anywhere.
+    "q191_budget_allocation" ->
+      s"""$PagesCte,
+         |w AS (SELECT host, count(*) AS weight FROM canon GROUP BY host),
+         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+         |b AS (SELECT host, weight,
+         |             ($FetchBudgetTotal * weight) // wsum AS base,
+         |             ($FetchBudgetTotal * weight) % wsum AS rem
+         |        FROM w CROSS JOIN t WHERE wsum > 0),
+         |r AS (SELECT host, weight, base,
+         |             ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk
+         |        FROM b),
+         |x AS (SELECT $FetchBudgetTotal - CAST(sum(base) AS BIGINT) AS n_extra FROM b)
+         |SELECT host, CAST(weight AS BIGINT) AS weight,
+         |       CAST(base + (CASE WHEN rk <= n_extra THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+         |  FROM r CROSS JOIN x""".stripMargin,
 
     // the q178 mining CTE feeds a suffix-match probe over the distinct
     // URL universe; precision = validated share per rule.

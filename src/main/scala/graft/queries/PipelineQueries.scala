@@ -717,6 +717,57 @@ object PipelineQueries {
       graft.operators.LinkGraph.trustrank(
         linkEdges(s, dir), seedDocs(s, dir), iters = 3, damping = TrustDamping)),
 
+    // round 5: OPIC frontier priority (Abiteboul et al., WWW'03) — the
+    // page-importance estimate a crawler maintains ONLINE while
+    // crawling (cash distributed per round + banked history), vs q69's
+    // converge-then-read PageRank. Fixed 3 rounds, dangling cash
+    // returned uniformly via the virtual root; oracle unrolls the same
+    // rounds (q69 float discipline, 6-dp absorb).
+    "q189_opic_priority" -> ((s, dir) =>
+      graft.operators.LinkGraph.opicFixed(linkEdges(s, dir), iters = 3)),
+
+    // round 5: focused-crawl harvest curve (Chakrabarti et al., WWW'99)
+    // — frontier ordered by the PARENT pages' topic score (a target is
+    // ranked on inherited promise, not its own unfetched text);
+    // cumulative on-topic fraction at each decile of the crawl. Global
+    // rank + running sum via GlobalOrder's two-phase scan, never a
+    // corpus-wide window; on-topic gate is exact integer math.
+    "q192_harvest_curve" -> ((s, dir) => {
+      val rel = docs(s, dir).select(col("doc_id"),
+        graft.functions.expressions
+          .tokens_in_count(col("text"), TopicLexicon)
+          .cast("long").as("topic_cnt"),
+        size(filter(split(col("text"), " "), t => t =!= lit("")))
+          .cast("long").as("total_cnt"))
+      graft.operators.FrontierEval.harvestCurve(
+        rel, linkEdges(s, dir), TopicTauPct)
+    }),
+
+    // round 5: URL-ordering evaluation (Cho, Garcia-Molina & Page,
+    // WWW'98) — cumulative PageRank mass acquired per decile under
+    // three frontier orderings: OPIC score (q189), in-degree, and a
+    // deterministic LCG pseudo-random control. Mass and every sort key
+    // are exact integers (6-dp-fixed PR ×1e6), so cumulative sums are
+    // addition-order-free; one GlobalOrder scan per strategy.
+    "q193_ordering_eval" -> ((s, dir) => {
+      val edges = linkEdges(s, dir).select("src", "dst")
+      val pr = graft.ml.Corpus.pagerankFixed(
+        edges.withColumn("w", lit(1L)), iters = 3, damping = TrustDamping)
+      val opic = graft.operators.LinkGraph.opicFixed(edges, iters = 3)
+      val indeg = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("ind"))
+      val scores = pr
+        .join(opic.withColumnRenamed("doc_id", "node"), Seq("node"))
+        .join(indeg, Seq("node"), "left")
+        .select(col("node").as("doc_id"),
+          expr("CAST(round(pagerank * 1000000, 0) AS BIGINT)").as("pr_e6"),
+          expr("CAST(round(opic * 1000000, 0) AS BIGINT)").as("opic_e6"),
+          coalesce(col("ind"), lit(0L)).as("in_deg"))
+      graft.operators.FrontierEval.orderingCurves(scores, "pr_e6", Seq(
+        ("opic", -col("opic_e6")),
+        ("indegree", -col("in_deg")),
+        ("random", pmod(col("doc_id") * RandMul, lit(RandMod)))))
+    }),
+
     // op 147: per-node degree/reciprocity audit (the link-farm tell):
     // out/in degree + reciprocated-out-edge count via one composite-key
     // self semi-join — never a cross product.
@@ -903,6 +954,14 @@ object PipelineQueries {
     * oracles (the a2 discipline: engine and oracle cannot drift). */
   val SeedDepthRounds: Int = 6
   val TrustDamping: Double = 0.85
+
+  /** q192's topic lexicon + on-topic threshold (percent of tokens that
+    * must be topical) and q193's Lehmer-LCG random-control constants —
+    * all interpolated into the oracles (the a2 discipline). */
+  val TopicLexicon: Seq[String] = Seq("stream", "window", "batch")
+  val TopicTauPct: Int = 12
+  val RandMul: Long = 48271L
+  val RandMod: Long = 2147483647L
 
   /** The hyperlink edge fixture (q141–q144) — a pure function of the
     * documents table, mirrored relationally in [[LinkEdgesCte]]:
@@ -2557,6 +2616,154 @@ object PipelineQueries {
          |${rnd("r1", "r2")},
          |${rnd("r2", "r3")}
          |SELECT node AS doc_id, round(rank, 6) AS trust FROM r3""".stripMargin
+    },
+
+    // OPIC unrolled the same 3 rounds (q69/q143 float discipline):
+    // per-round cash = in-mass + dangling-mass/N, hist += cash spent;
+    // final estimate (hist + cash)/(iters+1); sum orders absorbed by
+    // the 6-dp round. Dangling = nodes absent from the src side.
+    "q189_opic_priority" -> {
+      def rnd(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |         COALESCE(c.cin, CAST(0 AS DOUBLE)) + d.dmass / nn.n AS cash,
+           |         p.hist + p.cash AS hist
+           |    FROM nodes CROSS JOIN nn
+           |    CROSS JOIN (SELECT COALESCE(sum(cash), CAST(0 AS DOUBLE)) AS dmass
+           |                  FROM $prev WHERE node NOT IN (SELECT src FROM outd)) d
+           |    JOIN $prev p ON p.node = nodes.node
+           |    LEFT JOIN (SELECT e.dst AS node, sum(p2.cash / o.outd) AS cin
+           |                 FROM edges e JOIN outd o USING (src)
+           |                 JOIN $prev p2 ON p2.node = e.src
+           |                GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
+      s"""$LinkEdgesCte,
+         |outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |s0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS cash,
+         |              CAST(0 AS DOUBLE) AS hist
+         |         FROM nodes CROSS JOIN nn),
+         |${rnd("s0", "s1")},
+         |${rnd("s1", "s2")},
+         |${rnd("s2", "s3")}
+         |SELECT node AS doc_id, round((hist + cash) / 4.0, 6) AS opic
+         |  FROM s3""".stripMargin
+    },
+
+    // harvest replayed relationally: same parent-max priority (exact
+    // integer division both sides), same integer on-topic gate, window
+    // rank+cumsum standing in for the engine's GlobalOrder two-phase
+    // scan (order is total — unique (priority, dst) — so they agree).
+    "q192_harvest_curve" -> {
+      val lex = TopicLexicon.map(w => s"'$w'").mkString(", ")
+      s"""$LinkEdgesCte,
+         |rel AS (
+         |  SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '),
+         |             t -> list_contains([$lex], t))) AS topic_cnt,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))
+         |           AS total_cnt
+         |    FROM documents),
+         |prio AS (
+         |  SELECT e.dst, max(CAST(r.topic_cnt AS DOUBLE) / r.total_cnt) AS priority
+         |    FROM edges e JOIN rel r ON r.doc_id = e.src
+         |   GROUP BY e.dst),
+         |tgt AS (
+         |  SELECT p.dst, p.priority,
+         |         CASE WHEN r.topic_cnt * 100 >= r.total_cnt * $TopicTauPct
+         |              THEN 1 ELSE 0 END AS on_topic
+         |    FROM prio p JOIN rel r ON r.doc_id = p.dst),
+         |rk AS (
+         |  SELECT dst, on_topic,
+         |         ROW_NUMBER() OVER (ORDER BY priority DESC, dst) AS rnk,
+         |         SUM(on_topic) OVER (ORDER BY priority DESC, dst) AS cum
+         |    FROM tgt),
+         |nn AS (SELECT count(*) AS n FROM tgt),
+         |cuts AS (SELECT k AS decile, (k * n + 9) // 10 AS cut
+         |           FROM (SELECT unnest(generate_series(1, 10)) AS k), nn)
+         |SELECT CAST(c.decile AS BIGINT) AS decile,
+         |       CAST(r.rnk AS BIGINT) AS n_fetched,
+         |       CAST(r.cum AS BIGINT) AS n_on_topic,
+         |       round(r.cum * 1.0 / r.rnk, 4) AS harvest
+         |  FROM rk r JOIN cuts c ON r.rnk = c.cut""".stripMargin
+    },
+
+    // the WWW'98 experiment replayed: PR (uniform teleport, unit
+    // weights) + OPIC unrolled 3 rounds each (q69/q189 float
+    // discipline), every sort key and the mass integer-exact, window
+    // rank+cumsum per strategy standing in for GlobalOrder.
+    "q193_ordering_eval" -> {
+      val tm = s"CAST(${1.0 - TrustDamping} AS DOUBLE)"
+      val d = s"CAST($TrustDamping AS DOUBLE)"
+      def pr(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |         $tm / nn.n + $d * COALESCE(c.cin, CAST(0 AS DOUBLE)) AS rank
+           |    FROM nodes CROSS JOIN nn
+           |    LEFT JOIN (SELECT e.dst AS node, sum(p.rank / o.outd) AS cin
+           |                 FROM edges e JOIN outd o USING (src)
+           |                 JOIN $prev p ON p.node = e.src
+           |                GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
+      def op(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |         COALESCE(c.cin, CAST(0 AS DOUBLE)) + d.dmass / nn.n AS cash,
+           |         p.hist + p.cash AS hist
+           |    FROM nodes CROSS JOIN nn
+           |    CROSS JOIN (SELECT COALESCE(sum(cash), CAST(0 AS DOUBLE)) AS dmass
+           |                  FROM $prev WHERE node NOT IN (SELECT src FROM outd)) d
+           |    JOIN $prev p ON p.node = nodes.node
+           |    LEFT JOIN (SELECT e.dst AS node, sum(p2.cash / o.outd) AS cin
+           |                 FROM edges e JOIN outd o USING (src)
+           |                 JOIN $prev p2 ON p2.node = e.src
+           |                GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
+      s"""$LinkEdgesCte,
+         |outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |${pr("p0", "p1")},
+         |${pr("p1", "p2")},
+         |${pr("p2", "p3")},
+         |s0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS cash,
+         |              CAST(0 AS DOUBLE) AS hist
+         |         FROM nodes CROSS JOIN nn),
+         |${op("s0", "s1")},
+         |${op("s1", "s2")},
+         |${op("s2", "s3")},
+         |base AS (
+         |  SELECT p3.node AS doc_id,
+         |         CAST(round(round(p3.rank, 6) * 1000000, 0) AS BIGINT) AS pr_e6,
+         |         CAST(round(round((s3.hist + s3.cash) / 4.0, 6) * 1000000, 0)
+         |              AS BIGINT) AS opic_e6,
+         |         COALESCE(i.ind, 0) AS in_deg
+         |    FROM p3 JOIN s3 USING (node)
+         |    LEFT JOIN (SELECT dst AS node, count(*) AS ind
+         |                 FROM edges GROUP BY dst) i USING (node)),
+         |tot AS (SELECT count(*) AS n, CAST(sum(pr_e6) AS BIGINT) AS total_mass FROM base),
+         |cuts AS (SELECT k AS decile, (k * n + 9) // 10 AS cut, total_mass
+         |           FROM (SELECT unnest(generate_series(1, 10)) AS k), tot),
+         |ord AS (
+         |  SELECT 'opic' AS strategy, doc_id, pr_e6,
+         |         ROW_NUMBER() OVER (ORDER BY -opic_e6, doc_id) AS rnk,
+         |         SUM(pr_e6) OVER (ORDER BY -opic_e6, doc_id) AS cum
+         |    FROM base
+         |  UNION ALL
+         |  SELECT 'indegree', doc_id, pr_e6,
+         |         ROW_NUMBER() OVER (ORDER BY -in_deg, doc_id),
+         |         SUM(pr_e6) OVER (ORDER BY -in_deg, doc_id)
+         |    FROM base
+         |  UNION ALL
+         |  SELECT 'random', doc_id, pr_e6,
+         |         ROW_NUMBER() OVER (ORDER BY (doc_id * $RandMul) % $RandMod, doc_id),
+         |         SUM(pr_e6) OVER (ORDER BY (doc_id * $RandMul) % $RandMod, doc_id)
+         |    FROM base)
+         |SELECT o.strategy, CAST(c.decile AS BIGINT) AS decile,
+         |       CAST(o.rnk AS BIGINT) AS n_fetched,
+         |       round(o.cum * 1.0 / c.total_mass, 4) AS mass_share
+         |  FROM ord o JOIN cuts c ON o.rnk = c.cut""".stripMargin
     },
 
     "q144_degree_stats" ->

@@ -175,6 +175,38 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(pruned === Set((1L, 2L, 1L)))
   }
 
+  test("opicFixed == scalar OPIC simulation (dangling node + cycle)") {
+    // 1→2→3→1 cycle, 2→4 with 4 dangling (returns cash via the virtual
+    // root), 5→1 a source node (in the graph via its out-edge only).
+    val edgeList = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (5L, 1L))
+    val edges = edgeList.toDF("src", "dst")
+    def truth(iters: Int): Map[Long, Double] = {
+      val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val outd = edgeList.groupBy(_._1).view.mapValues(_.size).toMap
+      val n = nodes.size.toDouble
+      var cash = nodes.map(_ -> 1.0 / n).toMap
+      var hist = nodes.map(_ -> 0.0).toMap
+      for (_ <- 1 to iters) {
+        val dmass = nodes.filterNot(outd.contains).map(cash).sum
+        val in = nodes.map { v =>
+          v -> edgeList.filter(_._2 == v).map(e => cash(e._1) / outd(e._1)).sum
+        }.toMap
+        hist = nodes.map(v => v -> (hist(v) + cash(v))).toMap
+        cash = nodes.map(v => v -> (in(v) + dmass / n)).toMap
+      }
+      nodes.map(v => v -> (hist(v) + cash(v)) / (iters + 1.0)).toMap
+    }
+    for (iters <- Seq(1, 3)) {
+      val got = graft.operators.LinkGraph.opicFixed(edges, iters)
+        .as[(Long, Double)].collect().toMap
+      val exp = truth(iters)
+      assert(got.keySet === exp.keySet)
+      for ((k, v) <- exp) assert(math.abs(got(k) - v) < 1e-6, s"node $k iters $iters")
+      // cash is conserved and history grows 1/round → scores sum to 1
+      assert(math.abs(got.values.sum - 1.0) < 1e-5)
+    }
+  }
+
   test("degreeStats: hand truth including a reciprocal pair") {
     // 1↔2 reciprocal; 1→3, 4→1 one-way.
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")

@@ -346,4 +346,56 @@ class RecrawlSpec extends AnyFunSuite {
     assert(got("b.example.com") === (("b.example.com", 1L, 2L, 2.0)),
       "single observed hour: EWMA == its own count")
   }
+
+  test("poissonChangeRate: Cho & Garcia-Molina λ̂ vs hand arithmetic") {
+    val pages = Seq(
+      // single capture → no interval → excluded
+      ("https://a.example.com/only", ts("2024-01-01 00:00:00"), "t"),
+      // 3 captures, 1 change (v2 repeats): n=2, X=1, T̄=1h
+      ("https://a.example.com/live", ts("2024-01-01 00:00:00"), "v1"),
+      ("https://a.example.com/live", ts("2024-01-01 01:00:00"), "v2"),
+      ("https://a.example.com/live", ts("2024-01-01 02:00:00"), "v2"),
+      // 2 captures, no change: λ̂ = −ln(1) = 0 → recrawl null
+      ("https://a.example.com/static", ts("2024-01-01 00:00:00"), "s"),
+      ("https://a.example.com/static", ts("2024-01-01 02:00:00"), "s"),
+      // alias captures merge on the canonical url: n=1, X=1, T̄=600 s
+      ("https://a.example.com/alias", ts("2024-01-01 00:00:00"), "x"),
+      ("https://a.example.com/alias?utm=1", ts("2024-01-01 00:10:00"), "y"))
+      .toDF("url", "warc_ts", "text")
+    val got = Recrawl.poissonChangeRate(pages)
+      .as[(String, Long, Long, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(
+      "https://a.example.com/live", "https://a.example.com/static",
+      "https://a.example.com/alias"))
+    val live = got("https://a.example.com/live")
+    assert((live._2, live._3, live._4) === ((2L, 1L, 1.0)))
+    val lamLive = -math.log(1.5 / 2.5) / 1.0
+    assert(math.abs(live._5 - lamLive) < 1e-6)
+    assert(math.abs(live._6.get - 1.0 / lamLive) < 1e-6)
+    val st = got("https://a.example.com/static")
+    assert((st._2, st._3, st._5, st._6) === ((1L, 0L, 0.0, None)),
+      "no observed change → λ̂ exactly 0, revisit null (default backoff)")
+    val al = got("https://a.example.com/alias")
+    val lamAlias = -math.log(0.5 / 1.5) / (600.0 / 3600.0)
+    assert(math.abs(al._5 - lamAlias) < 1e-6)
+  }
+
+  test("allocateBudget: Hamilton apportionment — exact spend, ties, zero weights") {
+    def alloc(ws: Seq[(String, Long)], total: Long): Map[String, Long] =
+      Recrawl.allocateBudget(ws.toDF("host", "weight"), total)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // quotas 3.5 / 2.1 / 1.4: one extra goes to the largest remainder (a)
+    assert(alloc(Seq(("a", 5L), ("b", 3L), ("c", 2L)), 7L) ===
+      Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // remainder tie → host-asc gets the extra
+    assert(alloc(Seq(("c", 1L), ("a", 1L), ("b", 1L)), 4L) ===
+      Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    // budget smaller than host count: only the top remainders fetch at all
+    assert(alloc(Seq(("a", 1L), ("b", 1L), ("c", 1L)), 2L) ===
+      Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
+    // zero-weight host never allocates; Σalloc == total in every case
+    val z = alloc(Seq(("a", 9L), ("b", 0L), ("c", 1L)), 5L)
+    assert(z("b") === 0L && z.values.sum === 5L)
+  }
 }
