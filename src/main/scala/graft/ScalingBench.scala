@@ -149,6 +149,14 @@ object ScalingBench {
       // local[32] throughput on the same engine (BENCH.md §6d).
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", (4 * cpus).toString))
+      // Scan-side granularity, the §6d lesson applied to INPUT splits: the
+      // XL pages parquet (7.8 GB in 32 files) yields only 64 splits at the
+      // 128 MB default — 2 waves on 32 cores, so one heavy parse partition
+      // (max task 34 s in the round-5 stage trace, stages 183/188) strands
+      // 31 slots for half a wave. 32 MB splits give ~8 waves at local[32];
+      // narrow stages lose nothing (split planning is O(files)).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
