@@ -595,6 +595,21 @@ object CrawlQueries {
       Recrawl.allocateBudget(weights, FetchBudgetTotal)
     }),
 
+    // round 5: freshness-optimal budget allocation — the q190 × q191
+    // composition (Cho & Garcia-Molina's freshness-maximization shape):
+    // a host's share of the global fetch budget is proportional to its
+    // EXPECTED CHANGES PER HOUR (Σ of the 6-dp-fixed λ̂ over its urls,
+    // ×1e6 so the apportionment stays all-integer/hash-exact). Hosts
+    // whose content never changed observed-ly get weight 0 — budget
+    // flows to where freshness is actually lost.
+    "q194_freshness_budget" -> ((s, dir) => {
+      val weights = Recrawl.poissonChangeRate(pages(s, dir))
+        .select(Canonicalize.hostOf(col("url")).as("host"),
+          expr("CAST(round(lambda_per_hour * 1000000, 0) AS BIGINT)").as("lam_e6"))
+        .groupBy("host").agg(sum("lam_e6").as("weight"))
+      Recrawl.allocateBudget(weights, FetchBudgetTotal)
+    }),
+
     "q166_redirect_collapse" -> ((s, dir) =>
       graft.operators.Redirects.frontierCollapse(
         allCandidates(s, dir).select("url")
@@ -1958,6 +1973,46 @@ object CrawlQueries {
          |       round(lam, 6) + 0.0 AS lambda_per_hour,
          |       CASE WHEN lam > 0 THEN round(1.0 / lam, 6) END AS recrawl_hours
          |  FROM lam""".stripMargin,
+
+    // q190's lam CTE re-stated, then hosts weighted by Σ of the same
+    // 6-dp-fixed λ̂ ×1e6 (double-rounded exactly as the engine: the
+    // output λ is rounded, THEN scaled) feeding the q191 integer
+    // apportionment.
+    "q194_freshness_budget" ->
+      s"""$PagesCte,
+         |seq AS (
+         |  SELECT url, warc_ts, text,
+         |         lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev_text
+         |    FROM canon),
+         |st AS (
+         |  SELECT url,
+         |         sum(CASE WHEN prev_text IS NOT NULL THEN 1 ELSE 0 END) AS n_intervals,
+         |         sum(CASE WHEN prev_text IS NOT NULL AND prev_text <> text
+         |                  THEN 1 ELSE 0 END) AS n_changes,
+         |         epoch(max(warc_ts)) - epoch(min(warc_ts)) AS span_sec
+         |    FROM seq GROUP BY url),
+         |lam AS (
+         |  SELECT url,
+         |         -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+         |           / (span_sec / (n_intervals * 3600.0)) AS lam
+         |    FROM st WHERE n_intervals >= 1 AND span_sec > 0),
+         |w AS (
+         |  SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+         |         CAST(sum(CAST(round(round(lam, 6) * 1000000, 0) AS BIGINT))
+         |              AS BIGINT) AS weight
+         |    FROM lam GROUP BY host),
+         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+         |b AS (SELECT host, weight,
+         |             ($FetchBudgetTotal * weight) // wsum AS base,
+         |             ($FetchBudgetTotal * weight) % wsum AS rem
+         |        FROM w CROSS JOIN t WHERE wsum > 0),
+         |r AS (SELECT host, weight, base,
+         |             ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk
+         |        FROM b),
+         |x AS (SELECT $FetchBudgetTotal - CAST(sum(base) AS BIGINT) AS n_extra FROM b)
+         |SELECT host, CAST(weight AS BIGINT) AS weight,
+         |       CAST(base + (CASE WHEN rk <= n_extra THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+         |  FROM r CROSS JOIN x""".stripMargin,
 
     // all-integer Hamilton apportionment — base = floor division,
     // remainder rank (rem desc, host asc), extras = total − Σbase;

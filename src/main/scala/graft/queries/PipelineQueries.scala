@@ -717,6 +717,20 @@ object PipelineQueries {
       graft.operators.LinkGraph.trustrank(
         linkEdges(s, dir), seedDocs(s, dir), iters = 3, damping = TrustDamping)),
 
+    // round 5: spam-mass estimation (Gyöngyi et al., VLDB'06) — how
+    // much of a page's PageRank arrives via paths the trusted core
+    // cannot explain: rel_mass = (PR − PR_core)/PR with PR_core the
+    // PageRank whose teleport is 1/N AT THE SEEDS ONLY (so
+    // PR_core ≤ PR component-wise and the ratio lands in [0,1]; a
+    // link island no trusted page reaches scores ~1 — the demotion
+    // signal). Both recursions run in ONE joint iteration (half the
+    // shuffles of composing q69 with q143); oracle unrolls the same
+    // rounds (q69 float discipline; the final ratio divides already-
+    // 6-dp-rounded values, so it is bit-exact across engines).
+    "q196_spam_mass" -> ((s, dir) =>
+      graft.operators.LinkGraph.spamMass(
+        linkEdges(s, dir), seedDocs(s, dir), iters = 3, damping = TrustDamping)),
+
     // round 5: OPIC frontier priority (Abiteboul et al., WWW'03) — the
     // page-importance estimate a crawler maintains ONLINE while
     // crawling (cash distributed per round + banked history), vs q69's
@@ -766,6 +780,30 @@ object PipelineQueries {
         ("opic", -col("opic_e6")),
         ("indegree", -col("in_deg")),
         ("random", pmod(col("doc_id") * RandMul, lit(RandMod)))))
+    }),
+
+    // round 5: importance × change-rate recrawl priority — the q189 ×
+    // q190 composition (the freshness/importance product rule of the
+    // crawl-ordering literature): a url's recrawl urgency is its OPIC
+    // importance times its expected changes per hour, both 6-dp-fixed
+    // so the product is an exact integer; top-k is TakeOrderedAndProject
+    // (orderBy+limit), never a global window.
+    "q195_recrawl_priority" -> ((s, dir) => {
+      val lam = graft.operators.Recrawl
+        .poissonChangeRate(graft.core.Fixtures.pages(s, dir))
+        .select(col("url"),
+          nullif(regexp_extract(col("url"), "articles/([0-9]+)", 1), lit(""))
+            .cast("long").as("doc_id"),
+          expr("CAST(round(lambda_per_hour * 1000000, 0) AS BIGINT)").as("lam_e6"))
+        .filter(col("doc_id").isNotNull)
+      val opic = graft.operators.LinkGraph.opicFixed(linkEdges(s, dir), iters = 3)
+        .select(col("doc_id"),
+          expr("CAST(round(opic * 1000000, 0) AS BIGINT)").as("opic_e6"))
+      lam.join(opic, Seq("doc_id"))
+        .select(col("url"), col("lam_e6"), col("opic_e6"),
+          (col("lam_e6") * col("opic_e6")).as("priority_e12"))
+        .orderBy(desc("priority_e12"), col("url"))
+        .limit(RecrawlTopK)
     }),
 
     // op 147: per-node degree/reciprocity audit (the link-farm tell):
@@ -962,6 +1000,9 @@ object PipelineQueries {
   val TopicTauPct: Int = 12
   val RandMul: Long = 48271L
   val RandMod: Long = 2147483647L
+
+  /** q195's recrawl-list size — interpolated into the oracle. */
+  val RecrawlTopK: Int = 25
 
   /** The hyperlink edge fixture (q141–q144) — a pure function of the
     * documents table, mirrored relationally in [[LinkEdgesCte]]:
@@ -2618,6 +2659,49 @@ object PipelineQueries {
          |SELECT node AS doc_id, round(rank, 6) AS trust FROM r3""".stripMargin
     },
 
+    // the joint PR/core-PR recursion unrolled (q143's round template
+    // widened to two rank columns; the core teleport is 1/n at the
+    // seeds — the paper's q′ — NOT trustrank's 1/|S|); the relative
+    // mass divides the already-6-dp-rounded scores, bit-exact.
+    "q196_spam_mass" -> {
+      val tm = s"CAST(${1.0 - TrustDamping} AS DOUBLE)"
+      val d = s"CAST($TrustDamping AS DOUBLE)"
+      def rnd(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT tele.node,
+           |         $tm * tele.tp + $d * COALESCE(c.cinp, CAST(0 AS DOUBLE)) AS pr,
+           |         $tm * tele.tt + $d * COALESCE(c.cint, CAST(0 AS DOUBLE)) AS tr
+           |    FROM tele
+           |    LEFT JOIN (SELECT e.dst AS node, sum(p.pr / o.outw) AS cinp,
+           |                      sum(p.tr / o.outw) AS cint
+           |                 FROM edges e JOIN outw o USING (src)
+           |                 JOIN $prev p ON p.node = e.src
+           |                GROUP BY e.dst) c ON c.node = tele.node)""".stripMargin
+      s"""$LinkEdgesCte,
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |sn AS (SELECT node FROM nodes WHERE node % 50 = 0
+         |          AND node IN (SELECT doc_id FROM documents)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |tele AS (SELECT nodes.node,
+         |                CAST(1.0 AS DOUBLE) / nn.n AS tp,
+         |                CASE WHEN sn.node IS NOT NULL
+         |                     THEN CAST(1.0 AS DOUBLE) / nn.n
+         |                     ELSE CAST(0 AS DOUBLE) END AS tt
+         |           FROM nodes CROSS JOIN nn
+         |           LEFT JOIN sn ON sn.node = nodes.node),
+         |outw AS (SELECT src, CAST(count(*) AS DOUBLE) AS outw FROM edges GROUP BY src),
+         |r0 AS (SELECT node, tp AS pr, tt AS tr FROM tele),
+         |${rnd("r0", "r1")},
+         |${rnd("r1", "r2")},
+         |${rnd("r2", "r3")}
+         |SELECT node AS doc_id, round(pr, 6) AS pagerank,
+         |       round(tr, 6) AS trusted_pr,
+         |       round((round(pr, 6) - round(tr, 6)) / round(pr, 6), 6)
+         |         AS rel_spam_mass
+         |  FROM r3""".stripMargin
+    },
+
     // OPIC unrolled the same 3 rounds (q69/q143 float discipline):
     // per-round cash = in-mass + dangling-mass/N, hist += cash spent;
     // final estimate (hist + cash)/(iters+1); sum orders absorbed by
@@ -2764,6 +2848,69 @@ object PipelineQueries {
          |       CAST(o.rnk AS BIGINT) AS n_fetched,
          |       round(o.cum * 1.0 / c.total_mass, 4) AS mass_share
          |  FROM ord o JOIN cuts c ON o.rnk = c.cut""".stripMargin
+    },
+
+    // the q190 λ̂ chain + the q189 OPIC unroll fused in one WITH (the
+    // link-edges CTE body is spliced after the pages CTE), product on
+    // the 6-dp-fixed integers, ORDER/LIMIT mirroring the engine's
+    // TakeOrderedAndProject.
+    "q195_recrawl_priority" -> {
+      def op(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |         COALESCE(c.cin, CAST(0 AS DOUBLE)) + d.dmass / nn.n AS cash,
+           |         p.hist + p.cash AS hist
+           |    FROM nodes CROSS JOIN nn
+           |    CROSS JOIN (SELECT COALESCE(sum(cash), CAST(0 AS DOUBLE)) AS dmass
+           |                  FROM $prev WHERE node NOT IN (SELECT src FROM outd)) d
+           |    JOIN $prev p ON p.node = nodes.node
+           |    LEFT JOIN (SELECT e.dst AS node, sum(p2.cash / o.outd) AS cin
+           |                 FROM edges e JOIN outd o USING (src)
+           |                 JOIN $prev p2 ON p2.node = e.src
+           |                GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
+      s"""${CrawlQueries.PagesCte},
+         |${LinkEdgesCte.stripPrefix("WITH ")},
+         |outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |s0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS cash,
+         |              CAST(0 AS DOUBLE) AS hist
+         |         FROM nodes CROSS JOIN nn),
+         |${op("s0", "s1")},
+         |${op("s1", "s2")},
+         |${op("s2", "s3")},
+         |seq AS (
+         |  SELECT url, warc_ts, text AS body,
+         |         lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev_text
+         |    FROM canon),
+         |st AS (
+         |  SELECT url,
+         |         sum(CASE WHEN prev_text IS NOT NULL THEN 1 ELSE 0 END) AS n_intervals,
+         |         sum(CASE WHEN prev_text IS NOT NULL AND prev_text <> body
+         |                  THEN 1 ELSE 0 END) AS n_changes,
+         |         epoch(max(warc_ts)) - epoch(min(warc_ts)) AS span_sec
+         |    FROM seq GROUP BY url),
+         |lam AS (
+         |  SELECT url,
+         |         -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+         |           / (span_sec / (n_intervals * 3600.0)) AS lam
+         |    FROM st WHERE n_intervals >= 1 AND span_sec > 0),
+         |art AS (
+         |  SELECT url,
+         |         CAST(nullif(regexp_extract(url, 'articles/([0-9]+)', 1), '')
+         |              AS BIGINT) AS doc_id,
+         |         CAST(round(round(lam, 6) * 1000000, 0) AS BIGINT) AS lam_e6
+         |    FROM lam
+         |   WHERE nullif(regexp_extract(url, 'articles/([0-9]+)', 1), '') IS NOT NULL),
+         |opx AS (SELECT node AS doc_id,
+         |               CAST(round(round((hist + cash) / 4.0, 6) * 1000000, 0)
+         |                    AS BIGINT) AS opic_e6
+         |          FROM s3)
+         |SELECT a.url, a.lam_e6, o.opic_e6,
+         |       a.lam_e6 * o.opic_e6 AS priority_e12
+         |  FROM art a JOIN opx o USING (doc_id)
+         | ORDER BY priority_e12 DESC, url LIMIT $RecrawlTopK""".stripMargin
     },
 
     "q144_degree_stats" ->

@@ -140,6 +140,47 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got(7L) === 0.0 && got(8L) === 0.0, "untrusted island carries no mass")
   }
 
+  test("spamMass == scalar joint iteration; untrusted island has relative mass 1") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20
+      val edges = (Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } ++ Seq((100L, 101L))).distinct // island
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val seeds = nodes.filter(_ < 100L).take(3)
+      val d = 0.85
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val tp = nodes.map(x => x -> 1.0 / nodes.size).toMap
+      val tt = nodes.map(x => x -> (if (seeds.contains(x)) 1.0 / nodes.size else 0.0)).toMap
+      var pr = tp; var tr = tt
+      for (_ <- 1 to 3) {
+        val inP = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+        val inT = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+        for ((s, dsts) <- adj; dst <- dsts) {
+          inP(dst) += pr(s) / dsts.size; inT(dst) += tr(s) / dsts.size
+        }
+        pr = nodes.map(x => x -> ((1.0 - d) * tp(x) + d * inP(x))).toMap
+        tr = nodes.map(x => x -> ((1.0 - d) * tt(x) + d * inT(x))).toMap
+      }
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = LinkGraph.spamMass(edges.toDF("src", "dst"), seeds.toDF("doc_id"),
+        iters = 3, damping = d)
+        .as[(Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.keySet === nodes.toSet, s"seed=$seed")
+      for (x <- nodes) {
+        val (gp, gt, gm) = got(x)
+        assert(math.abs(gp - r6(pr(x))) <= 1e-6, s"seed=$seed pr node=$x")
+        assert(math.abs(gt - r6(tr(x))) <= 1e-6, s"seed=$seed tr node=$x")
+        // trusted-core PR never exceeds plain PR (teleport monotonicity)
+        assert(gt <= gp + 1e-12, s"seed=$seed node=$x: tr $gt > pr $gp")
+        assert(gm >= -1e-12 && gm <= 1.0 + 1e-12, s"seed=$seed node=$x mass $gm")
+      }
+      // the island no trusted page reaches: ALL its rank is spam mass
+      assert(got(100L)._3 === 1.0 && got(101L)._3 === 1.0, s"seed=$seed island")
+    }
+  }
+
   test("trustrank: seeds outside the edge set carry no teleport mass") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val seeds = Seq(1L, 99L).toDF("doc_id") // 99 not in the graph
