@@ -199,6 +199,66 @@ object Recrawl {
           .as("alloc"))
   }
 
+  /** Refresh-policy freshness audit (Cho & Garcia-Molina, "Effective
+    * page refresh policies for web crawlers", TODS'03): given each url's
+    * estimated Poisson change rate λ̂ ([[poissonChangeRate]]) and a
+    * global revisit budget of `totalPerHour` fetches/hour, compare the
+    * two canonical allocation policies by EXPECTED steady-state
+    * freshness — E[F] for a page with change rate λ revisited every 1/f
+    * hours is (f/λ)·(1 − e^(−λ/f)) (and 1 when λ = 0: a page that never
+    * changes is always fresh):
+    *   - `uniform`:      every url gets f = F/N;
+    *   - `proportional`: f_u = F·λ_u/Σλ — "revisit what changes most".
+    * Output: one row per policy (policy, n_urls, mean_freshness).
+    *
+    * The paper's counterintuitive theorem — uniform ≥ proportional —
+    * is Jensen's inequality on the convex freshness curve F̄(λ/f), and
+    * holds when every page changes (λ > 0): proportional equalizes λ/f
+    * corpus-wide, uniform spreads it, and spreading wins on a convex
+    * curve. Pages the estimator never saw change (λ̂ = 0) flip the
+    * comparison's premise: proportional spends NOTHING on them (they
+    * are fresh for free) while uniform burns F/N on each, so a corpus
+    * dominated by static pages can grade proportional higher — which
+    * is exactly the tell this audit exists to surface (RecrawlSpec
+    * pins both regimes against scalar truth).
+    *
+    * Float discipline: λ enters as the 6-dp-rounded published estimate
+    * (oracle-proven equal), Σλ is an EXACT integer sum of the ×1e6
+    * fixed-point values, so every per-url (λ, f) operand pair is
+    * bit-identical across engines; the only cross-engine wiggle is
+    * libm's exp (≤1 ulp, the q05 precedent) and the mean's addition
+    * order, both absorbed by the 6-dp output rounding. Shape: one
+    * map-stage projection per policy over the rate table + a 1-row
+    * broadcast total (constant attach) + one final agg — no windows,
+    * nothing driver-side. */
+  def refreshPolicyAudit(rates: DataFrame, totalPerHour: Double): DataFrame = {
+    require(totalPerHour > 0, "need a positive revisit budget")
+    val lam = rates.select(col("url"),
+      expr("CAST(round(lambda_per_hour * 1000000, 0) AS BIGINT)").as("lam_e6"))
+    val tot = lam.agg(sum("lam_e6").as("w_e6"), count(lit(1)).as("n"))
+    def fresh(f: org.apache.spark.sql.Column) = {
+      val lamH = col("lam_e6").cast("double") / lit(1000000.0)
+      when(col("lam_e6") === 0L, lit(1.0))
+        .otherwise(f / lamH * (lit(1.0) - exp(-lamH / f)))
+    }
+    val withTot = lam.crossJoin(broadcast(tot)).filter(col("w_e6") > 0)
+    val uni = withTot
+      .select(fresh(lit(totalPerHour) / col("n").cast("double")).as("fr"))
+      .agg(count(lit(1)).as("n_urls"), round(avg("fr"), 6).as("mean_freshness"))
+      .select(lit("uniform").as("policy"), col("n_urls"), col("mean_freshness"))
+    val prop = withTot
+      .filter(col("lam_e6") > 0) // f=0 at λ=0: freshness 1, kept below
+      .select(fresh(lit(totalPerHour) * col("lam_e6").cast("double") /
+        col("w_e6").cast("double")).as("fr"), col("n"))
+      .agg(max(col("n")).as("n_all"), count(lit(1)).as("n_pos"),
+        sum("fr").as("s"))
+      // λ=0 urls get f=0 under proportional but are fresh anyway (E[F]=1)
+      .select(lit("proportional").as("policy"), col("n_all").as("n_urls"),
+        round((col("s") + (col("n_all") - col("n_pos")).cast("double")) /
+          col("n_all").cast("double"), 6).as("mean_freshness"))
+    uni.unionByName(prop)
+  }
+
   /** Capture retention (op 98): keep the newest `keepN` captures per
     * canonical url — the WARC-storage retention policy that bounds the
     * capture log's growth under recrawling (the storage-side complement

@@ -197,6 +197,54 @@ object Scheduler {
         (count(lit(1)) + lit(1)).cast("double") / count(lit(1)), 4).as("gini"))
   }
 
+  /** Mercator back-queue emit schedule (Heydon & Najork, "Mercator: a
+    * scalable, extensible web crawler", WWW'99 §3.2): the order a
+    * politeness-capped batch actually LEAVES the frontier when each host
+    * is served by one of `backQueues` fetch workers and consecutive
+    * fetches from the same host are spaced by its crawl delay.
+    *
+    * Model (the paper's back-end, batch-replayed deterministically):
+    * each host maps to one back queue (Mercator's host→queue table —
+    * here round-robin over the lexicographic host order, a bounded
+    * host-dim rank); url k of a host becomes READY at (k−1)·delay
+    * seconds (k = the politeness rank the scheduler already assigned);
+    * the global emit order is the back-queue heap's pop order —
+    * (ready_sec, host, rank), a total key — and queue_seq is the
+    * per-worker fetch sequence. All-integer arithmetic (delays are
+    * whole seconds) → hash-exact across engines.
+    *
+    * Scale shape: one bounded host-dim window for the queue table, one
+    * broadcast host-dim join to attach (queue, delay), and the global
+    * rank via [[GlobalOrder.withRank]]'s range-partitioned two-phase
+    * scan — never a corpus-wide single-partition window. The per-queue
+    * sequence IS a window on the queue grain: its frames partition the
+    * politeness-capped batch (≤ Σ host budgets, the op-25/30 bound),
+    * not the corpus. */
+  def mercatorSchedule(batch: DataFrame, delays: DataFrame,
+      backQueues: Int, defaultDelaySec: Long = 1L,
+      parts: Int = 32): DataFrame = {
+    require(backQueues >= 1, "need at least one back queue")
+    val hostQueue = batch.select("host").distinct()
+      .withColumn("queue_id",
+        pmod(row_number().over(Window.orderBy(col("host"))) - 1,
+          lit(backQueues)).cast("int"))
+    val ready = batch
+      .join(broadcast(hostQueue), Seq("host"))
+      .join(broadcast(delays.select(col("host"),
+        col("crawl_delay").cast("long").as("delay_sec"))), Seq("host"), "left")
+      .select(col("url"), col("host"), col("host_rank"), col("queue_id"),
+        ((col("host_rank") - 1) *
+          coalesce(col("delay_sec"), lit(defaultDelaySec))).as("ready_sec"))
+    val emitted = GlobalOrder.withRank(ready,
+      Seq(col("ready_sec").asc, col("host").asc, col("host_rank").asc),
+      parts, "emit_order")
+    emitted
+      .withColumn("queue_seq",
+        row_number().over(Window.partitionBy(col("queue_id"))
+          .orderBy(col("ready_sec"), col("host"), col("host_rank"))))
+      .select("url", "host", "queue_id", "ready_sec", "emit_order", "queue_seq")
+  }
+
   /** Scheduling-stage outputs (pre-fetch). `cached` holds the shared cached
     * parents of the three outputs — unpersist when done. */
   final case class ScheduleOut(scheduled: DataFrame, deferred: DataFrame,

@@ -72,6 +72,12 @@ object CrawlQueries {
   /** q191's cluster-wide fetch budget — interpolated into the oracle. */
   val FetchBudgetTotal: Long = 1000L
 
+  /** q197's back-queue count (Mercator worker pool) — interpolated. */
+  val MercatorBackQueues: Int = 4
+
+  /** q198's global revisit budget (fetches/hour) — interpolated. */
+  val RefreshBudgetPerHour: Double = 60.0
+
   /** q157's CDX block size — interpolated into the oracle. */
   val CdxBlockSize: Int = 16
 
@@ -609,6 +615,30 @@ object CrawlQueries {
         .groupBy("host").agg(sum("lam_e6").as("weight"))
       Recrawl.allocateBudget(weights, FetchBudgetTotal)
     }),
+
+    // round 5: Mercator back-queue emit schedule (Heydon & Najork,
+    // WWW'99 §3.2) — the order the oracle-proven q05 batch LEAVES the
+    // frontier when each host maps to one of 4 back queues and
+    // same-host fetches are spaced by the robots crawl delay: ready
+    // time (host_rank−1)·delay, global pop order (ready, host, rank)
+    // via GlobalOrder, per-worker sequence per queue. All-integer →
+    // hash-exact.
+    "q197_mercator_schedule" -> ((s, dir) =>
+      Scheduler.mercatorSchedule(
+        scheduleOnce(s, dir).select("url", "host", "host_rank"),
+        fix(s, dir, "robots").select("host", "crawl_delay"),
+        backQueues = MercatorBackQueues)),
+
+    // round 5: refresh-policy freshness audit (Cho & Garcia-Molina,
+    // TODS'03) — expected steady-state freshness of the corpus under
+    // uniform vs proportional allocation of the same global revisit
+    // budget over the q190 λ̂ estimates. The classic uniform≥proportional
+    // theorem holds over always-changing pages; λ̂=0 pages (free
+    // freshness that uniform still spends on) can flip it — both
+    // regimes pinned against scalar truth in RecrawlSpec.
+    "q198_refresh_policy" -> ((s, dir) =>
+      Recrawl.refreshPolicyAudit(
+        Recrawl.poissonChangeRate(pages(s, dir)), RefreshBudgetPerHour)),
 
     "q166_redirect_collapse" -> ((s, dir) =>
       graft.operators.Redirects.frontierCollapse(
@@ -2013,6 +2043,107 @@ object CrawlQueries {
          |SELECT host, CAST(weight AS BIGINT) AS weight,
          |       CAST(base + (CASE WHEN rk <= n_extra THEN 1 ELSE 0 END) AS BIGINT) AS alloc
          |  FROM r CROSS JOIN x""".stripMargin,
+
+    // the q05 scheduled-batch chain verbatim, then the Mercator
+    // back-end replayed relationally: round-robin host→queue over the
+    // lexicographic host order, ready = (rank−1)·delay (all-integer),
+    // pop order ROW_NUMBER over the total key (ready, host, rank) —
+    // standing in for the engine's GlobalOrder two-phase scan (they
+    // agree because the key is total), per-queue sequence likewise.
+    "q197_mercator_schedule" ->
+      s"""$PagesCte,
+         |cand AS (
+         |  SELECT url, host, max(warc_ts) AS discovered_ts
+         |    FROM canon GROUP BY url, host
+         |),
+         |allowed AS (
+         |  SELECT c.*,
+         |         CASE WHEN h.crawl_delay IS NOT NULL AND h.crawl_delay > 0
+         |              THEN least(COALESCE(h.budget, 2),
+         |                         greatest(1, CAST(floor(${CrawlConfig().deltaPerBatchSec}.0 / h.crawl_delay) AS BIGINT)))
+         |              ELSE COALESCE(h.budget, 2) END AS budget,
+         |         COALESCE(h.weight, 1.0) * exp(-1e-7 * (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(c.discovered_ts))) AS priority
+         |    FROM cand c LEFT JOIN hostdim h USING (host)
+         |   WHERE NOT (regexp_replace(url, '^https://[^/]*', '') LIKE '/private/%'
+         |              OR (host = 'src13.example.com'
+         |                  AND regexp_replace(url, '^https://[^/]*', '') LIKE '/articles/%'))
+         |),
+         |sched AS (
+         |  SELECT url, host, host_rank FROM (
+         |    SELECT url, host, budget,
+         |           ROW_NUMBER() OVER (PARTITION BY host
+         |                              ORDER BY priority DESC, discovered_ts DESC, url ASC) AS host_rank
+         |      FROM allowed) WHERE host_rank <= budget
+         |),
+         |hq AS (
+         |  SELECT host,
+         |         CAST((ROW_NUMBER() OVER (ORDER BY host) - 1) % $MercatorBackQueues AS INT) AS queue_id
+         |    FROM (SELECT DISTINCT host FROM sched)
+         |),
+         |rdy AS (
+         |  SELECT s.url, s.host, s.host_rank, q.queue_id,
+         |         (s.host_rank - 1) * CAST(COALESCE(h.crawl_delay, 1) AS BIGINT) AS ready_sec
+         |    FROM sched s JOIN hq q USING (host) LEFT JOIN hostdim h USING (host)
+         |)
+         |SELECT url, host, queue_id, ready_sec,
+         |       ROW_NUMBER() OVER (ORDER BY ready_sec, host, host_rank) AS emit_order,
+         |       ROW_NUMBER() OVER (PARTITION BY queue_id
+         |                          ORDER BY ready_sec, host, host_rank) AS queue_seq
+         |  FROM rdy""".stripMargin,
+
+    // q190's λ̂ chain (double-rounded to the published 6-dp estimate,
+    // ×1e6 fixed-point — the q194 discipline, so Σλ is an EXACT integer
+    // both sides), then each policy's E[F] formula mirrored operand-for-
+    // operand (f/λ·(1−e^(−λ/f)); λ=0 → 1); only libm exp ulps and mean
+    // addition order differ — absorbed by the 6-dp round.
+    "q198_refresh_policy" -> {
+      val f = s"CAST($RefreshBudgetPerHour AS DOUBLE)"
+      s"""$PagesCte,
+         |seq AS (
+         |  SELECT url, warc_ts, text,
+         |         lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev_text
+         |    FROM canon),
+         |st AS (
+         |  SELECT url,
+         |         sum(CASE WHEN prev_text IS NOT NULL THEN 1 ELSE 0 END) AS n_intervals,
+         |         sum(CASE WHEN prev_text IS NOT NULL AND prev_text <> text
+         |                  THEN 1 ELSE 0 END) AS n_changes,
+         |         epoch(max(warc_ts)) - epoch(min(warc_ts)) AS span_sec
+         |    FROM seq GROUP BY url),
+         |lam AS (
+         |  SELECT url,
+         |         -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+         |           / (span_sec / (n_intervals * 3600.0)) AS lam
+         |    FROM st WHERE n_intervals >= 1 AND span_sec > 0),
+         |lam6 AS (
+         |  SELECT CAST(round(round(lam, 6) * 1000000, 0) AS BIGINT) AS lam_e6
+         |    FROM lam),
+         |tot AS (SELECT CAST(sum(lam_e6) AS BIGINT) AS w_e6, count(*) AS n
+         |          FROM lam6),
+         |uni AS (
+         |  SELECT 'uniform' AS policy, count(*) AS n_urls,
+         |         round(avg(CASE WHEN lam_e6 = 0 THEN CAST(1.0 AS DOUBLE)
+         |                        ELSE ($f / CAST(n AS DOUBLE))
+         |                             / (CAST(lam_e6 AS DOUBLE) / 1000000.0)
+         |                             * (1.0 - exp(-(CAST(lam_e6 AS DOUBLE) / 1000000.0)
+         |                                          / ($f / CAST(n AS DOUBLE))))
+         |                   END), 6) AS mean_freshness
+         |    FROM lam6 CROSS JOIN tot WHERE w_e6 > 0 GROUP BY n),
+         |prop AS (
+         |  SELECT 'proportional' AS policy, max(n) AS n_urls_all, count(*) AS n_pos,
+         |         sum(($f * CAST(lam_e6 AS DOUBLE) / CAST(w_e6 AS DOUBLE))
+         |             / (CAST(lam_e6 AS DOUBLE) / 1000000.0)
+         |             * (1.0 - exp(-(CAST(lam_e6 AS DOUBLE) / 1000000.0)
+         |                          / ($f * CAST(lam_e6 AS DOUBLE) / CAST(w_e6 AS DOUBLE)))))
+         |           AS s
+         |    FROM lam6 CROSS JOIN tot WHERE w_e6 > 0 AND lam_e6 > 0)
+         |SELECT policy, CAST(n_urls AS BIGINT) AS n_urls, mean_freshness FROM uni
+         |UNION ALL
+         |SELECT policy, CAST(n_urls_all AS BIGINT) AS n_urls,
+         |       round((s + CAST((n_urls_all - n_pos) AS DOUBLE))
+         |             / CAST(n_urls_all AS DOUBLE), 6) AS mean_freshness
+         |  FROM prop""".stripMargin
+    },
 
     // all-integer Hamilton apportionment — base = floor division,
     // remainder rank (rem desc, host asc), extras = total − Σbase;

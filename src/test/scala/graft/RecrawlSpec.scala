@@ -398,4 +398,55 @@ class RecrawlSpec extends AnyFunSuite {
     val z = alloc(Seq(("a", 9L), ("b", 0L), ("c", 1L)), 5L)
     assert(z("b") === 0L && z.values.sum === 5L)
   }
+
+  test("refreshPolicyAudit: scalar truth in both regimes (all-changing vs λ=0 mix)") {
+    def audit(rates: Seq[(String, Double)], f: Double): Map[String, (Long, Double)] =
+      Recrawl.refreshPolicyAudit(rates.toDF("url", "lambda_per_hour"), f)
+        .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def fresh(lam: Double, f: Double): Double =
+      if (lam == 0.0) 1.0 else f / lam * (1.0 - math.exp(-lam / f))
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // regime 1 — every page changes: Cho's theorem (uniform ≥ proportional,
+    // Jensen on the convex freshness curve; proportional equalizes λ/f).
+    val a = audit(Seq(("u1", 0.5), ("u2", 2.0)), 2.0)
+    val uniA = (fresh(0.5, 1.0) + fresh(2.0, 1.0)) / 2.0
+    val propA = (fresh(0.5, 2.0 * 0.5 / 2.5) + fresh(2.0, 2.0 * 2.0 / 2.5)) / 2.0
+    assert(a("uniform") === ((2L, r6(uniA))))
+    assert(a("proportional") === ((2L, r6(propA))))
+    assert(a("uniform")._2 >= a("proportional")._2, "Cho: uniform wins when all pages change")
+
+    // regime 2 — a λ=0 page in the mix: proportional spends nothing on it
+    // (fresh for free) and can flip the comparison; values still exact.
+    val b = audit(Seq(("u1", 0.0), ("u2", 0.5), ("u3", 2.0)), 3.0)
+    val uniB = (1.0 + fresh(0.5, 1.0) + fresh(2.0, 1.0)) / 3.0
+    val propB = (1.0 + fresh(0.5, 3.0 * 0.5 / 2.5) + fresh(2.0, 3.0 * 2.0 / 2.5)) / 3.0
+    assert(b("uniform") === ((3L, r6(uniB))))
+    assert(b("proportional") === ((3L, r6(propB))))
+    assert(b("proportional")._2 > b("uniform")._2, "static pages flip the premise")
+  }
+
+  test("mercatorSchedule: back-queue pop order vs hand simulation") {
+    // hosts a (delay 2), b (delay 3), c (no delay row → default 1); 2 queues:
+    // lexicographic round-robin → a,c → queue 0; b → queue 1.
+    val batch = Seq(
+      ("u/a1", "a.com", 1), ("u/a2", "a.com", 2), ("u/a3", "a.com", 3),
+      ("u/b1", "b.com", 1), ("u/b2", "b.com", 2),
+      ("u/c1", "c.com", 1), ("u/c2", "c.com", 2))
+      .toDF("url", "host", "host_rank")
+    val delays = Seq(("a.com", 2.0), ("b.com", 3.0)).toDF("host", "crawl_delay")
+    val got = graft.operators.Scheduler
+      .mercatorSchedule(batch, delays, backQueues = 2, defaultDelaySec = 1L, parts = 4)
+      .as[(String, String, Int, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    // ready: a1 0, a2 2, a3 4; b1 0, b2 3; c1 0, c2 1
+    // pop order (ready, host, rank): a1, b1, c1, c2, a2, b2, a3
+    assert(got("u/a1") === ((0, 0L, 1L, 1)))
+    assert(got("u/b1") === ((1, 0L, 2L, 1)))
+    assert(got("u/c1") === ((0, 0L, 3L, 2)))
+    assert(got("u/c2") === ((0, 1L, 4L, 3)))
+    assert(got("u/a2") === ((0, 2L, 5L, 4)))
+    assert(got("u/b2") === ((1, 3L, 6L, 2)))
+    assert(got("u/a3") === ((0, 4L, 7L, 5)))
+  }
 }
