@@ -397,6 +397,80 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q196 spam mass: ONE fused in-mass agg per round carries both rank columns") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q196_spam_mass")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"cartesian on the rank path:\n$plan")
+      // the whole point of spamMass vs q69+q143 composed: each round's
+      // in-mass shuffle aggregates BOTH recursions' columns at once.
+      val fused = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if a.output.map(_.name).toSet.intersect(Set("cinp", "cint")).size == 2 => a
+      }
+      assert(fused.nonEmpty, s"no fused cinp+cint aggregate — recursions split:\n$plan")
+      // every nested-loop join is a 1-row constant attach (the N broadcast)
+      val bnl = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      for (j <- bnl) {
+        val sides = Seq(j.left.output.map(_.name), j.right.output.map(_.name))
+        assert(sides.exists(s => s.forall(Set("n_nodes", "n_seeds"))),
+          s"a BNLJ that is not the 1-row count attach: $sides")
+      }
+    }
+  }
+
+  test("q197 mercator: queue_seq window is queue-partitioned; host-queue dim stays bounded") {
+    withStaticPlans {
+      // final plan (above GlobalOrder's RDD rank boundary): exactly the
+      // queue_seq window, PARTITIONED by queue_id — batch-bounded frames
+      val df = graft.SparkEntry.queries("q197_mercator_schedule")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.size === 1 && wins.head.partitionSpec.nonEmpty,
+        s"expected exactly the queue-partitioned queue_seq window:\n$plan")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty)
+      // pre-rank stage (below the boundary, pinned directly): the ONLY
+      // unpartitioned window runs on the DISTINCT host dim — its input is
+      // the 1-column host relation, never the url-grain batch
+      val batch = Seq(("u1", "h1.com", 1), ("u2", "h2.com", 1))
+        .toDF("url", "host", "host_rank")
+      val hostWin = org.apache.spark.sql.expressions.Window.orderBy(col("host"))
+      val hostQueue = batch.select("host").distinct()
+        .withColumn("queue_id", pmod(row_number().over(hostWin) - 1, lit(4)))
+      val hw = hostQueue.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(hw.size === 1 && hw.head.partitionSpec.isEmpty &&
+        hw.head.child.output.map(_.name) === Seq("host"),
+        "host→queue window is not the bounded 1-column host dim")
+    }
+  }
+
+  test("q198 refresh policy: map + broadcast-total + agg — no windows anywhere") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q198_refresh_policy")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      // the λ̂ table itself needs its per-url lag window; the AUDIT adds none:
+      // every window in the plan is the rate estimator's url-partitioned one
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"audit added an unpartitioned window:\n$plan")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty)
+    }
+  }
+
   test("q186 static pruning: windows stay per-term partitioned, never corpus-wide") {
     withStaticPlans {
       val df = graft.SparkEntry.queries("q186_static_pruning")(spark, TestSpark.Sf0001)
