@@ -1388,6 +1388,90 @@ object Corpus {
           (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
   }
 
+  /** PMI collocation mining (Church & Hanks, Computational Linguistics'90):
+    * adjacent-bigram pointwise mutual information pmi(x,y) =
+    * ln(p(x,y)/(p(x)p(y))) with p(x,y) = c(x,y)/B over the bigram stream
+    * and p(x) = c(x)/T over the token stream — the multiword-expression
+    * miner feeding tokenizer vocab decisions and phrase dictionaries.
+    * `minCount` applies Church & Hanks' low-frequency guard (PMI explodes
+    * for hapax pairs); output = global top-`k` by rounded PMI with a full
+    * (pmi DESC, w1, w2) tie-break so the cut is total-order deterministic.
+    *
+    * Plan: bigram and unigram counts are two-level hash aggs with
+    * map-side combine; the totals are 1-row broadcast attaches; the two
+    * count joins are vocab-grain equi-joins; top-k is
+    * TakeOrderedAndProject (never a global window). ln arguments are
+    * exact-integer-valued doubles composed in the identical expression
+    * order in the oracle; round(…,4) absorbs ulp drift (q87 discipline). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = docs.select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull) // q87 pattern
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val tTot = uni.agg(sum(col("c")).cast("double").as("tt"))
+    val bTot = toks.select(greatest(size(col("t")) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nb")).cast("double").as("bb"))
+    bi
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), Seq("w2"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log((col("c12").cast("double") / col("bb")) /
+          ((col("c1").cast("double") / col("tt")) *
+            (col("c2").cast("double") / col("tt")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Heaps'-law fit (Heaps 1978; Baeza-Yates & Ribeiro-Neto §6): the
+    * vocabulary-growth exponent — V(N) ≈ K·N^β fit by OLS on
+    * (ln N_i, ln V_i) sampled after every document in doc_id order.
+    * Natural web text sits near β ≈ 0.5–0.6; β drifting toward 1 means
+    * the crawl keeps finding novel vocabularies (coverage incomplete),
+    * β collapsing toward 0 means template/boilerplate saturation — the
+    * corpus-growth planning twin of [[vocabCoverage]] and [[zipfSlope]].
+    *
+    * Plan: per-term first-occurrence doc = min(doc_id) hash agg (the
+    * op-94 first-seen trade — one row per distinct term); per-doc
+    * (token count, new-term count) is a vocab-grain join-free pair of
+    * aggs; BOTH prefix sums ride ONE
+    * [[graft.operators.GlobalOrder.withRunningSums]] range-partitioned
+    * two-phase scan (never a partition-less window); the fit is one
+    * closed-form agg over ln points (zipfSlope float discipline,
+    * round(…,4) absorbs sum order). */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val firstDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val perDoc = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(firstDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val pts = graft.operators.GlobalOrder
+      .withRunningSums(perDoc, Seq("n_tok", "n_new"), Seq(col("doc_id").asc),
+        parts, Seq("cum_tok", "cum_vocab"))
+      .select(log(col("cum_tok").cast("double")).as("x"),
+        log(col("cum_vocab").cast("double")).as("y"))
+    val sums = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n").cast("long").as("n_points"),
+      round(beta, 4).as("beta"),
+      round(exp((col("sy") - beta * col("sx")) / col("n")), 4).as("k"))
+  }
+
   /** Token-balanced export shard assignment — the corpus-release writer's
     * bin-packing step (webdataset/parquet shard exports want near-equal
     * token mass per shard, not near-equal doc counts). Exact bin packing

@@ -1335,4 +1335,45 @@ object Search {
       .filter(col("rank") <= k)
   }
 
+  /** Posting-list compression audit — delta-gap + variable-byte coding
+    * (Scholer, Williams, Yiannis & Zobel, SIGIR'02; Zobel & Moffat, ACM
+    * Computing Surveys'06 §8): the storage planner's answer to "what does
+    * the q57 inverted index cost on disk, and what does gap+VByte coding
+    * save?". Per term with df ≥ `minDf`: raw bytes (8 per 64-bit doc id),
+    * VByte bytes of the gap sequence (first gap = doc_id+1 so ids at 0
+    * still encode ≥1; VByte length = ⌈bits/7⌉ via an exact integer CASE
+    * ladder, identical in the oracle), and the compression ratio.
+    *
+    * Plan shape at 100 TB: distinct-term postings collapse map-side
+    * (text never shuffles — only (term, doc_id) pairs ride the one
+    * exchange, the q57 index-build profile); the sorted-id array and
+    * both byte counts are per-term aggregate state, the same frames an
+    * index writer materializes anyway. All outputs are exact integers
+    * (ratio = integer/integer, rounded 4 dp). */
+  def postingCompressionAudit(docs: DataFrame, minDf: Int = 5): DataFrame = {
+    // VByte bytes for a gap v ≥ 1: k bytes iff v < 128^k = 2^(7k) — an
+    // exact integer ladder up to the 9-byte ceiling of a 63-bit value,
+    // spelled the same way in the DuckDB oracle.
+    def vbyteLen(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (1 to 8).foldRight(lit(9L): org.apache.spark.sql.Column) { (k, rest) =>
+        when(v < lit(1L << (7 * k)), lit(k.toLong)).otherwise(rest)
+      }
+    docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= minDf)
+      .select(col("term"), col("ids"),
+        expr("""transform(ids, (x, i) ->
+                 CASE WHEN i = 0 THEN x + 1 ELSE x - element_at(ids, i) END)""")
+          .as("gaps"))
+      .select(col("term"),
+        size(col("ids")).cast("long").as("df"),
+        (size(col("ids")).cast("long") * lit(8L)).as("raw_bytes"),
+        aggregate(col("gaps"), lit(0L), (acc, g) => acc + vbyteLen(g))
+          .as("vbyte_bytes"))
+      .withColumn("ratio",
+        round(col("vbyte_bytes").cast("double") / col("raw_bytes"), 4))
+  }
+
 }

@@ -439,6 +439,58 @@ object TextAnalysis {
     * three codegen'd regexp counts + one arithmetic projection; every
     * division has integer-valued-double operands, constants are exact
     * decimal literals on both sides, round(…,4) output. */
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): per-document
+    * PageRank over the token co-occurrence graph (adjacency window 2,
+    * undirected — each edge contributes both directions), WS(v) = (1−d) +
+    * d·Σ_{u→v} WS(u)/outdeg(u), init 1.0, `iters` fixed unrolled rounds
+    * (the q69/q143 template with doc_id joined into every key, so ONE plan
+    * ranks every document's graph at once — per-doc graphs never visit the
+    * driver). Undirected symmetry means every node has outdeg ≥ 1: no
+    * dangling-mass term. Tokens with no non-self neighbor (single-token
+    * or fully-repetitive documents) have no node and no keyword row.
+    *
+    * Scale shape: edges/out-degrees/scores are all (doc_id, term)-keyed
+    * hash aggs and equi-joins — the corpus text rides only the first
+    * tokenize+explode map stage; each round shuffles 8-byte-ish keyed
+    * score rows. The final top-`k` window runs on the PER-DOCUMENT
+    * grain (bounded frames, op-49 rule), keyed (rounded score DESC,
+    * term) so the cut is total-order deterministic; the oracle unrolls
+    * the identical rounds (q69 float discipline, 6-dp absorb). */
+  def textrankKeywords(docs: DataFrame, iters: Int = 3,
+      damping: Double = 0.85, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = toks(col("text"))
+    val adj = docs
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1).as("a"),
+        slice(t, lit(2), size(t) - 1).as("b"))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val edges = adj.select(col("doc_id"), col("a").as("src"), col("b").as("dst"))
+      .union(adj.select(col("doc_id"), col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val outdeg = edges.groupBy("doc_id", "src")
+      .agg(count(lit(1)).cast("double").as("outd"))
+    val nodes = edges.select(col("doc_id"), col("src").as("term")).distinct()
+    var scores = nodes.withColumn("score", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(outdeg, Seq("doc_id", "src"))
+        .join(scores.withColumnRenamed("term", "src"), Seq("doc_id", "src"))
+        .groupBy(col("doc_id"), col("dst").as("term"))
+        .agg(sum(col("score") / col("outd")).as("in_mass"))
+      scores = nodes.join(contrib, Seq("doc_id", "term"), "left")
+        .select(col("doc_id"), col("term"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("score"))
+    }
+    scores
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rk") <= k)
+  }
+
   def readability(docs: DataFrame): DataFrame = {
     val words = size(split(col("text"), " ")).cast("double")
     val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("double")

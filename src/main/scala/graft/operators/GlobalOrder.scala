@@ -66,6 +66,50 @@ object GlobalOrder {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Append INCLUSIVE running sums of SEVERAL long columns in one pass —
+    * the k-column generalization of [[withRunningSumAndRank]] for callers
+    * that need two or more prefix sums over the SAME total order (e.g. the
+    * Heaps'-law fit needs cumulative token AND cumulative new-vocabulary
+    * counts per document): one range shuffle + sort, one partials job
+    * collecting `parts × k` longs, one offset-adding pass — instead of k
+    * chained single-column scans each paying its own shuffle. */
+  def withRunningSums(df: DataFrame, valueCols: Seq[String], order: Seq[Column],
+      parts: Int, sumCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.length == sumCols.length,
+      "valueCols and sumCols must pair up")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    val vis = valueCols.map(sorted.schema.fieldIndex).toArray
+    val base = sorted.rdd
+    val partials: Array[(Int, Array[Long])] = base.mapPartitionsWithIndex { (pidx, it) =>
+      val sums = new Array[Long](vis.length)
+      it.foreach { r =>
+        var i = 0
+        while (i < vis.length) { sums(i) += r.getLong(vis(i)); i += 1 }
+      }
+      Iterator.single((pidx, sums))
+    }.collect()
+    val offsets: Map[Int, Array[Long]] = partials.map { case (p, _) =>
+      val acc = new Array[Long](vis.length)
+      partials.iterator.filter(_._1 < p).foreach { case (_, s) =>
+        var i = 0
+        while (i < s.length) { acc(i) += s(i); i += 1 }
+      }
+      (p, acc)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sumCols.foldLeft(sorted.schema)(_.add(_, LongType, nullable = false))
+    val rdd = base.mapPartitionsWithIndex { (pidx, it) =>
+      val cum = bc.value.getOrElse(pidx, new Array[Long](vis.length)).clone()
+      it.map { r =>
+        var i = 0
+        while (i < vis.length) { cum(i) += r.getLong(vis(i)); i += 1 }
+        Row.fromSeq(r.toSeq ++ cum)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Append a per-`group` INCLUSIVE running sum of the long column
     * `valueCol` in the total order `order` — the scalable replacement for
     * `sum(v).over(Window.partitionBy(group).orderBy(order))`, which at

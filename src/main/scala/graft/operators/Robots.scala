@@ -92,4 +92,42 @@ object Robots {
     if (matched.isEmpty) false
     else !matched.maxBy { case (a, len, _) => (len, a) }._1
   }
+
+  /** robots.txt cache-TTL audit (RFC 9309 §2.4: "crawlers SHOULD NOT use
+    * the cached version for more than 24 hours") — replay each host's
+    * capture timeline against a TTL cache and report what the
+    * politeness layer actually paid: a capture at time t triggers a
+    * robots refetch iff t − last_fetch ≥ `ttlSec` (the first capture
+    * always fetches, and the refetch resets the clock AT t, not on a
+    * fixed grid — a host going idle past the TTL refetches on its next
+    * capture, whenever that is). Output per host: distinct capture
+    * instants, robots fetches paid, the last fetch, and when that cache
+    * entry expires — the relation a scheduler joins to decide which
+    * hosts need robots refreshed before the next batch.
+    *
+    * The fetch chain is inherently sequential IN t per host — but
+    * per-host only, so the scalable shape is: distinct (host, t)
+    * collapse map-side (8-byte epochs, text/html never move), per-host
+    * sorted-epoch array as aggregate state (bounded by a host's capture
+    * count — the politeness ceiling already caps this), and ONE
+    * codegen-planned `aggregate()` fold over it. The oracle replays the
+    * same chain as a recursive CTE stepping capture-by-capture. */
+  def robotsCacheAudit(captures: DataFrame, ttlSec: Long = 86400L): DataFrame = {
+    val init = struct(lit(Long.MinValue / 4).as("last"), lit(0L).as("n"))
+    val step = (acc: Column, t: Column) =>
+      when(t - acc.getField("last") >= ttlSec,
+        struct(t.as("last"), (acc.getField("n") + 1L).as("n")))
+        .otherwise(acc)
+    captures
+      .select(col("host"), col("warc_ts").cast("long").as("t"))
+      .distinct()
+      .groupBy("host")
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .select(col("host"), size(col("ts")).cast("long").as("n_captures"),
+        aggregate(col("ts"), init, step).as("st"))
+      .select(col("host"), col("n_captures"),
+        col("st.n").as("n_robots_fetches"),
+        col("st.last").as("last_fetch_sec"),
+        (col("st.last") + ttlSec).as("cache_expiry_sec"))
+  }
 }

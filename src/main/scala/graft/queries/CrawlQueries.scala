@@ -78,6 +78,9 @@ object CrawlQueries {
   /** q198's global revisit budget (fetches/hour) — interpolated. */
   val RefreshBudgetPerHour: Double = 60.0
 
+  /** q202's robots cache TTL (RFC 9309 §2.4's 24 h) — interpolated. */
+  val RobotsTtlSec: Long = 86400L
+
   /** q157's CDX block size — interpolated into the oracle. */
   val CdxBlockSize: Int = 16
 
@@ -639,6 +642,18 @@ object CrawlQueries {
     "q198_refresh_policy" -> ((s, dir) =>
       Recrawl.refreshPolicyAudit(
         Recrawl.poissonChangeRate(pages(s, dir)), RefreshBudgetPerHour)),
+
+    // round 5: robots.txt cache-TTL audit (RFC 9309 §2.4's 24-hour
+    // SHOULD) — replay each host's capture timeline against a TTL
+    // cache: robots fetches paid, last fetch, and when the cached entry
+    // expires (the scheduler's refetch-before-next-batch feed). The
+    // per-host fetch chain is sequential in t BY DESIGN; the oracle
+    // replays it as a recursive CTE.
+    "q202_robots_ttl" -> ((s, dir) =>
+      Robots.robotsCacheAudit(
+        pages(s, dir).select(
+          Canonicalize.hostOf(col("url")).as("host"), col("warc_ts")),
+        RobotsTtlSec)),
 
     "q166_redirect_collapse" -> ((s, dir) =>
       graft.operators.Redirects.frontierCollapse(
@@ -2144,6 +2159,38 @@ object CrawlQueries {
          |             / CAST(n_urls_all AS DOUBLE), 6) AS mean_freshness
          |  FROM prop""".stripMargin
     },
+
+    // the TTL-cache replay chain (fetch iff t − last_fetch ≥ TTL, clock
+    // reset AT the triggering capture) is stepped capture-by-capture as
+    // a recursive CTE — all-integer epoch arithmetic, hash-exact; the
+    // recursion depth is the deepest host's distinct-capture count,
+    // which the politeness ceiling bounds.
+    "q202_robots_ttl" ->
+      s"""${PagesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |caps AS (SELECT DISTINCT host, CAST(epoch(warc_ts) AS BIGINT) AS t
+         |           FROM canon),
+         |rc AS (SELECT host, t,
+         |              ROW_NUMBER() OVER (PARTITION BY host ORDER BY t) AS rn
+         |         FROM caps),
+         |chain AS (
+         |  SELECT host, rn, t AS last_fetch, 1 AS n FROM rc WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.host, c.rn,
+         |         CASE WHEN c.t - ch.last_fetch >= $RobotsTtlSec
+         |              THEN c.t ELSE ch.last_fetch END,
+         |         ch.n + CASE WHEN c.t - ch.last_fetch >= $RobotsTtlSec
+         |                     THEN 1 ELSE 0 END
+         |    FROM chain ch JOIN rc c ON c.host = ch.host AND c.rn = ch.rn + 1),
+         |fin AS (SELECT ch.host, ch.last_fetch, ch.n
+         |          FROM chain ch
+         |          JOIN (SELECT host, max(rn) AS mx FROM chain GROUP BY host) l
+         |            ON l.host = ch.host AND ch.rn = l.mx),
+         |nc AS (SELECT host, count(*) AS n_captures FROM caps GROUP BY host)
+         |SELECT nc.host, CAST(nc.n_captures AS BIGINT) AS n_captures,
+         |       CAST(f.n AS BIGINT) AS n_robots_fetches,
+         |       f.last_fetch AS last_fetch_sec,
+         |       f.last_fetch + $RobotsTtlSec AS cache_expiry_sec
+         |  FROM nc JOIN fin f USING (host)""".stripMargin,
 
     // all-integer Hamilton apportionment — base = floor division,
     // remainder rank (rem desc, host asc), extras = total − Σbase;

@@ -617,6 +617,31 @@ object PipelineQueries {
     // natural text ≈ −1, template spam drifts flat.
     "q124_zipf_slope" -> ((s, dir) => Corpus.zipfSlope(docs(s, dir))),
 
+    // round 5: posting-list delta-gap + VByte compression audit (Scholer
+    // et al. SIGIR'02 / Zobel & Moffat CSUR'06) — what the q57 index
+    // costs raw vs gap+VByte coded, per term with df ≥ 5. Exact-integer
+    // byte ladder, identical in the oracle.
+    "q199_postings_vbyte" -> ((s, dir) =>
+      Search.postingCompressionAudit(docs(s, dir), minDf = 5)),
+
+    // round 5: PMI collocation mining (Church & Hanks, CL'90) — top-50
+    // adjacent bigrams by pointwise mutual information, c12 ≥ 5 guard;
+    // the multiword-expression miner for tokenizer vocab decisions.
+    "q200_pmi_collocations" -> ((s, dir) =>
+      Corpus.pmiCollocations(docs(s, dir), minCount = 5L, k = 50)),
+
+    // round 5: Heaps'-law vocabulary-growth fit V(N) = K·N^β over the
+    // doc_id-ordered corpus prefix curve — coverage/saturation audit
+    // next to q92/q124; ONE two-phase GlobalOrder scan carries both
+    // prefix sums.
+    "q201_heaps_fit" -> ((s, dir) => Corpus.heapsFit(docs(s, dir))),
+
+    // round 5: TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04)
+    // — per-document co-occurrence-graph PageRank, 3 unrolled rounds in
+    // one plan for EVERY document at once, top-5 per doc.
+    "q203_textrank" -> ((s, dir) =>
+      TextAnalysis.textrankKeywords(docs(s, dir))),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -2401,6 +2426,119 @@ object PipelineQueries {
         |       round((count(*) * sum(x*y) - sum(x) * sum(y)) /
         |             (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_slope
         |  FROM k GROUP BY lang""".stripMargin,
+
+    // VByte ladder spelled threshold-for-threshold (1-based DuckDB list
+    // indexing; first gap = ids[1] + 1 — the engine's i = 0 branch);
+    // every quantity is an exact integer, ratio = int/int round 4.
+    "q199_postings_vbyte" -> {
+      val ladder = (1 to 8).map(k =>
+        s"WHEN v < ${1L << (7 * k)} THEN ${k}").mkString(" ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+         |             FROM documents),
+         |p AS (SELECT term, list_sort(list(doc_id)) AS ids FROM tk GROUP BY term),
+         |f AS (SELECT term, ids, len(ids) AS df FROM p WHERE len(ids) >= 5),
+         |g AS (SELECT term, df,
+         |             list_transform(generate_series(1, df),
+         |               i -> CASE WHEN i = 1 THEN ids[1] + 1
+         |                         ELSE ids[i] - ids[i-1] END) AS gaps
+         |        FROM f)
+         |SELECT term, CAST(df AS BIGINT) AS df,
+         |       CAST(df * 8 AS BIGINT) AS raw_bytes,
+         |       CAST(list_sum(list_transform(gaps,
+         |              v -> CASE $ladder ELSE 9 END)) AS BIGINT) AS vbyte_bytes,
+         |       round(CAST(list_sum(list_transform(gaps,
+         |               v -> CASE $ladder ELSE 9 END)) AS DOUBLE)
+         |             / (df * 8), 4) AS ratio
+         |  FROM g""".stripMargin
+    },
+
+    // bigram/unigram CTEs follow q87; the PMI expression mirrors the
+    // engine operand-for-operand ((c12/B)/((c1/T)·(c2/T))); ORDER BY on
+    // the ROUNDED pmi with the (w1, w2) tie-break makes the top-50 cut
+    // total-order deterministic on both sides.
+    "q200_pmi_collocations" ->
+      """WITH tk AS (SELECT string_split(text,' ') AS t FROM documents),
+        |uc AS (SELECT w, count(*) AS c FROM
+        |         (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+        |bc AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c12 FROM
+        |         (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+        |                  i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+        |            FROM tk)
+        |        GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM uc),
+        |bb AS (SELECT CAST(sum(greatest(len(t)-1, 0)) AS DOUBLE) AS bb FROM tk)
+        |SELECT w1, w2, c12, c1, c2,
+        |       round(ln((CAST(c12 AS DOUBLE) / bb) /
+        |                ((CAST(c1 AS DOUBLE) / tt) * (CAST(c2 AS DOUBLE) / tt))), 4)
+        |         AS pmi
+        |  FROM (SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2
+        |          FROM bc JOIN uc u1 ON u1.w = bc.w1
+        |          JOIN uc u2 ON u2.w = bc.w2) j
+        |  CROSS JOIN tt CROSS JOIN bb
+        | ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // prefix sums via one ordered window (the oracle may — single
+    // engine); the OLS slope/intercept formulas mirror heapsFit
+    // operand-for-operand, round(…,4) absorbing sum order (q124
+    // discipline).
+    "q201_heaps_fit" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |fd AS (SELECT tok, min(doc_id) AS doc_id FROM
+        |         (SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY tok),
+        |nn AS (SELECT doc_id, count(*) AS n_new FROM fd GROUP BY doc_id),
+        |pd AS (SELECT tk.doc_id, len(t) AS n_tok, COALESCE(nn.n_new, 0) AS n_new
+        |         FROM tk LEFT JOIN nn ON nn.doc_id = tk.doc_id),
+        |c AS (SELECT ln(CAST(sum(n_tok) OVER w AS DOUBLE)) AS x,
+        |             ln(CAST(sum(n_new) OVER w AS DOUBLE)) AS y
+        |        FROM pd
+        |        WINDOW w AS (ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |       round((count(*) * sum(x*y) - sum(x) * sum(y)) /
+        |             (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS beta,
+        |       round(exp((sum(y) - ((count(*) * sum(x*y) - sum(x) * sum(y)) /
+        |                            (count(*) * sum(x*x) - sum(x) * sum(x)))
+        |                           * sum(x)) / count(*)), 4) AS k
+        |  FROM c""".stripMargin,
+
+    // the q143/q196 unrolled-round template with doc_id joined into
+    // every key; damping literals interpolated from the SAME Scala
+    // doubles the engine compiles, final 6-dp round + per-doc rank.
+    "q203_textrank" -> {
+      val oneMinusD = s"CAST(${1.0 - 0.85} AS DOUBLE)"
+      val d = s"CAST(${0.85} AS DOUBLE)"
+      def rnd(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.doc_id, n.term,
+           |         $oneMinusD + $d * COALESCE(c.m, CAST(0 AS DOUBLE)) AS score
+           |    FROM nodes n
+           |    LEFT JOIN (SELECT e.doc_id, e.dst AS term, sum(p.score / od.outd) AS m
+           |                 FROM e0 e
+           |                 JOIN od ON od.doc_id = e.doc_id AND od.src = e.src
+           |                 JOIN $prev p ON p.doc_id = e.doc_id AND p.term = e.src
+           |                GROUP BY 1, 2) c
+           |      ON c.doc_id = n.doc_id AND c.term = n.term)""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |                i -> struct_pack(a := t[i], b := t[i+1]))) AS s
+         |         FROM tk),
+         |e0 AS (SELECT DISTINCT doc_id, s.a AS src, s.b AS dst FROM bg WHERE s.a <> s.b
+         |       UNION
+         |       SELECT DISTINCT doc_id, s.b AS src, s.a AS dst FROM bg WHERE s.a <> s.b),
+         |od AS (SELECT doc_id, src, CAST(count(*) AS DOUBLE) AS outd
+         |         FROM e0 GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT doc_id, src AS term FROM e0),
+         |r0 AS (SELECT doc_id, term, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+         |${rnd("r0", "r1")},
+         |${rnd("r1", "r2")},
+         |${rnd("r2", "r3")}
+         |SELECT doc_id, term, score, rk FROM (
+         |  SELECT doc_id, term, round(score, 6) AS score,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                            ORDER BY round(score, 6) DESC, term) AS rk
+         |    FROM r3)
+         | WHERE rk <= 5""".stripMargin
+    },
 
     // Valid BECAUSE the sketch is in its exact regime at fixture
     // vocabulary size (31 < purge point 0.75·64): estimate and both

@@ -1295,4 +1295,51 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().toSet
     assert(a === b)
   }
+
+  test("pmiCollocations == scalar PMI truth; min-count guard; deterministic cut") {
+    // "of the" appears 6× (above guard); "the cat" 3×; singletons pruned.
+    val docs = Seq(
+      (1L, "of the cat of the cat of the cat"),
+      (2L, "of the of the of the dog")
+    ).toDF("doc_id", "text")
+    val got = Corpus.pmiCollocations(docs, minCount = 3L, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // token stream: doc1 = 9 tokens, doc2 = 7 → T = 16; bigrams B = 8 + 6 = 14
+    // counts: of=6, the=6, cat=3, dog=1; (of,the)=6, (the,cat)=3, (cat,of)=2
+    def pmi(c12: Long, c1: Long, c2: Long): Double = {
+      val v = math.log((c12.toDouble / 14.0) /
+        ((c1.toDouble / 16.0) * (c2.toDouble / 16.0)))
+      math.round(v * 10000).toDouble / 10000
+    }
+    assert(got.keySet === Set(("of", "the"), ("the", "cat"))) // (cat,of)=2 < guard
+    assert(got(("of", "the")) === ((6L, 6L, 6L, pmi(6, 6, 6))))
+    assert(got(("the", "cat")) === ((3L, 6L, 3L, pmi(3, 6, 3))))
+  }
+
+  test("heapsFit == scalar OLS truth over the prefix curve; partitioning-invariant") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, (0 to i % 5).map(j => s"w${(i * 3 + j) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // scalar replay in doc_id order
+    val seen = scala.collection.mutable.Set.empty[String]
+    var cumTok = 0L
+    val pts = docs.as[(Long, String)].collect().sortBy(_._1).map { case (_, t) =>
+      val toks = t.split(" ", -1)
+      cumTok += toks.length
+      seen ++= toks
+      (math.log(cumTok.toDouble), math.log(seen.size.toDouble))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val k = math.exp((sy - beta * sx) / n)
+    val got = Corpus.heapsFit(docs).as[(Long, Double, Double)].collect()
+    assert(got.length === 1)
+    assert(got.head._1 === 30L)
+    assert(math.abs(got.head._2 - beta) < 1e-3 && math.abs(got.head._3 - k) < 1e-3)
+    val re = Corpus.heapsFit(docs.repartition(7)).as[(Long, Double, Double)].collect()
+    assert(re.head === got.head) // GlobalOrder prefix sums are partition-stable
+  }
 }

@@ -449,4 +449,30 @@ class RecrawlSpec extends AnyFunSuite {
     assert(got("u/b2") === ((1, 3L, 6L, 2)))
     assert(got("u/a3") === ((0, 4L, 7L, 5)))
   }
+
+  test("robotsCacheAudit: TTL replay truth — boundary triggers, idle gaps, dup instants") {
+    // ttl = 100 s. host a: t = 0 (fetch), 50 (cached), 100 (== TTL ⇒ fetch),
+    // 150 (cached), 400 (idle gap ⇒ fetch) → 3 fetches, last 400, expiry 500.
+    // host b: one capture, duplicated instant (distinct collapse) → 1 fetch.
+    val caps = Seq(
+      ("a", 0L), ("a", 50L), ("a", 100L), ("a", 150L), ("a", 400L),
+      ("b", 7L), ("b", 7L))
+      .toDF("host", "t")
+      .select(col("host"), col("t").cast("timestamp").as("warc_ts"))
+    val got = graft.operators.Robots.robotsCacheAudit(caps, ttlSec = 100L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") === ((5L, 3L, 400L, 500L)))
+    assert(got("b") === ((1L, 1L, 7L, 107L)))
+    // scalar replay parity on a seeded random timeline
+    val rnd = new scala.util.Random(11)
+    val times = Seq.fill(60)(rnd.nextInt(1000).toLong).distinct.sorted
+    val df = times.map(("h", _)).toDF("host", "t")
+      .select(col("host"), col("t").cast("timestamp").as("warc_ts"))
+    var last = Long.MinValue / 4; var n = 0L
+    times.foreach { t => if (t - last >= 100L) { last = t; n += 1 } }
+    val r = graft.operators.Robots.robotsCacheAudit(df, ttlSec = 100L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(r === (("h", times.length.toLong, n, last, last + 100L)))
+  }
 }

@@ -1063,6 +1063,41 @@ class SearchSpec extends AnyFunSuite {
     assert(got === Array(("cable", 3L), ("note", 2L), ("bike", 1L)))
   }
 
+  test("postingCompressionAudit: hand VByte truth incl. the 128-gap boundary") {
+    // term "x" in docs 0,127,128 → gaps (0+1, 127, 1) = 1+1+1 bytes;
+    // term "y" in docs 0,128,1000128 → gaps (1, 128, 1000000) → 1+2+3 bytes.
+    val docs = (Seq((0L, "x y"), (127L, "x"), (128L, "x y"), (1000128L, "y")) ++
+      Seq.tabulate(10)(i => (10L + i, "z"))) // df guard: z has df 10
+      .toDF("doc_id", "text")
+    val got = Search.postingCompressionAudit(docs, minDf = 3)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("x") === ((3L, 24L, 3L, round4(3.0 / 24))))
+    assert(got("y") === ((3L, 24L, 6L, round4(6.0 / 24))))
+    assert(got("z")._1 === 10L) // gaps 11,1×9 → 10 bytes
+    assert(got("z")._3 === 10L)
+  }
+
+  test("textrankKeywords: uniform scores on a symmetric clique; hub beats leaves on a star") {
+    // doc 1: cycle a-b-c-a → perfectly symmetric → all scores equal.
+    // doc 2: star hub-x, hub-y, hub-z (adjacent pairs) → hub outranks leaves.
+    val docs = Seq(
+      (1L, "a b c a b c a"),
+      (2L, "x hub y hub z hub x")).toDF("doc_id", "text")
+    val got = TextAnalysis.textrankKeywords(docs, iters = 3, k = 5)
+      .as[(Long, String, Double, Int)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._3).distinct.length === 1) // symmetry ⇒ equal scores
+    assert(d1.map(_._2).sorted === Array("a", "b", "c"))
+    val d2 = got.filter(_._1 == 2L).sortBy(_._4)
+    assert(d2.head._2 === "hub") // rank 1
+    assert(d2.head._3 > d2.last._3)
+    // single-token / fully-repetitive docs emit no node
+    val empty = TextAnalysis.textrankKeywords(
+      Seq((3L, "solo"), (4L, "rep rep rep")).toDF("doc_id", "text"))
+    assert(empty.count() === 0L)
+  }
+
   test("readability: hand truth, sentence floor, punctuation raises the sentence count") {
     val d = Seq(
       (1L, "go to the store"),   // 4 words, floor 1 sentence, 5 vowel groups
