@@ -152,6 +152,24 @@ object Parsers {
     s.replace("&#32;", " ").replace("&amp;", "&")
 
   // ------------------------------------------------------------------
+  // Attribute escaping (family 16): '&' first then '"' on encode, so the
+  // decode order '"'-then-'&' is an exact inverse (a literal "&quot;" in
+  // the body round-trips via "&amp;quot;", which the quote pass cannot
+  // match — no '&' directly precedes its 'q' on the wire).
+  // ------------------------------------------------------------------
+
+  private[core] def attrEncode(s: String): String =
+    s.replace("&", "&amp;").replace("\"", "&quot;")
+
+  private[core] def attrDecode(s: String): String =
+    s.replace("&quot;", "\"").replace("&amp;", "&")
+
+  /** Family 15 page chunk: the chunk text can contain any byte but '<'
+    * (the fixture body contract), so `[^<]*` spans newlines exactly. */
+  private val PageChunkRe =
+    """<div class="page" data-p="(\d+)">([^<]*)</div>""".r
+
+  // ------------------------------------------------------------------
   // Mixed encoding (family 7): printable ASCII stays raw, '&' and every
   // non-printable/non-ASCII UTF-16 unit becomes an uppercase hex NCR.
   // Decoding is a single left-to-right scan ("&amp;" matched before
@@ -365,9 +383,41 @@ object Parsers {
         val (a, b, c) = (segs.head, segs.lift(1).getOrElse(""), segs.lift(2).getOrElse(""))
         s"""<html>$h<body><div class="br-body">$a<br>$b<br/>$c<br />""" +
           s"""</div></body></html>"""
-      case _ =>
+      case 13 =>
         s"""<html>$h<body><div class="dbl-body">""" +
           entityEncode(entityEncode(body)) + s"""</div></body></html>"""
+      case 14 =>
+        // Comment-trap body: ad-slot comments interleave the text and one
+        // comment CONTAINS a fake "</div>" — a scan-to-first-close without
+        // comment stripping cuts inside the comment and fabricates text.
+        val segs = segments(body)
+        val (a, b, c) = (segs.head, segs.lift(1).getOrElse(""), segs.lift(2).getOrElse(""))
+        s"""<html>$h<body><div class="cmt-body"><!-- ad:top -->$a""" +
+          s"""<!-- trap </div><div class="promo"> -->$b""" +
+          s"""<!-- tracker:$source -->$c</div></body></html>"""
+      case 15 =>
+        // Out-of-order pagination: the three page divs are emitted in
+        // REVERSED data-p order (lazy-loaded "continued" chunks); the
+        // parser must reassemble by index, and document order fabricates.
+        val segs = segments(body)
+        val pages = segs.zipWithIndex.reverse.map { case (seg, i) =>
+          s"""<div class="page" data-p="$i">$seg</div>"""
+        }.mkString
+        s"""<html>$h<body><div class="paged-body">$pages</div></body></html>"""
+      case 16 =>
+        // Attribute-embedded body (AMP/meta-tag style): the full text lives
+        // in a data attribute with HTML attribute escaping (& then ").
+        s"""<html>$h<body><div class="attr-body" data-content="${attrEncode(body)}">""" +
+          s"""</div><div class="shell">app shell</div></body></html>"""
+      case _ =>
+        // SPA state blob: the article rides a JSON script as base64 —
+        // the modern "hydration payload" page whose visible DOM is empty.
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(body.getBytes(StandardCharsets.UTF_8))
+        s"""<html>$h<body><div id="root"></div>""" +
+          s"""<script id="__STATE__" type="application/json">""" +
+          s"""{"page":{"body64":"$b64","src":"${jsonEscape(source)}"}}""" +
+          s"""</script></body></html>"""
     }
     page.getBytes(StandardCharsets.UTF_8)
   }
@@ -418,7 +468,7 @@ object Parsers {
     extractFamily(FixtureConstants.familyOf(host), html)
 
   /** Number of extractor families ([[renderArticle]]/[[extractFamily]]). */
-  val NumFamilies: Int = 14
+  val NumFamilies: Int = 18
 
   /** Family-explicit extraction — the per-site parser kernels themselves.
     * Hosts outside the fixture dim dispatch here through
@@ -497,9 +547,38 @@ object Parsers {
         between(s, """<div class="br-body">""", """</div>""")
           .map(_.replace("<br />", "").replace("<br/>", "").replace("<br>", ""))
           .getOrElse("")
-      case _ =>
+      case 13 =>
         between(s, """<div class="dbl-body">""", """</div>""")
           .map(t => entityDecode(entityDecode(t))).getOrElse("")
+      case 14 =>
+        // Strip comments FIRST, then cut at the (now-unambiguous) close:
+        // the trap comment's "</div>" disappears with the comment; an
+        // unterminated comment (truncation) drops the tail and the close
+        // marker with it — all-or-nothing, never a fabricated prefix.
+        val open = """<div class="cmt-body">"""
+        val i = s.indexOf(open)
+        if (i < 0) return ""
+        val cleaned = stripBlocks(s.substring(i + open.length), "<!--", "-->")
+        val close = cleaned.indexOf("</div>")
+        if (close < 0) "" else cleaned.substring(0, close)
+      case 15 =>
+        // Reassemble by data-p index; REQUIRE the full index set 0..2 so a
+        // truncated page (a missing or cut chunk) degrades to "", never to
+        // a reordered partial body.
+        val found = PageChunkRe.findAllMatchIn(s)
+          .map(m => m.group(1).toInt -> m.group(2)).toVector
+        if (found.map(_._1).sorted == Seq(0, 1, 2))
+          found.sortBy(_._1).map(_._2).mkString
+        else ""
+      case 16 =>
+        between(s, """<div class="attr-body" data-content="""", "\">")
+          .map(attrDecode).getOrElse("")
+      case _ =>
+        between(s, """"body64":"""", "\"").map { b64 =>
+          try new String(java.util.Base64.getDecoder.decode(b64),
+            StandardCharsets.UTF_8)
+          catch { case _: IllegalArgumentException => "" } // corrupt payload
+        }.getOrElse("")
     }
   }
 

@@ -444,7 +444,7 @@ object CrawlQueries {
     // candidates ∪ discovered redirect sources) mapped to effective
     // fetch targets; aliases collapse, unresolved loops are abandoned.
     // op 35 all-family gate: render→extract byte-identity across ALL
-    // fourteen parser families (the fixture's hosts exercise only the
+    // eighteen parser families (the fixture's hosts exercise only the
     // frozen 0-5) — each document rendered in family doc_id % NumFamilies
     // and re-extracted; the oracle is the document text itself, so any
     // drift in any family kernel breaks the hash compare.

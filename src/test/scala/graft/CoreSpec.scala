@@ -106,17 +106,21 @@ class CoreSpec extends AnyFunSuite {
       assert(Parsers.extract(h.host, html) === body,
         s"family ${h.family}, body <$body>")
     }
-    // Families 6-13 (nested markup, mixed NCRs, and the round-5 shapes:
+    // Families 6-17 (nested markup, mixed NCRs, the round-5 shapes:
     // table-in-body, script/style, CDATA, malformed attrs, <br>
-    // paragraphs, double-encoded entities) have no fixture host —
-    // byte-identity via the family-explicit kernel, including non-ASCII
-    // bodies that families 7/13 encode on the wire.
-    val extra = bodies ++ Seq("的 是 了 在", "café & crème brûlée", "tab\there\nnewline")
+    // paragraphs, double-encoded entities — and the second round-5 wave:
+    // comment traps, out-of-order pagination, attribute-embedded bodies,
+    // base64 SPA state blobs) have no fixture host — byte-identity via the
+    // family-explicit kernel, including non-ASCII bodies that families
+    // 7/13/17 encode on the wire and '>'-bearing bodies that stress the
+    // attribute close scan of family 16.
+    val extra = bodies ++ Seq("的 是 了 在", "café & crème brûlée",
+      "tab\there\nnewline", "a > b and \"quoted &quot; literal\"")
     for (f <- 6 until Parsers.NumFamilies; body <- extra) {
       val html = Parsers.renderArticle(f, "Doc 7", "srcX", body)
       assert(Parsers.extractFamily(f, html) === body, s"family $f, body <$body>")
     }
-    assert(Parsers.NumFamilies === 14)
+    assert(Parsers.NumFamilies === 18)
   }
 
   test("parsers: family 8 related-table trap and family 11 '>' trap defeated") {
