@@ -482,4 +482,56 @@ class PlanShapeSpec extends AnyFunSuite {
         "an unpartitioned (single-task) window appeared on the pruning path")
     }
   }
+
+  test("q199 vbyte audit: index-build agg shape — no windows, no nested loops") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q199_postings_vbyte")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"gap coding must ride the per-term agg state, not a window:\n$plan")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty)
+    }
+  }
+
+  test("q200 pmi: top-k is TakeOrderedAndProject; totals are 1-row broadcast attaches") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q200_pmi_collocations")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"global top-50 must plan as TakeOrderedAndProject:\n$plan")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty)
+      // every nested loop is a 1-row total attach (tt / bb)
+      val bnl = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      for (j <- bnl) {
+        val sides = Seq(j.left.output.map(_.name), j.right.output.map(_.name))
+        assert(sides.exists(s => s.forall(Set("tt", "bb"))),
+          s"a BNLJ that is not the 1-row totals attach: $sides")
+      }
+    }
+  }
+
+  test("q203 textrank: every window/rank is doc-partitioned; equi-joins only") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q203_textrank")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"per-doc rank must stay doc-partitioned:\n$plan")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"nested loop on the per-doc graph path:\n$plan")
+    }
+  }
 }
