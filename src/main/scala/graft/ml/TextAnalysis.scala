@@ -237,6 +237,48 @@ object TextAnalysis {
           .as("mean_logp"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP'95; the
+    * Chen & Goodman '98 formulation with one fixed discount): P(w2|w1) =
+    * (max(c(w1w2)−D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·) with the
+    * continuation model Pcont(w2) = N1+(·w2)/|bigram types| — the
+    * smoothing upgrade of [[bigramLogProb]] whose MLE assigns observed-
+    * but-rare continuations too much mass. Same output grain as q87:
+    * per-document bigram count and mean log probability.
+    *
+    * Scale shape: identical to q87 — the doc-grain bigram agg collapses
+    * map-side; the model tables (c12 / context / continuation counts)
+    * are vocab-grain aggs joined back by equi-keys; the |types| total is
+    * a 1-row broadcast attach. Every count is an exact-integer-valued
+    * double and the probability expression is mirrored operand-for-
+    * operand in the oracle; round(…,4) absorbs sum order. Observed
+    * bigrams always have c12 ≥ 1 > D−… and Pcont > 0, so the log is
+    * total. */
+  def knBigramLogProb(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val t = toks(col("text"))
+    val pairs = docs
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1).as("w1"),
+        slice(t, lit(2), size(t) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull) // q87 convention
+    val db = pairs.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).cast("double").as("k"))
+    val cb = db.groupBy("w1", "w2").agg(sum("k").as("c12"))
+    val ctx = cb.groupBy("w1").agg(sum("c12").as("ctx"),
+      count(lit(1)).cast("double").as("nf"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).cast("double").as("nb"))
+    val types = cb.agg(count(lit(1)).cast("double").as("nt"))
+    val d = lit(discount)
+    db.join(cb, Seq("w1", "w2")).join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("p",
+        (greatest(col("c12") - d, lit(0.0)) +
+          d * col("nf") * (col("nb") / col("nt"))) / col("ctx"))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("long").as("n_bigrams"),
+        round(sum(col("k") * log(col("p"))) / sum("k"), 4).as("mean_logp_kn"))
+  }
+
   /** PII patterns (Dolma/C4-family scrubbing), written in the common
     * subset of Java regex (Spark) and RE2 (DuckDB) so the oracle runs the
     * SAME patterns: character classes, bounded repetition and `\b` only —

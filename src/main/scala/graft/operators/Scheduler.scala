@@ -177,6 +177,46 @@ object Scheduler {
         max(col("lateness_sec")).as("max_lateness_sec"))
   }
 
+  /** Adaptive per-host politeness replay (round 5) — the AIMD controller
+    * (Chiu & Jain '88's rule family; Heritrix-style adaptive crawl delay
+    * keyed to observed server latency) that production crawlers layer on
+    * top of the static robots crawl_delay: replay each host's capture
+    * timeline in time order, doubling the delay (capped at `maxDelayMs`)
+    * whenever the observed fetch latency crosses `slowMs` — multiplicative
+    * backoff — and recovering additively (−`stepMs`, floored at
+    * `minDelayMs`) on fast responses. Output per host: captures seen,
+    * backoffs triggered, and the delay the controller settled on — the
+    * operational dim the next batch's budget layer consumes.
+    *
+    * Same scalable shape as [[graft.operators.Robots.robotsCacheAudit]]:
+    * the control chain is sequential PER HOST by definition, so per-host
+    * sorted (t, latency) structs become aggregate state (bounded by the
+    * politeness ceiling) and ONE `aggregate()` fold replays the
+    * controller — all-integer state, hash-exact, mirrored by a
+    * recursive-CTE oracle stepping capture-by-capture. */
+  def adaptiveDelayReplay(captures: DataFrame, slowMs: Long = 300L,
+      initDelayMs: Long = 1000L, minDelayMs: Long = 250L,
+      maxDelayMs: Long = 8000L, stepMs: Long = 250L): DataFrame = {
+    val init = struct(lit(initDelayMs).as("delay"), lit(0L).as("backoffs"))
+    val step = (acc: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =>
+      when(e.getField("lat") >= slowMs,
+        struct(least(acc.getField("delay") * 2L, lit(maxDelayMs)).as("delay"),
+          (acc.getField("backoffs") + 1L).as("backoffs")))
+        .otherwise(
+          struct(greatest(acc.getField("delay") - stepMs, lit(minDelayMs)).as("delay"),
+            acc.getField("backoffs").as("backoffs")))
+    captures
+      .select(col("host"), col("warc_ts").cast("long").as("t"),
+        col("latency_ms").cast("long").as("lat"))
+      .groupBy("host")
+      .agg(sort_array(collect_list(struct(col("t"), col("lat")))).as("es"))
+      .select(col("host"), size(col("es")).cast("long").as("n_captures"),
+        aggregate(col("es"), init, step).as("st"))
+      .select(col("host"), col("n_captures"),
+        col("st.backoffs").as("n_backoffs"),
+        col("st.delay").as("final_delay_ms"))
+  }
+
   /** Schedule-fairness audit (round 5): how evenly a scheduled batch
     * spreads across hosts — Gini coefficient by the rank formula over
     * per-host counts sorted (count, host), plus the max single-host

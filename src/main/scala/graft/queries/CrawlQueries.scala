@@ -81,6 +81,16 @@ object CrawlQueries {
   /** q202's robots cache TTL (RFC 9309 §2.4's 24 h) — interpolated. */
   val RobotsTtlSec: Long = 86400L
 
+  /** q205's AIMD politeness controller constants — interpolated. The
+    * latency proxy is deterministic from the capture's text bytes
+    * (100 + octet_length % 400 ms), so ~half the fixture captures cross
+    * the 300 ms backoff threshold and both controller branches fire. */
+  val AimdSlowMs = 300L
+  val AimdInitMs = 1000L
+  val AimdMinMs = 250L
+  val AimdMaxMs = 8000L
+  val AimdStepMs = 250L
+
   /** q157's CDX block size — interpolated into the oracle. */
   val CdxBlockSize: Int = 16
 
@@ -654,6 +664,18 @@ object CrawlQueries {
         pages(s, dir).select(
           Canonicalize.hostOf(col("url")).as("host"), col("warc_ts")),
         RobotsTtlSec)),
+
+    // round 5: AIMD adaptive-politeness replay (Chiu & Jain's rule,
+    // Heritrix-style latency-keyed crawl delay) — per-host multiplicative
+    // backoff / additive recovery over the capture timeline, latency
+    // proxied deterministically from the capture's text bytes.
+    "q205_adaptive_delay" -> ((s, dir) =>
+      Scheduler.adaptiveDelayReplay(
+        pages(s, dir).select(
+          Canonicalize.hostOf(col("url")).as("host"), col("warc_ts"),
+          (lit(100L) + octet_length(col("text")).cast("long") % lit(400L))
+            .as("latency_ms")),
+        AimdSlowMs, AimdInitMs, AimdMinMs, AimdMaxMs, AimdStepMs)),
 
     "q166_redirect_collapse" -> ((s, dir) =>
       graft.operators.Redirects.frontierCollapse(
@@ -2191,6 +2213,39 @@ object CrawlQueries {
          |       f.last_fetch AS last_fetch_sec,
          |       f.last_fetch + $RobotsTtlSec AS cache_expiry_sec
          |  FROM nc JOIN fin f USING (host)""".stripMargin,
+
+    // the AIMD chain stepped capture-by-capture (q202's recursive-CTE
+    // template with the controller state widened to delay+backoffs);
+    // the (t, lat) tie-break matches the engine's struct sort, and every
+    // state value is an exact integer.
+    "q205_adaptive_delay" ->
+      s"""${PagesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |caps AS (SELECT host, CAST(epoch(warc_ts) AS BIGINT) AS t,
+         |                100 + strlen(text) % 400 AS lat
+         |           FROM canon),
+         |rc AS (SELECT host, t, lat,
+         |              ROW_NUMBER() OVER (PARTITION BY host ORDER BY t, lat) AS rn
+         |         FROM caps),
+         |chain AS (
+         |  SELECT host, CAST(0 AS BIGINT) AS rn,
+         |         CAST($AimdInitMs AS BIGINT) AS delay, CAST(0 AS BIGINT) AS backoffs
+         |    FROM (SELECT DISTINCT host FROM caps)
+         |  UNION ALL
+         |  SELECT c.host, c.rn,
+         |         CASE WHEN c.lat >= $AimdSlowMs
+         |              THEN least(ch.delay * 2, $AimdMaxMs)
+         |              ELSE greatest(ch.delay - $AimdStepMs, $AimdMinMs) END,
+         |         ch.backoffs + CASE WHEN c.lat >= $AimdSlowMs THEN 1 ELSE 0 END
+         |    FROM chain ch JOIN rc c ON c.host = ch.host AND c.rn = ch.rn + 1),
+         |fin AS (SELECT ch.host, ch.delay, ch.backoffs
+         |          FROM chain ch
+         |          JOIN (SELECT host, max(rn) AS mx FROM chain GROUP BY host) l
+         |            ON l.host = ch.host AND ch.rn = l.mx)
+         |SELECT f.host, CAST(n.n AS BIGINT) AS n_captures,
+         |       CAST(f.backoffs AS BIGINT) AS n_backoffs,
+         |       CAST(f.delay AS BIGINT) AS final_delay_ms
+         |  FROM fin f JOIN (SELECT host, count(*) AS n FROM caps GROUP BY host) n
+         |    USING (host)""".stripMargin,
 
     // all-integer Hamilton apportionment — base = floor division,
     // remainder rank (rem desc, host asc), extras = total − Σbase;

@@ -642,6 +642,18 @@ object PipelineQueries {
     "q203_textrank" -> ((s, dir) =>
       TextAnalysis.textrankKeywords(docs(s, dir))),
 
+    // round 5: interpolated Kneser–Ney bigram scoring (Kneser & Ney '95)
+    // — the smoothed upgrade of q87's MLE bigram model, same per-doc
+    // mean-logp grain; one fixed discount, continuation-count backoff.
+    "q204_kn_bigram" -> ((s, dir) =>
+      TextAnalysis.knBigramLogProb(docs(s, dir), KnDiscount)),
+
+    // round 5: shard source-diversity audit — Shannon entropy + top-source
+    // share of each q126 LPT shard's source mix (the release check that
+    // dealing kept shards corpus-representative).
+    "q206_shard_entropy" -> ((s, dir) =>
+      Corpus.shardBalanceAudit(docs(s, dir), ShardCount)),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -1084,6 +1096,9 @@ object PipelineQueries {
   val PrfK: Int = 10
   val PrfM: Int = 8
   val WSampleK: Int = 64
+
+  /** q204's Kneser–Ney absolute discount — interpolated into the oracle. */
+  val KnDiscount: Double = 0.75
 
   /** The documents table with decomposed-unicode suffixes injected as a
     * pure function of doc_id (the fixture corpus is pure ASCII; the
@@ -2539,6 +2554,52 @@ object PipelineQueries {
          |    FROM r3)
          | WHERE rk <= 5""".stripMargin
     },
+
+    // q87's CTE chain widened by the three KN model tables (context /
+    // continuation / type counts); the smoothed probability is mirrored
+    // operand-for-operand with the discount interpolated from the SAME
+    // Scala double the engine compiles.
+    "q204_kn_bigram" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |                i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+         |         FROM tk),
+         |db AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2,
+         |              CAST(count(*) AS DOUBLE) AS k
+         |         FROM bg GROUP BY ALL),
+         |cb AS (SELECT w1, w2, sum(k) AS c12 FROM db GROUP BY w1, w2),
+         |ctx AS (SELECT w1, sum(c12) AS ctx, CAST(count(*) AS DOUBLE) AS nf
+         |          FROM cb GROUP BY w1),
+         |cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS nb FROM cb GROUP BY w2),
+         |ty AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM cb)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |       round(sum(k * ln((greatest(c12 - $KnDiscount, 0.0)
+         |                         + $KnDiscount * nf * (nb / nt)) / ctx))
+         |             / sum(k), 4) AS mean_logp_kn
+         |  FROM db JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+         |  JOIN cont USING (w2) CROSS JOIN ty
+         | GROUP BY doc_id""".stripMargin,
+
+    // the q126 rank replayed (corpus-wide window is FINE in the
+    // single-engine oracle), then the flat-agg entropy identity
+    // H = ln n − (Σ c·ln c)/n spelled exactly as the engine's.
+    "q206_shard_entropy" ->
+      s"""WITH sized AS (SELECT doc_id, source,
+         |                      len(string_split(text,' ')) AS n_tokens
+         |                 FROM documents),
+         |r AS (SELECT doc_id, source,
+         |             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+         |        FROM sized),
+         |g AS (SELECT CAST((rank - 1) % $ShardCount AS INT) AS shard, source,
+         |             count(*) AS c
+         |        FROM r GROUP BY 1, 2)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_sources,
+         |       CAST(sum(c) AS BIGINT) AS n_docs,
+         |       round(ln(CAST(sum(c) AS DOUBLE))
+         |             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+         |               / CAST(sum(c) AS DOUBLE), 4) AS entropy,
+         |       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_share
+         |  FROM g GROUP BY shard""".stripMargin,
 
     // Valid BECAUSE the sketch is in its exact regime at fixture
     // vocabulary size (31 < purge point 0.75·64): estimate and both

@@ -1342,4 +1342,18 @@ class CorpusSpec extends AnyFunSuite {
     val re = Corpus.heapsFit(docs.repartition(7)).as[(Long, Double, Double)].collect()
     assert(re.head === got.head) // GlobalOrder prefix sums are partition-stable
   }
+
+  test("shardBalanceAudit: entropy identity truth on a hand-dealt corpus") {
+    // 4 docs, 2 shards: n_tokens desc, doc_id asc → ranks: d0(4 tok) 1,
+    // d1(3) 2, d2(2) 3, d3(1) 4 → shard = (rank-1)%2: d0→0, d1→1, d2→0, d3→1.
+    val docs = Seq(
+      (0L, "a a a a", "s1"), (1L, "b b b", "s1"),
+      (2L, "c c", "s2"), (3L, "d", "s1")).toDF("doc_id", "text", "source")
+    val got = Corpus.shardBalanceAudit(docs, numShards = 2)
+      .as[(Int, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def m4(x: Double) = math.round(x * 10000).toDouble / 10000
+    // shard 0: {s1:1, s2:1} → H = ln2; shard 1: {s1:2} → H = 0
+    assert(got(0) === ((0, 2L, 2L, m4(math.log(2.0)), 0.5)))
+    assert(got(1) === ((1, 1L, 2L, 0.0, 1.0)))
+  }
 }

@@ -475,4 +475,33 @@ class RecrawlSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect().head
     assert(r === (("h", times.length.toLong, n, last, last + 100L)))
   }
+
+  test("adaptiveDelayReplay: AIMD branches, cap/floor clamps, scalar parity") {
+    // slow=300, init=1000, min=250, max=8000, step=250.
+    // host a: lat 500 (→2000, backoff), 500 (→4000), 500 (→8000),
+    //         500 (→8000 cap), 100 (→7750 recover)
+    val a = Seq((0L, 500L), (10L, 500L), (20L, 500L), (30L, 500L), (40L, 100L))
+    // host b: all fast from init → additive decay floors at 250
+    val b = Seq.tabulate(6)(i => (i.toLong * 5, 100L))
+    val df = (a.map(e => ("a", e._1, e._2)) ++ b.map(e => ("b", e._1, e._2)))
+      .toDF("host", "t", "latency_ms")
+      .select(col("host"), col("t").cast("timestamp").as("warc_ts"), col("latency_ms"))
+    val got = graft.operators.Scheduler.adaptiveDelayReplay(df)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") === ((5L, 4L, 7750L)))
+    assert(got("b") === ((6L, 0L, 250L))) // 1000−250·3 = 250, then floored
+    // seeded random parity against a scalar controller
+    val rnd = new scala.util.Random(5)
+    val es = Seq.tabulate(80)(i => (i.toLong, 100L + rnd.nextInt(400).toLong))
+    var delay = 1000L; var backs = 0L
+    es.foreach { case (_, lat) =>
+      if (lat >= 300L) { delay = math.min(delay * 2, 8000L); backs += 1 }
+      else delay = math.max(delay - 250L, 250L)
+    }
+    val rdf = es.map(e => ("h", e._1, e._2)).toDF("host", "t", "latency_ms")
+      .select(col("host"), col("t").cast("timestamp").as("warc_ts"), col("latency_ms"))
+    val r2 = graft.operators.Scheduler.adaptiveDelayReplay(rdf)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(r2 === (("h", 80L, backs, delay)))
+  }
 }

@@ -1098,6 +1098,28 @@ class SearchSpec extends AnyFunSuite {
     assert(empty.count() === 0L)
   }
 
+  test("knBigramLogProb == scalar Kneser-Ney truth; smoothing reserves mass vs MLE") {
+    val docs = Seq(
+      (1L, "a b a b a c"),
+      (2L, "a b d")).toDF("doc_id", "text")
+    // bigram tokens: d1 = (a,b),(b,a),(a,b),(b,a),(a,c); d2 = (a,b),(b,d)
+    // c12: ab=3, ba=2, ac=1, bd=1; ctx: a·=4, b·=3; N1+(a·)=2, N1+(b·)=2
+    // N1+(·b)=1, N1+(·a)=1, N1+(·c)=1, N1+(·d)=1; types=4
+    val D = 0.75
+    def p(c12: Double, ctx: Double, nf: Double, nb: Double): Double =
+      (math.max(c12 - D, 0.0) + D * nf * (nb / 4.0)) / ctx
+    def m4(x: Double) = math.round(x * 10000).toDouble / 10000
+    val d1 = (2 * math.log(p(3, 4, 2, 1)) + 2 * math.log(p(2, 3, 2, 1)) +
+      1 * math.log(p(1, 4, 2, 1))) / 5.0
+    val d2 = (math.log(p(3, 4, 2, 1)) + math.log(p(1, 3, 2, 1))) / 2.0
+    val got = TextAnalysis.knBigramLogProb(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((5L, m4(d1))))
+    assert(got(2L) === ((2L, m4(d2))))
+    // the discount reserves mass: every smoothed P < the MLE c12/ctx
+    assert(p(3, 4, 2, 1) < 3.0 / 4 && p(1, 3, 2, 1) < 1.0 / 3)
+  }
+
   test("readability: hand truth, sentence floor, punctuation raises the sentence count") {
     val d = Seq(
       (1L, "go to the store"),   // 4 words, floor 1 sentence, 5 vowel groups
