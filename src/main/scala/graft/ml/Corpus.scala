@@ -1492,6 +1492,39 @@ object Corpus {
         ((col("rank") - 1) % numShards).cast("int").as("shard"))
   }
 
+  /** Deterministic epoch shuffle — the training data loader's per-epoch
+    * document order. A Fisher–Yates permutation is inherently sequential
+    * and a `rand()`-keyed sort is irreproducible across retries, so
+    * production loaders key each epoch by a PSEUDORANDOM PERMUTATION of
+    * the id space: here multiplicative (Fibonacci) hashing — key =
+    * (id·a_e + e + 1) mod 2^32 with odd golden-ratio-family multipliers
+    * (Knuth TAOCP v3 §6.4). An odd multiplier is a unit mod 2^32, so the
+    * map is BIJECTIVE on any 2^32-aligned id window: every epoch is a
+    * true permutation, exactly reproducible, and consecutive ids land
+    * ~0.38·2^32 apart (the low-discrepancy Weyl rotation), so the order
+    * wraps and mixes even for a tiny contiguous id range — a mod-prime
+    * Lehmer map (the first cut here) never wraps when id·a < M and
+    * silently degenerates to the identity order. Products stay exact
+    * int64 for id < 2^31 (corpora key their shuffle on a compacted id
+    * space — exactly what [[shardAssign]]'s rank provides). Position
+    * assignment is [[graft.operators.GlobalOrder]]'s range-partitioned
+    * two-phase rank, never a corpus-wide window. */
+  def epochShuffle(docs: DataFrame, epochs: Int = 2, parts: Int = 32): DataFrame = {
+    require(epochs >= 1 && epochs <= EpochMultipliers.length, "epoch count out of range")
+    val M = 4294967296L // 2^32
+    (0 until epochs).map { ep =>
+      val keyed = docs.select(lit(ep).as("epoch"), col("doc_id"),
+        pmod(col("doc_id") * EpochMultipliers(ep) + (ep + 1), lit(M)).as("k"))
+      graft.operators.GlobalOrder
+        .withRank(keyed, Seq(col("k").asc, col("doc_id").asc), parts, "position")
+        .select("epoch", "doc_id", "position")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Odd multipliers: Knuth's 2654435761 (⌊2^32/φ⌋ to the nearest odd
+    * prime-ish) and the xxhash32 second prime — both units mod 2^32. */
+  val EpochMultipliers: Seq[Long] = Seq(2654435761L, 2246822519L)
+
   /** Shard source-diversity audit: Shannon entropy (nats) and top-source
     * share of each [[shardAssign]] shard's source mix — the release
     * check that LPT round-robin dealing kept every training shard a

@@ -155,6 +155,39 @@ object TextAnalysis {
           .as("mean_logp"))
   }
 
+  /** Quality-gate calibration sweep: for each candidate threshold over a
+    * per-document quality score (column `mean_logp`, e.g.
+    * [[unigramLogProb]]'s), the document AND token survival of the gate
+    * `score ≥ t` — the curve a pipeline owner reads before committing a
+    * filter threshold (the q165 sensitivity-sweep pattern applied to the
+    * quality axis; CCNet/Gopher pipelines publish exactly this trade-off).
+    * Comparisons run on the 4-dp-rounded published score, so the decile
+    * cut is bit-identical across engines.
+    *
+    * Plan: the scored relation cross-joins a broadcast |thresholds|-row
+    * dim (docs × ~7 rows, map-side), then ONE hash agg per threshold —
+    * no window, no second scan per threshold. */
+  def qualityGateSweep(scored: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val th = thresholds.toDF("threshold")
+    scored.crossJoin(broadcast(th))
+      .groupBy("threshold")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("mean_logp") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        sum(when(col("mean_logp") >= col("threshold"), col("n_tokens"))
+          .otherwise(0L)).as("n_tokens_kept"))
+      .select(col("threshold"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 4)
+          .as("doc_keep_frac"),
+        col("n_tokens_total"), col("n_tokens_kept"),
+        round(col("n_tokens_kept").cast("double") /
+          col("n_tokens_total").cast("double"), 4).as("token_keep_frac"))
+  }
+
   /** Per-document token-entropy quality signal: the Shannon entropy of a
     * document's OWN unigram distribution, `H = ln(n) - sum(k ln k) / n`
     * over per-doc token counts k (algebraically identical to

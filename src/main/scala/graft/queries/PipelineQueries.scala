@@ -654,6 +654,25 @@ object PipelineQueries {
     "q206_shard_entropy" -> ((s, dir) =>
       Corpus.shardBalanceAudit(docs(s, dir), ShardCount)),
 
+    // round 5: SALSA authorities (Lempel & Moran, WWW'00) — the closed-
+    // form random-walk alternative to q138's HITS: within-component
+    // in-degree normalization over the bipartite support graph, no
+    // eigen-iteration; component discovery via the proven CC kernel.
+    "q207_salsa" -> ((s, dir) =>
+      graft.operators.LinkGraph.salsaAuthorities(linkEdges(s, dir))),
+
+    // round 5: deterministic epoch shuffle — per-epoch affine-permutation
+    // order over the id space (Lehmer/MINSTD multipliers mod 2^61−1),
+    // the loader-facing order table a reproducible training run reads.
+    "q208_epoch_shuffle" -> ((s, dir) => Corpus.epochShuffle(docs(s, dir))),
+
+    // round 5: quality-gate calibration sweep — doc and token survival of
+    // `mean_logp ≥ t` over the q55 score for each candidate threshold
+    // (the q165 sensitivity-sweep pattern on the quality axis).
+    "q209_quality_sweep" -> ((s, dir) =>
+      TextAnalysis.qualityGateSweep(
+        TextAnalysis.unigramLogProb(docs(s, dir)), QualitySweepThresholds)),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -1099,6 +1118,11 @@ object PipelineQueries {
 
   /** q204's Kneser–Ney absolute discount — interpolated into the oracle. */
   val KnDiscount: Double = 0.75
+
+  /** q209's candidate quality thresholds — interpolated into the oracle;
+    * chosen around the fixture's q55 score mass so both gate branches
+    * fire at every sf. */
+  val QualitySweepThresholds: Seq[Double] = Seq(-5.0, -4.5, -4.0, -3.5, -3.0)
 
   /** The documents table with decomposed-unicode suffixes injected as a
     * pure function of doc_id (the fixture corpus is pure ASCII; the
@@ -2579,6 +2603,73 @@ object PipelineQueries {
          |  FROM db JOIN cb USING (w1, w2) JOIN ctx USING (w1)
          |  JOIN cont USING (w2) CROSS JOIN ty
          | GROUP BY doc_id""".stripMargin,
+
+    // bipartite encoding + the q46 recursive-reachability CC + the
+    // closed-form component/in-degree ratios — every operand an exact
+    // integer until the final 6-dp product.
+    "q207_salsa" ->
+      s"""${LinkEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |bip AS (SELECT src * 2 AS a, dst * 2 + 1 AS b FROM e),
+         |be AS (SELECT a AS s, b AS d FROM bip UNION SELECT b, a FROM bip),
+         |cc AS (SELECT s AS node, s AS root FROM be
+         |       UNION
+         |       SELECT e2.d, cc.root FROM cc JOIN be e2 ON cc.node = e2.s),
+         |lab AS (SELECT node, min(root) AS rep FROM cc GROUP BY node),
+         |din AS (SELECT dst, count(*) AS din FROM e GROUP BY dst),
+         |auth AS (SELECT d.dst, d.din, l.rep
+         |           FROM din d JOIN lab l ON l.node = d.dst * 2 + 1),
+         |comp AS (SELECT rep, sum(din) AS comp_din, count(*) AS comp_auth
+         |           FROM auth GROUP BY rep),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_auth FROM auth)
+         |SELECT a.dst AS doc_id, a.rep AS component,
+         |       CAST(a.din AS BIGINT) AS d_in,
+         |       round((CAST(c.comp_auth AS DOUBLE) / t.n_auth)
+         |             * (CAST(a.din AS DOUBLE) / CAST(c.comp_din AS DOUBLE)), 6)
+         |         AS salsa_auth
+         |  FROM auth a JOIN comp c USING (rep) CROSS JOIN tot t""".stripMargin,
+
+    // per-epoch multiplicative-hash keys with the SAME multiplier/modulus
+    // literals; position via the ordered window (single-engine oracle may).
+    "q208_epoch_shuffle" -> {
+      val m = 4294967296L
+      val eps = graft.ml.Corpus.EpochMultipliers.zipWithIndex.map { case (a, e) =>
+        s"SELECT $e AS epoch, doc_id, (doc_id * $a + ${e + 1}) % $m AS k FROM documents"
+      }.mkString("\n        | UNION ALL ")
+      s"""WITH keyed AS ($eps)
+         |SELECT epoch, doc_id,
+         |       ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS position
+         |  FROM keyed""".stripMargin
+    },
+
+    // the q55 scoring CTE + a VALUES threshold dim; gate comparisons run
+    // on the 4-dp-rounded score, integer counts, 4-dp ratios.
+    "q209_quality_sweep" -> {
+      val vals = QualitySweepThresholds
+        .map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+      s"""WITH tokse AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |                 FROM documents),
+         |dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS k
+         |         FROM tokse GROUP BY doc_id, tok),
+         |freq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM tokse GROUP BY tok),
+         |tot AS (SELECT sum(c) AS n_total FROM freq),
+         |scored AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |                  round(sum(k * ln(c / n_total)) / sum(k), 4) AS mean_logp
+         |             FROM dt JOIN freq USING (tok) CROSS JOIN tot
+         |            GROUP BY doc_id),
+         |th AS (SELECT * FROM (VALUES $vals) AS t(threshold))
+         |SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN mean_logp >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       round(CAST(sum(CASE WHEN mean_logp >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 4) AS doc_keep_frac,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+         |       CAST(sum(CASE WHEN mean_logp >= threshold THEN n_tokens ELSE 0 END) AS BIGINT)
+         |         AS n_tokens_kept,
+         |       round(CAST(sum(CASE WHEN mean_logp >= threshold THEN n_tokens ELSE 0 END) AS DOUBLE)
+         |             / CAST(sum(n_tokens) AS DOUBLE), 4) AS token_keep_frac
+         |  FROM scored CROSS JOIN th GROUP BY threshold""".stripMargin
+    },
 
     // the q126 rank replayed (corpus-wide window is FINE in the
     // single-engine oracle), then the flat-agg entropy identity

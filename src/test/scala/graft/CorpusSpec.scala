@@ -1343,6 +1343,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(re.head === got.head) // GlobalOrder prefix sums are partition-stable
   }
 
+  test("epochShuffle: every epoch is a permutation; epochs decorrelate; deterministic") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val got = Corpus.epochShuffle(docs, epochs = 2)
+      .as[(Int, Long, Long)].collect()
+    for (ep <- Seq(0, 1)) {
+      val rows = got.filter(_._1 == ep)
+      assert(rows.map(_._2).toSet === (0L until 50L).toSet) // all docs present
+      assert(rows.map(_._3).sorted.toSeq === (1L to 50L))   // positions 1..n
+    }
+    // the two epochs give different orders (decorrelated multipliers)
+    val o0 = got.filter(_._1 == 0).sortBy(_._3).map(_._2).toSeq
+    val o1 = got.filter(_._1 == 1).sortBy(_._3).map(_._2).toSeq
+    assert(o0 !== o1)
+    // scalar truth: order by the same multiplicative-hash key — and the
+    // key sequence actually WRAPS (mixes) on a tiny contiguous id range
+    val m = 4294967296L
+    val key0 = (id: Long) => (id * 2654435761L + 1L) % m
+    val exp0 = (0L until 50L).sortBy(key0)
+    assert(o0 === exp0)
+    assert(o0 !== (0L until 50L).toSeq, "shuffle degenerated to identity order")
+    // partitioning-invariant (GlobalOrder total order)
+    val re = Corpus.epochShuffle(docs.repartition(7), epochs = 2)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(re === got.toSet)
+  }
+
   test("shardBalanceAudit: entropy identity truth on a hand-dealt corpus") {
     // 4 docs, 2 shards: n_tokens desc, doc_id asc → ranks: d0(4 tok) 1,
     // d1(3) 2, d2(2) 3, d3(1) 4 → shard = (rank-1)%2: d0→0, d1→1, d2→0, d3→1.

@@ -248,6 +248,32 @@ class LinkGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("salsaAuthorities: closed-form truth on a two-component bipartite graph") {
+    // component 1 (bipartite): hubs {1,2} → auths {3,4}: 1→3, 1→4, 2→3.
+    // component 2: hub 10 → auth 11. |A| = 3 auths total.
+    // scores: comp1 (|A_j|=2): a(3) = (2/3)·(2/3), a(4) = (2/3)·(1/3);
+    //         comp2 (|A_j|=1): a(11) = (1/3)·(1/1).
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    def m6(x: Double) = math.round(x * 1e6).toDouble / 1e6
+    val got = LinkGraph.salsaAuthorities(edges)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got.keySet === Set(3L, 4L, 11L))
+    assert(got(3L) === ((2L, m6(2.0 / 3 * 2 / 3))))
+    assert(got(4L) === ((1L, m6(2.0 / 3 * 1 / 3))))
+    assert(got(11L) === ((1L, m6(1.0 / 3))))
+    // the stationary distribution sums to 1 across all authorities
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5)
+    // split-copy semantics (the SALSA trait that defuses the TKC effect):
+    // adding 3→10 links hub-copy(3) to auth-copy(10) — a NEW bipartite
+    // component, NOT a merge of 3's authority component with 10's; the
+    // authority side now spans three components {3,4} {11} {10}.
+    val widened = LinkGraph.salsaAuthorities(
+      edges.unionByName(Seq((3L, 10L)).toDF("src", "dst")))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(widened.map(_._2).distinct.length === 3)
+    assert(math.abs(widened.map(_._4).sum - 1.0) < 1e-5)
+  }
+
   test("degreeStats: hand truth including a reciprocal pair") {
     // 1↔2 reciprocal; 1→3, 4→1 one-way.
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")

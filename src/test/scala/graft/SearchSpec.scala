@@ -1120,6 +1120,18 @@ class SearchSpec extends AnyFunSuite {
     assert(p(3, 4, 2, 1) < 3.0 / 4 && p(1, 3, 2, 1) < 1.0 / 3)
   }
 
+  test("qualityGateSweep: hand truth — doc and token survival per threshold") {
+    val scored = Seq(
+      (1L, 10L, -2.0), (2L, 20L, -4.0), (3L, 30L, -6.0))
+      .toDF("doc_id", "n_tokens", "mean_logp")
+    val got = TextAnalysis.qualityGateSweep(scored, Seq(-5.0, -3.0))
+      .as[(Double, Long, Long, Double, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // t=-5: keeps docs 1,2 (30 of 60 tokens); t=-3: keeps doc 1 only.
+    assert(got(-5.0) === ((-5.0, 3L, 2L, 0.6667, 60L, 30L, 0.5)))
+    assert(got(-3.0) === ((-3.0, 3L, 1L, 0.3333, 60L, 10L, 0.1667)))
+  }
+
   test("readability: hand truth, sentence floor, punctuation raises the sentence count") {
     val d = Seq(
       (1L, "go to the store"),   // 4 words, floor 1 sentence, 5 vowel groups
