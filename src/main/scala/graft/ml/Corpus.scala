@@ -695,6 +695,93 @@ object Corpus {
         col("h._3").as("lb") :+ col("h._4").as("ub"): _*)
   }
 
+  /** Byte-level merge of serialized KLL doubles sketches — the
+    * associative partial/final kernel under [[lengthQuantileSketches]],
+    * same lifecycle discipline as [[FreqMerge]]: buffers stay serialized
+    * (shuffle/spill-safe), one deser→merge→ser round-trip per INPUT
+    * sketch (one per partition×key), never per row. */
+  private object KllMerge
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    private def merged(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        val s = KllDoublesSketch.heapify(Memory.wrap(x))
+        s.merge(KllDoublesSketch.heapify(Memory.wrap(y)))
+        s.toByteArray
+      }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merged(b, a)
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = merged(x, y)
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Per-source document-length (token-count) quantiles as MERGEABLE KLL
+    * sketches (Karnin, Lang & Liberty, FOCS'16 — the optimal streaming
+    * quantile sketch; Apache DataSketches `KllDoublesSketch`) — the
+    * sketch-architecture flavor of q77's exact percentiles, completing
+    * the mergeable-sketch trio next to the HLL distinct (q79) and
+    * frequency heavy-hitter (q125) sketches: each partition builds a
+    * partial sketch, partials merge associatively, and STORED sketches
+    * keep merging — per-segment length profiles union into corpus
+    * profiles without rescanning text.
+    *
+    * Returns (source, sk: binary). Estimate-valued (KLL compaction is
+    * randomized above the k-sized exact regime → no DuckDB counterpart;
+    * rows-only in the gate). CorpusSpec pins: exact-regime estimates ==
+    * true order statistics, per-source ∪ == global merge identity, and
+    * the compaction-regime normalized-rank-error envelope. */
+  def lengthQuantileSketches(docs: DataFrame, k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    require(k >= 8 && k <= 65535, "KLL k out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), size(split(col("text"), " ")).cast("double").as("dl"))
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val sks = scala.collection.mutable.HashMap.empty[String, KllDoublesSketch]
+        it.foreach { case (src, dl) =>
+          sks.getOrElseUpdate(src, KllDoublesSketch.newHeapInstance(k)).update(dl)
+        }
+        sks.iterator.map { case (src, sk) => (src, sk.toByteArray) }
+      }
+      .toDF("source", "sk")
+      .groupBy("source")
+      .agg(udaf(KllMerge).apply(col("sk")).as("sk"))
+  }
+
+  /** Quantile estimates out of a (…, sk) KLL sketch table: n (exact —
+    * every update is counted) plus one estimate column per requested
+    * rank. The q215 read side; also the reader for any persisted sketch
+    * segment. */
+  def lengthQuantilesFromSketches(sketches: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      labels: Seq[String] = Seq("p50", "p90", "p99")): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    require(ps.size == labels.size, "one label per rank")
+    val q = udf((b: Array[Byte]) =>
+      if (b == null || b.isEmpty) None
+      else {
+        val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+        Some((sk.getN, ps.map(p => sk.getQuantile(p))))
+      })
+    val keys = sketches.columns.filter(_ != "sk").map(col)
+    sketches.select(keys :+ q(col("sk")).as("r"): _*)
+      .select(keys ++ Seq(col("r._1").as("n_docs")) ++
+        labels.zipWithIndex.map { case (l, i) =>
+          element_at(col("r._2"), i + 1).as(l) }: _*)
+  }
+
+  /** Union-merge a KLL sketch table into ONE corpus-level sketch — the
+    * segments → corpus re-aggregation (cf. [[mergeFrequencySketches]]). */
+  def mergeLengthSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(udaf(KllMerge).apply(col("sk")).as("sk"))
+
   /** Per-language top-k tokens by frequency (tie-break token asc): the
     * corpus-statistics pass (vocabulary head) of a training-data pipeline.
     * Explode → two-level hash agg (partial map-side combine collapses the

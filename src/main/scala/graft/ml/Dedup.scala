@@ -311,6 +311,52 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     ngramJaccardPairsFrom(shingleFrame(docs), threshold)
 
+  /** q217's SpotSigs antecedent set — the q38 stopword list: spot
+    * signatures anchor on words ad-injected boilerplate rarely contains,
+    * which is the paper's point. */
+  val SpotAntecedents: Seq[String] = Seq("the", "a", "of", "and", "with")
+
+  /** SpotSigs signature frame (Theobald, Siddharth & Paepcke, "SpotSigs:
+    * robust and efficient near duplicate detection in large web document
+    * collections", SIGIR'08): for every occurrence of an ANTECEDENT
+    * (stopword) at position i, the signature is the antecedent plus the
+    * next `chainLen` NON-antecedent tokens — a signature set that skips
+    * navigation/ad boilerplate (which is stopword-poor) and anchors on
+    * natural-language spans, the property that made SpotSigs beat plain
+    * shingling on news pages. Same (doc_id, lang, sh, sz) shape as
+    * [[shingleFrame]], so the proven PPJoin prefix-pruned kernel
+    * ([[ngramJaccardPairsFrom]]) runs unchanged over it.
+    *
+    * Chains shorter than asked (antecedent at the tail) are kept only if
+    * nonempty (`x NOT LIKE '%:'` — spelled identically in the oracle);
+    * per-position work is doc-bounded (the tail filter), never corpus. */
+  def spotSigFrame(docs: DataFrame, chainLen: Int = 2): DataFrame = {
+    val ants = SpotAntecedents.map(a => s"'$a'").mkString(", ")
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        expr(
+          s"""array_distinct(filter(
+             |  transform(split(text, ' '), (tok, i) ->
+             |    CASE WHEN tok IN ($ants)
+             |         THEN concat(tok, ':', array_join(
+             |                slice(filter(slice(split(text, ' '), i + 2,
+             |                                   size(split(text, ' '))),
+             |                             x -> x NOT IN ($ants)),
+             |                      1, $chainLen), ' '))
+             |         ELSE NULL END),
+             |  x -> x IS NOT NULL AND NOT x LIKE '%:'))""".stripMargin)
+          .as("sh"))
+      .withColumn("sz", size(col("sh")))
+  }
+
+  /** SpotSigs near-duplicate pairs: the signature frame above through
+    * the exact-verified PPJoin kernel — tenth member of the dedup
+    * family, the stopword-anchored flavor robust to boilerplate noise.
+    * Output (a, b, jaccard ≥ threshold), q33's grain. */
+  def spotSigPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsFrom(spotSigFrame(docs), threshold)
+
   /** [[ngramJaccardPairs]] over a precomputed [[shingleFrame]]. */
   def ngramJaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1376,4 +1376,125 @@ object Search {
         round(col("vbyte_bytes").cast("double") / col("raw_bytes"), 4))
   }
 
+  /** Elias–Fano posting-list size audit — the succinct-encoding
+    * companion of [[postingCompressionAudit]] (Elias '74 / Fano '71;
+    * Vigna, "Quasi-succinct indices", WSDM'13 made it the modern
+    * default for web-scale inverted indexes; Ottaviano & Venturini's
+    * partitioned variant powers production engines). For each term's
+    * strictly-increasing posting list of n ids over universe
+    * U = max_id + 1:
+    *
+    *   l        = max(0, ⌊log₂(U/n)⌋)          (low-bit width)
+    *   ef_bits  = n·l  +  n + ⌊U / 2^l⌋        (low array + unary highs)
+    *
+    * — within half a bit per element of the information-theoretic
+    * minimum, WITH random access (unlike VByte's sequential gaps; the
+    * reason EF wins for skip-heavy conjunctive queries). Every
+    * quantity is exact integer arithmetic: ⌊log₂⌋ via a CASE ladder
+    * over powers of two, the shift via integral division — spelled
+    * identically in the oracle, so the relation is hash-exact.
+    *
+    * Plan shape: identical to q199's (one (term, doc_id) exchange,
+    * per-term aggregate frames); emitting both codecs' sizes per term
+    * lets the storage planner pick per-list (the partitioned-EF
+    * insight) rather than per-index. */
+  def eliasFanoAudit(docs: DataFrame, minDf: Int = 5): DataFrame = {
+    def vbyteLen(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (1 to 8).foldRight(lit(9L): org.apache.spark.sql.Column) { (k, rest) =>
+        when(v < lit(1L << (7 * k)), lit(k.toLong)).otherwise(rest)
+      }
+    // max k in [0, 40] with 2^k ≤ q  (q ≥ 1; fixture universes are tiny,
+    // the 40-bit ceiling covers a 10^12-page universe)
+    def floorLog2(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (1 to 40).foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, k) =>
+        when(q >= lit(1L << k), lit(k.toLong)).otherwise(acc)
+      }
+    docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= minDf)
+      .select(col("term"), col("ids"),
+        size(col("ids")).cast("long").as("df"),
+        (element_at(col("ids"), -1).cast("long") + 1L).as("universe"),
+        expr("""transform(ids, (x, i) ->
+                 CASE WHEN i = 0 THEN x + 1 ELSE x - element_at(ids, i) END)""")
+          .as("gaps"))
+      .withColumn("l", floorLog2(expr("universe DIV df")))
+      .select(col("term"), col("df"), col("universe"), col("l"),
+        ((col("df") * col("l") + col("df") +
+          expr("universe DIV CAST(pow(2, l) AS BIGINT)") + lit(7L))
+          .cast("long")).as("ef_bits_p7"),
+        aggregate(col("gaps"), lit(0L), (acc, g) => acc + vbyteLen(g))
+          .as("vbyte_bytes"))
+      .select(col("term"), col("df"), col("universe"), col("l"),
+        (col("ef_bits_p7") - 7L).as("ef_bits"),
+        expr("ef_bits_p7 DIV 8").as("ef_bytes"),
+        col("vbyte_bytes"))
+      .withColumn("ef_vs_vbyte",
+        round(col("ef_bytes").cast("double") / col("vbyte_bytes"), 4))
+  }
+
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein, SIGIR'98) — the SERP-diversity pass after scoring: from
+    * the BM25 top-`n` candidate pool, greedily select `k` results,
+    * each maximizing  λ·relevance − (1−λ)·max-similarity-to-selected,
+    * so near-duplicate hits (syndicated copies that survived dedup,
+    * same-story rewrites) cannot monopolize the page — the
+    * query-time complement of q145's host collapse.
+    *
+    * Determinism/oracle discipline: candidates are ordered by the
+    * 4-dp-ROUNDED BM25 (doc_id tiebreak — the q63 rounded-rank rule);
+    * pairwise similarity is 3-shingle Jaccard rounded 4 dp (q33's
+    * grain); each greedy step computes mmr = λ·bm25 − (1−λ)·penalty on
+    * those already-rounded inputs (λ literals Scala-evaluated, the
+    * q143 interpolation rule) and rounds to 6 dp BEFORE the argmax, so
+    * both engines pick identical winners. The oracle unrolls the k
+    * greedy steps as chained CTEs.
+    *
+    * Plan shape: everything after the TakeOrderedAndProject top-n runs
+    * on n-bounded frames (n² similarity pairs, k tiny argmax rounds) —
+    * query-bounded, never corpus-bounded; the corpus-scale work is
+    * exactly q53's scoring pass. */
+  def mmrRerank(docs: DataFrame, queryTerms: Seq[String], n: Int = 10,
+      k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= n, "need 1 <= k <= n")
+    val cands = scoresRaw(docs, queryTerms)
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(n)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("bm25"),
+        graft.functions.expressions.shingles3(col("text")).as("sh"))
+      .localCheckpoint()
+    val sims = cands.as("a")
+      .join(cands.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 4).as("sim"))
+      .localCheckpoint()
+    val mu = 1.0 - lambda // Scala-evaluated; oracle interpolates
+    var selected = cands
+      .orderBy(col("bm25").desc, col("doc_id")).limit(1)
+      .select(col("doc_id"), col("bm25"), lit(0.0).as("max_sim"),
+        round(lit(lambda) * col("bm25"), 6).as("mmr"), lit(1).as("rank"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val selIds = selected.select(col("doc_id").as("y"))
+      val pen = sims.join(broadcast(selIds), Seq("y"), "left_semi")
+        .groupBy(col("x").as("doc_id")).agg(max("sim").as("pen"))
+      val next = cands
+        .join(selected.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(pen, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bm25"),
+          coalesce(col("pen"), lit(0.0)).as("max_sim"))
+        .withColumn("mmr",
+          round(lit(lambda) * col("bm25") - lit(mu) * col("max_sim"), 6))
+        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+        .withColumn("rank", lit(r))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select(col("rank"), col("doc_id"), col("bm25"),
+      col("max_sim"), col("mmr"))
+  }
+
 }

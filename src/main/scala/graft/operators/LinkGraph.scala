@@ -299,6 +299,274 @@ object LinkGraph {
         coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * undirected page graph — the link-farm / community-density audit
+    * (a page whose neighborhood is a clique is inside a tightly-knit
+    * community; a high-degree page with near-zero clustering is a hub).
+    *
+    * Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11 —
+    * the MapReduce-native scheme): every undirected edge is directed
+    * from its lower-(degree, id) endpoint to the higher, so each
+    * triangle is found EXACTLY once (at its lowest-rank apex) and the
+    * wedge count is bounded by Σ d⁺(v)² where d⁺ ≤ O(√m) — the
+    * orientation is what kills the "last reducer" skew of a naive
+    * wedge join at a celebrity node: a 10⁸-in-degree page contributes
+    * no wedges at all unless both neighbors outrank it.
+    *
+    * Plan shape: symmetrize+distinct (hash agg), degree (hash agg),
+    * two 8-byte-key equi-joins to attach ranks, one self equi-join on
+    * the apex for wedges, one semi-join to close them, one explode+agg
+    * to credit each corner — no window, no cross product; only ids and
+    * longs shuffle. Output per node with ≥1 edge: (doc_id, degree,
+    * n_tri, clustering = 2T/(d(d−1)), 6 dp; 0 when d < 2). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+    // orient low-(deg, id) -> high-(deg, id)
+    val oriented = withDeg.select(
+      when(col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
+    val orientedD = oriented
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+    // wedges at apex u with rank(v) < rank(w); the closing edge, if it
+    // exists, is oriented (v, w) by rank transitivity
+    val wedges = orientedD.as("x").join(orientedD.as("y"), "u")
+      .filter(col("x.deg_v") < col("y.deg_v") ||
+        (col("x.deg_v") === col("y.deg_v") && col("x.v") < col("y.v")))
+      .select(col("u"), col("x.v").as("v"), col("y.v").as("w"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** One-row degree-mixing audit of the link graph — the two
+    * structural statistics the classic web measurements report
+    * (Broder et al., "Graph structure in the Web", WWW'00 measured the
+    * in/out-degree power laws; Newman, "Assortative mixing in
+    * networks", PRL'02 defined the degree-correlation coefficient):
+    *
+    *  - `assortativity`: Pearson correlation of endpoint degrees over
+    *    the undirected edge list (both directions — the standard
+    *    symmetric estimator). The web is famously DISassortative
+    *    (hubs link to leaves); a strongly assortative subgraph is a
+    *    link-farm tell, complementing [[degreeStats]]' reciprocity.
+    *    Every sum is an exact integer (degrees × counts), so the
+    *    coefficient is ONE double division — hash-exact across
+    *    engines at 6 dp.
+    *  - `indeg_slope` / `outdeg_slope`: OLS slope of ln(#nodes with
+    *    degree k) on ln k over the directed degree histograms (k ≥ 1)
+    *    — the power-law exponent estimate (Broder reported ≈ −2.1 in /
+    *    −2.7 out). Float discipline follows
+    *    [[graft.ml.Corpus.heapsFit]]: sums of a histogram-sized
+    *    handful of ln-products, 4-dp output round absorbing
+    *    association order.
+    *
+    * Plan: three hash aggs (degrees, histograms) + one 1-row final agg
+    * per statistic, stitched by 1-row broadcast crossJoins — nothing
+    * wider than the edge list's 8-byte keys ever shuffles. */
+  def degreeMixAudit(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val nNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    // integer moment sums over undirected edges; both-direction Pearson:
+    // n = 2m, Σx = Σy = sx, Σxy = 2·sxy, Σx² = Σy² = sxx
+    val moments = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") + col("db")).as("sx"),
+        sum(col("da") * col("db")).as("sxy"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sxx"))
+    def powerSlope(degrees: DataFrame): DataFrame = {
+      val pts = degrees.filter(col("deg") >= 1)
+        .groupBy("deg").agg(count(lit(1)).as("n_k"))
+        .select(log(col("deg").cast("double")).as("x"),
+          log(col("n_k").cast("double")).as("y"))
+      pts.agg(((count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")) /
+        (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")))
+        .as("slope"))
+    }
+    val inSlope = powerSlope(e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("deg")))
+    val outSlope = powerSlope(e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")))
+    moments.crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(inSlope.select(col("slope").as("in_slope"))))
+      .crossJoin(broadcast(outSlope.select(col("slope").as("out_slope"))))
+      .select(col("n_nodes"), col("m").as("n_edges_und"),
+        round(((lit(2L) * col("m") * lit(2L) * col("sxy") - col("sx") * col("sx"))
+          .cast("double")) /
+          ((lit(2L) * col("m") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")), 6).as("assortativity"),
+        round(col("in_slope"), 4).as("indeg_slope"),
+        round(col("out_slope"), 4).as("outdeg_slope"))
+  }
+
+  /** R-truncated harmonic centrality (Boldi & Vigna, "Axioms for
+    * Centrality", Internet Math. 2014 — their recommended geometric
+    * centrality) over a DIM-BOUNDED node universe (host/publisher
+    * grain): H(u) = Σ_{v≠u, d(v,u)≤R} 1/d(v,u), distances measured
+    * INTO u (how easily the rest of the graph reaches this publisher).
+    * The radius cap R both bounds the iteration and matches practice —
+    * real web distances concentrate far below any useful R (Broder
+    * measured avg ≈ 16 page-grain; host grain is far tighter).
+    *
+    * Exactness device: every distance d ≤ R, so Σ 1/d is computed as
+    * an INTEGER sum of (lcm(1..R) / d) divided once by the lcm — the
+    * whole statistic is exact integer arithmetic plus one double
+    * division, hash-identical across engines (no float-sum order
+    * anywhere).
+    *
+    * Plan shape: multi-source delta BFS — round r joins the round-r−1
+    * FRONTIER (never the full reached set) to the edge list and
+    * anti-joins the visited (origin, node) pairs, the op-53/op-142
+    * discipline. State is the (origin, node) pair table: O(V·ball)
+    * rows of two 8-byte keys — the exact-mode budget Boldi & Vigna's
+    * HyperBall replaces with per-node HLL registers when V leaves dim
+    * scale; [[hyperballHarmonic]] is that scale path (same loop, the
+    * pair table collapsed to mergeable sketches), parity-pinned in
+    * LinkGraphSpec. */
+  def harmonicExact(edges: DataFrame, rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 24, "rounds must be in [1,24]")
+    val lcm = (1 to rounds).foldLeft(1L)((a, k) => a / gcd(a, k) * k)
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var dist = nodes.select(col("node").as("origin"), col("node"), lit(0).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("origin"), col("dst").as("node")).distinct()
+        .join(dist, Seq("origin", "node"), "left_anti")
+        .select(col("origin"), col("node"), lit(r).as("d"))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    dist.filter(col("d") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_sources"), sum(expr(s"$lcm DIV d")).as("hnum"))
+      .select(col("node").as("host"), col("n_sources"),
+        round(col("hnum").cast("double") / lit(lcm.toDouble), 6).as("harmonic"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Fixed-round synchronous label propagation (Raghavan, Albert &
+    * Kumara, Phys. Rev. E 2007) over the undirected page graph — the
+    * near-linear community detector that needs no objective function:
+    * every node starts with its own label; each round it adopts the
+    * most frequent label among its neighbors (deterministic tie-break:
+    * smallest label — the published algorithm breaks ties randomly,
+    * which a reproducible pipeline cannot; fixed `rounds` replaces the
+    * run-to-convergence stop for the same reason, the q69/q143
+    * fixed-round discipline). Communities are DENSER than connected
+    * components (q46's grain): a chain crossing two publisher clusters
+    * is one component but two communities.
+    *
+    * Plan shape per round: one equi-join (neighbor label lookup) + one
+    * (node, label) hash agg + one row_number window whose frame is a
+    * node's DISTINCT NEIGHBOR LABELS (degree-bounded, never corpus-
+    * wide). Output: (doc_id, community, community_size). */
+  def lpaCommunities(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1,16]")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nbr = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
+      .distinct()
+    var lab = nbr.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    val w = Window.partitionBy(col("node")).orderBy(desc("c"), asc("lab"))
+    for (_ <- 1 to rounds) {
+      lab = nbr
+        .join(lab.select(col("node").as("nbr"), col("lab")), Seq("nbr"))
+        .groupBy("node", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab"))
+    }
+    val sizes = lab.groupBy("lab").agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, Seq("lab"))
+      .select(col("node").as("doc_id"), col("lab").as("community"),
+        col("community_size"))
+  }
+
+  /** HyperBall (Boldi, Rosa & Vigna, "HyperANF: approximating the
+    * neighbourhood function of very large graphs", WWW'11 / the
+    * HyperBall refinement) — the 10^10-node path for
+    * [[harmonicExact]]: instead of the exact (origin, node) pair
+    * table, each node carries ONE mergeable HyperLogLog sketch of its
+    * inbound ball; round r unions every in-neighbor's round-r−1
+    * sketch (one equi-join + one hll_union_agg per round, sketch-sized
+    * shuffle), and the harmonic estimate accumulates
+    * (|B_r| − |B_{r−1}|)/r from the per-round cardinality estimates.
+    * Memory is O(V · 2^lgK) bytes total vs the exact mode's O(V·ball)
+    * pairs. Estimate-valued (no oracle); the ±rel-err envelope vs
+    * [[harmonicExact]] is pinned in LinkGraphSpec. */
+  def hyperballHarmonic(edges: DataFrame, rounds: Int = 12, lgK: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 24, "rounds must be in [1,24]")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var state = nodes
+      .groupBy("node")
+      .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
+      .select(col("node"), col("sk"),
+        hll_sketch_estimate(col("sk")).as("b_prev"), lit(0.0).as("h"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      // inbound ball: my sketch ∪ (in-neighbors' sketches)
+      val fromNbr = e
+        .join(state.select(col("node").as("src"), col("sk")), Seq("src"))
+        .select(col("dst").as("node"), col("sk"))
+      val merged = state.select(col("node"), col("sk"))
+        .unionByName(fromNbr)
+        .groupBy("node").agg(hll_union_agg(col("sk")).as("sk2"))
+      state = state.drop("sk")
+        .join(merged, Seq("node"))
+        .select(col("node"), col("sk2").as("sk"),
+          hll_sketch_estimate(col("sk2")).as("b_cur"),
+          (col("h") + (hll_sketch_estimate(col("sk2")) - col("b_prev")) /
+            lit(r.toDouble)).as("h"))
+        .withColumnRenamed("b_cur", "b_prev")
+        .localCheckpoint()
+    }
+    state.select(col("node").as("host"), round(col("h"), 4).as("harmonic_est"))
+  }
+
   /** SALSA authority scores (Lempel & Moran, WWW'00; Najork, SIGIR'07
     * measured the authority side out-ranking HITS for web retrieval) —
     * the random-walk cousin of [[graft.ml.Corpus.hitsFixed]] whose

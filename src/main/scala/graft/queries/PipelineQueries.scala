@@ -673,6 +673,60 @@ object PipelineQueries {
       TextAnalysis.qualityGateSweep(
         TextAnalysis.unigramLogProb(docs(s, dir)), QualitySweepThresholds)),
 
+    // round 5: per-node triangle counts + local clustering coefficient
+    // via degree-ordered orientation (Suri & Vassilvitskii, WWW'11) —
+    // each triangle found once at its lowest-rank apex; the skew-proof
+    // community-density audit next to q144's reciprocity.
+    "q210_triangles" -> ((s, dir) =>
+      graft.operators.LinkGraph.triangleStats(linkEdges(s, dir))),
+
+    // round 5: one-row degree-mixing audit — Newman assortativity
+    // (integer-exact moments) + Broder-style in/out-degree power-law
+    // slopes over the degree histograms (heapsFit float discipline).
+    "q211_degree_mix" -> ((s, dir) =>
+      graft.operators.LinkGraph.degreeMixAudit(linkEdges(s, dir))),
+
+    // round 5: R-truncated harmonic centrality at the host grain
+    // (Boldi & Vigna 2014) — Σ 1/d(v,u) as an exact integer sum of
+    // lcm/d; the HyperBall sketch path is parity-pinned in
+    // LinkGraphSpec.
+    "q212_harmonic" -> ((s, dir) =>
+      graft.operators.LinkGraph.harmonicExact(hostEdges(s, dir), HarmonicRounds)),
+
+    // round 5: MMR diversified re-ranking (Carbonell & Goldstein,
+    // SIGIR'98) over the q53 BM25 pool — greedy λ-tradeoff between
+    // relevance and max-Jaccard-to-selected; the oracle unrolls the k
+    // greedy steps as chained CTEs.
+    "q213_mmr" -> ((s, dir) =>
+      Search.mmrRerank(docs(s, dir), Bm25QueryTerms, MmrPoolN, MmrK, MmrLambda)),
+
+    // round 5: Elias–Fano posting-list size audit (Vigna, WSDM'13) —
+    // the succinct-encoding companion of q199's VByte ladder; exact
+    // integer bit arithmetic per term, per-list codec choice.
+    "q214_elias_fano" -> ((s, dir) =>
+      Search.eliasFanoAudit(docs(s, dir), minDf = 5)),
+
+    // round 5: per-source length quantiles as MERGEABLE KLL sketches
+    // (Karnin, Lang & Liberty FOCS'16) — the sketch-architecture flavor
+    // of q77, completing the mergeable trio with q79 (HLL) and q125
+    // (frequency). Estimate-valued (randomized compaction): rows-only;
+    // exact-regime truth + merge identity + error envelope in CorpusSpec.
+    "q215_length_sketch" -> ((s, dir) =>
+      Corpus.lengthQuantilesFromSketches(
+        Corpus.lengthQuantileSketches(docs(s, dir)))),
+
+    // round 5: fixed-round synchronous label propagation (Raghavan et
+    // al., 2007) — deterministic min-label tie-break, 3 rounds; the
+    // community grain DENSER than q46's connected components.
+    "q216_lpa_communities" -> ((s, dir) =>
+      graft.operators.LinkGraph.lpaCommunities(linkEdges(s, dir), LpaRounds)),
+
+    // round 5: SpotSigs near-duplicate pairs (Theobald et al., SIGIR'08)
+    // — stopword-anchored signature chains through the proven PPJoin
+    // kernel; tenth member of the dedup family.
+    "q217_spotsigs" -> ((s, dir) =>
+      Dedup.spotSigPairs(docs(s, dir), SpotSigThreshold)),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -1090,6 +1144,35 @@ object PipelineQueries {
   /** q142/q143's trusted seed docs: doc_id % 50 == 0. */
   private def seedDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+
+  /** q212's host-grain edge list: the q164 host rollup's distinct
+    * (src_host, dst_host) pairs — the dim-bounded universe the exact
+    * harmonic-centrality mode is licensed on. */
+  private[graft] def hostEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LinkGraph.hostGraph(
+      linkEdges(s, dir),
+      docs(s, dir).select(col("doc_id"),
+        concat(col("source"), lit(".example.com")).as("host")))
+      .select(col("src_host").as("src"), col("dst_host").as("dst"))
+
+  /** q212's BFS radius cap (≥ every sf's host-graph diameter — the
+    * fixpoint is asserted in LinkGraphSpec; lcm(1..12) = 27720 is the
+    * exact-sum denominator) and q213's MMR pool/size/λ — interpolated
+    * into the oracles (the a2 discipline). */
+  val HarmonicRounds: Int = 12
+  private def lcmTo(n: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1 to n).foldLeft(1L)((a, k) => a / gcd(a, k) * k)
+  }
+  private[queries] val HarmonicLcm: Long = lcmTo(HarmonicRounds)
+  val MmrPoolN: Int = 10
+  val MmrK: Int = 5
+  val MmrLambda: Double = 0.7
+
+  /** q216's LPA round count and q217's SpotSigs Jaccard threshold —
+    * interpolated into the oracles (the a2 discipline). */
+  val LpaRounds: Int = 3
+  val SpotSigThreshold: Double = 0.5
 
   /** DuckDB mirror of [[linkEdges]] (ends with the `edges` relation). */
   private val LinkEdgesCte: String =
@@ -2628,6 +2711,244 @@ object PipelineQueries {
          |             * (CAST(a.din AS DOUBLE) / CAST(c.comp_din AS DOUBLE)), 6)
          |         AS salsa_auth
          |  FROM auth a JOIN comp c USING (rep) CROSS JOIN tot t""".stripMargin,
+
+    // mirrors triangleStats stage-for-stage: symmetrize→degree→orient by
+    // (deg, id)→wedge at the apex→close via EXISTS→credit all three
+    // corners; clustering is one double division of exact integers.
+    "q210_triangles" ->
+      s"""$LinkEdgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |deg AS (SELECT node, count(*) AS deg FROM
+         |          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY node),
+         |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |                  THEN u.a ELSE u.b END AS u,
+         |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |                  THEN u.b ELSE u.a END AS v
+         |        FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+         |od AS (SELECT o.u, o.v, d.deg AS deg_v FROM o JOIN deg d ON d.node = o.v),
+         |wdg AS (SELECT x.u AS u, x.v AS v, y.v AS w
+         |          FROM od x JOIN od y ON x.u = y.u
+         |         WHERE x.deg_v < y.deg_v OR (x.deg_v = y.deg_v AND x.v < y.v)),
+         |t AS (SELECT u, v, w FROM wdg
+         |       WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wdg.v AND o.v = wdg.w)),
+         |pn AS (SELECT node, count(*) AS n_tri FROM
+         |         (SELECT u AS node FROM t
+         |          UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t)
+         |       GROUP BY node)
+         |SELECT deg.node AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+         |       CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+         |       CASE WHEN deg.deg >= 2
+         |            THEN round(CAST(2 * COALESCE(pn.n_tri, 0) AS DOUBLE)
+         |                       / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+         |            ELSE CAST(0 AS DOUBLE) END AS clustering
+         |  FROM deg LEFT JOIN pn USING (node)""".stripMargin,
+
+    // assortativity from integer moment sums (n = 2m both-direction
+    // estimator); the power-law slopes re-run heapsFit's OLS frame on
+    // the directed degree histograms (4-dp absorb).
+    "q211_degree_mix" ->
+      s"""$LinkEdgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |deg AS (SELECT node, count(*) AS deg FROM
+         |          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY node),
+         |nn AS (SELECT count(*) AS n_nodes FROM
+         |         (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))),
+         |mo AS (SELECT count(*) AS m,
+         |              sum(da.deg + db.deg) AS sx,
+         |              sum(da.deg * db.deg) AS sxy,
+         |              sum(da.deg * da.deg + db.deg * db.deg) AS sxx
+         |         FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+         |ih AS (SELECT deg, count(*) AS n_k FROM
+         |         (SELECT dst AS node, count(*) AS deg FROM e GROUP BY dst)
+         |       GROUP BY deg),
+         |ip AS (SELECT ln(CAST(deg AS DOUBLE)) AS x, ln(CAST(n_k AS DOUBLE)) AS y FROM ih),
+         |isl AS (SELECT (count(*) * sum(x * y) - sum(x) * sum(y))
+         |               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope FROM ip),
+         |oh AS (SELECT deg, count(*) AS n_k FROM
+         |         (SELECT src AS node, count(*) AS deg FROM e GROUP BY src)
+         |       GROUP BY deg),
+         |op AS (SELECT ln(CAST(deg AS DOUBLE)) AS x, ln(CAST(n_k AS DOUBLE)) AS y FROM oh),
+         |osl AS (SELECT (count(*) * sum(x * y) - sum(x) * sum(y))
+         |               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope FROM op)
+         |SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes, CAST(mo.m AS BIGINT) AS n_edges_und,
+         |       round(CAST(2 * mo.m * 2 * mo.sxy - mo.sx * mo.sx AS DOUBLE)
+         |             / CAST(2 * mo.m * mo.sxx - mo.sx * mo.sx AS DOUBLE), 6) AS assortativity,
+         |       round(isl.slope, 4) AS indeg_slope,
+         |       round(osl.slope, 4) AS outdeg_slope
+         |  FROM mo CROSS JOIN nn CROSS JOIN isl CROSS JOIN osl""".stripMargin,
+
+    // hop-capped recursive walk per origin (q142's device, all-origins);
+    // min(d) per (origin, node) == BFS distance within the cap; the
+    // harmonic sum is integer lcm/d (lcm(1..12) = 27720), one double
+    // division at the end — hash-exact.
+    "q212_harmonic" ->
+      s"""${LinkEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |h AS (SELECT doc_id, source || '.example.com' AS host FROM documents),
+         |he AS (SELECT DISTINCT hs.host AS src, hd.host AS dst
+         |         FROM e JOIN h hs ON hs.doc_id = e.src JOIN h hd ON hd.doc_id = e.dst
+         |        WHERE hs.host <> hd.host),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM he UNION ALL SELECT dst FROM he)),
+         |walk(origin, node, d) AS (
+         |  SELECT node, node, 0 FROM nodes
+         |  UNION
+         |  SELECT w.origin, he.dst, w.d + 1
+         |    FROM walk w JOIN he ON he.src = w.node
+         |   WHERE w.d < $HarmonicRounds
+         |),
+         |md AS (SELECT origin, node, min(d) AS d FROM walk GROUP BY origin, node)
+         |SELECT node AS host, CAST(count(*) AS BIGINT) AS n_sources,
+         |       round(CAST(sum($HarmonicLcm // d) AS DOUBLE)
+         |             / CAST($HarmonicLcm AS DOUBLE), 6) AS harmonic
+         |  FROM md WHERE d > 0 GROUP BY node""".stripMargin,
+
+    // the k greedy steps unrolled as chained CTEs: candidates ranked on
+    // the 4-dp bm25 (q53 frames), pairwise 3-shingle Jaccard at q33's
+    // 4-dp grain, each step's argmax on the 6-dp mmr with doc_id
+    // tiebreak — identical winners by construction.
+    "q213_mmr" -> {
+      val lam = s"CAST('$MmrLambda' AS DOUBLE)"
+      val mu = s"CAST('${1.0 - MmrLambda}' AS DOUBLE)"
+      val steps = (2 to MmrK).map { r =>
+        val prev = r - 1
+        s"""p$r AS (SELECT x AS doc_id, max(sim) AS pen FROM sims
+           |         WHERE y IN (SELECT doc_id FROM sel$prev) GROUP BY x),
+           |s$r AS (SELECT c.doc_id, c.bm25,
+           |               COALESCE(p.pen, CAST(0 AS DOUBLE)) AS max_sim,
+           |               round($lam * c.bm25
+           |                     - $mu * COALESCE(p.pen, CAST(0 AS DOUBLE)), 6) AS mmr,
+           |               $r AS rank
+           |          FROM cands c LEFT JOIN p$r p USING (doc_id)
+           |         WHERE c.doc_id NOT IN (SELECT doc_id FROM sel$prev)
+           |         ORDER BY mmr DESC, c.doc_id LIMIT 1),
+           |sel$r AS (SELECT doc_id FROM sel$prev UNION ALL SELECT doc_id FROM s$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to MmrK).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |              round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+         |                        / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))), 4) AS bm25
+         |         FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+         |        GROUP BY doc_id),
+         |cands AS (SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT $MmrPoolN),
+         |sh AS (SELECT c.doc_id,
+         |              list_distinct(list_transform(generate_series(1, len(tk.t) - 2),
+         |                i -> tk.t[i] || ' ' || tk.t[i+1] || ' ' || tk.t[i+2])) AS s
+         |         FROM cands c JOIN tk ON tk.doc_id = c.doc_id),
+         |sims AS (SELECT a.doc_id AS x, b.doc_id AS y,
+         |                round(len(list_intersect(a.s, b.s)) * 1.0
+         |                      / len(list_distinct(list_concat(a.s, b.s))), 4) AS sim
+         |           FROM sh a JOIN sh b ON a.doc_id <> b.doc_id),
+         |s1 AS (SELECT doc_id, bm25, CAST(0 AS DOUBLE) AS max_sim,
+         |              round($lam * bm25, 6) AS mmr, 1 AS rank
+         |         FROM cands ORDER BY bm25 DESC, doc_id LIMIT 1),
+         |sel1 AS (SELECT doc_id FROM s1),
+         |$steps
+         |SELECT rank, doc_id, bm25, max_sim, mmr FROM ($unionAll)""".stripMargin
+    },
+
+    // q199's posting frames + the Elias–Fano closed form: l by a
+    // descending power-of-two CASE ladder over U DIV n, bits =
+    // n·l + n + U DIV 2^l — every quantity an exact integer.
+    "q214_elias_fano" -> {
+      val vladder = (1 to 8).map(k =>
+        s"WHEN v < ${1L << (7 * k)} THEN ${k}").mkString(" ")
+      val lladder = (40 to 1 by -1).map(k =>
+        s"WHEN q >= ${1L << k} THEN $k").mkString(" ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+         |             FROM documents),
+         |p AS (SELECT term, list_sort(list(doc_id)) AS ids FROM tk GROUP BY term),
+         |f AS (SELECT term, ids, len(ids) AS df FROM p WHERE len(ids) >= 5),
+         |x AS (SELECT term, df, ids, ids[len(ids)] + 1 AS universe,
+         |             list_transform(generate_series(1, df),
+         |               i -> CASE WHEN i = 1 THEN ids[1] + 1
+         |                         ELSE ids[i] - ids[i-1] END) AS gaps
+         |        FROM f),
+         |y0 AS (SELECT term, df, universe, gaps, universe // df AS q FROM x),
+         |y AS (SELECT term, df, universe, gaps,
+         |             CASE $lladder ELSE 0 END AS l
+         |        FROM y0),
+         |z AS (SELECT term, df, universe, l,
+         |             df * l + df + universe // CAST(pow(2, l) AS BIGINT) AS ef_bits,
+         |             list_sum(list_transform(gaps,
+         |               v -> CASE $vladder ELSE 9 END)) AS vbyte_bytes
+         |        FROM y)
+         |SELECT term, CAST(df AS BIGINT) AS df, CAST(universe AS BIGINT) AS universe,
+         |       CAST(l AS BIGINT) AS l, CAST(ef_bits AS BIGINT) AS ef_bits,
+         |       CAST((ef_bits + 7) // 8 AS BIGINT) AS ef_bytes,
+         |       CAST(vbyte_bytes AS BIGINT) AS vbyte_bytes,
+         |       round(CAST((ef_bits + 7) // 8 AS DOUBLE) / vbyte_bytes, 4) AS ef_vs_vbyte
+         |  FROM z""".stripMargin
+    },
+
+    // the 3 LPA rounds unrolled: neighbor-label frequency per node with
+    // the (count desc, label asc) rn=1 pick — the deterministic tie-break
+    // spelled identically on both sides; sizes via a label window (q46's
+    // device).
+    "q216_lpa_communities" -> {
+      def rnd(prev: String, cur: String) =
+        s"""$cur AS (SELECT node, lab FROM (
+           |  SELECT n.node, l.lab,
+           |         row_number() OVER (PARTITION BY n.node
+           |                            ORDER BY count(*) DESC, l.lab) AS rn
+           |    FROM nbr n JOIN $prev l ON l.node = n.nbr
+           |   GROUP BY n.node, l.lab) r WHERE rn = 1)""".stripMargin
+      s"""$LinkEdgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |nbr AS (SELECT DISTINCT node, nbr FROM (
+         |          SELECT src AS node, dst AS nbr FROM e
+         |          UNION ALL SELECT dst, src FROM e)),
+         |l0 AS (SELECT DISTINCT node, node AS lab FROM nbr),
+         |${rnd("l0", "l1")},
+         |${rnd("l1", "l2")},
+         |${rnd("l2", "l3")}
+         |SELECT node AS doc_id, lab AS community,
+         |       count(*) OVER (PARTITION BY lab) AS community_size
+         |  FROM l3""".stripMargin
+    },
+
+    // q33's all-pairs truth over SpotSigs signatures: antecedent-anchored
+    // chains built with the SAME 1-based slice semantics (Spark slice's
+    // length arg and DuckDB list_slice's end-index both clamp to the
+    // tail; the inner first-2 cut is identical), empty chains dropped by
+    // the same NOT LIKE '%:' guard. Valid for the engine's pruned PPJoin
+    // by the q33 argument (lossless prefix+length pruning, exact verify).
+    "q217_spotsigs" -> {
+      val ants = graft.ml.Dedup.SpotAntecedents.map(a => s"'$a'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+         |sp AS (SELECT doc_id, lang,
+         |         list_distinct(list_filter(
+         |           list_transform(generate_series(1, len(t)), i ->
+         |             CASE WHEN t[i] IN ($ants)
+         |                  THEN t[i] || ':' || array_to_string(
+         |                         list_slice(list_filter(list_slice(t, i + 1, len(t)),
+         |                                                x -> x NOT IN ($ants)),
+         |                                    1, 2), ' ')
+         |                  ELSE NULL END),
+         |           x -> x IS NOT NULL AND NOT x LIKE '%:')) AS s
+         |    FROM toks)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |         round(len(list_intersect(a.s, b.s)) * 1.0
+         |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         |    FROM sp a JOIN sp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |   WHERE len(a.s) > 0 AND len(b.s) > 0) AS p
+         | WHERE jaccard >= $SpotSigThreshold""".stripMargin
+    },
 
     // per-epoch multiplicative-hash keys with the SAME multiplier/modulus
     // literals; position via the ordered window (single-engine oracle may).

@@ -1382,4 +1382,57 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(0) === ((0, 2L, 2L, m4(math.log(2.0)), 0.5)))
     assert(got(1) === ((1, 1L, 2L, 0.0, 1.0)))
   }
+
+  // ---- round 5 (sixth session): KLL length-quantile sketches ----
+
+  test("lengthQuantileSketches: exact regime == a scalar reference sketch; merge identity") {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    // n per source far below k=200 → no compaction → both the
+    // distributed merge and a scalar sketch hold EVERY value exactly
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(i.toInt)("w").mkString(" "), if (i % 2 == 0) "s1" else "s2"))
+      .toDF("doc_id", "text", "source")
+    val sk = Corpus.lengthQuantileSketches(docs, k = 200)
+    val got = Corpus.lengthQuantilesFromSketches(sk)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def scalarRef(vals: Seq[Double]): (Long, Double, Double, Double) = {
+      val s = KllDoublesSketch.newHeapInstance(200)
+      vals.foreach(s.update)
+      (s.getN, s.getQuantile(0.5), s.getQuantile(0.9), s.getQuantile(0.99))
+    }
+    val s1 = scalarRef((2L to 40L by 2).map(_.toDouble))
+    val s2 = scalarRef((1L to 39L by 2).map(_.toDouble))
+    assert((got("s1")._2, got("s1")._3, got("s1")._4, got("s1")._5) ===
+      ((s1._1, s1._2, s1._3, s1._4)))
+    assert((got("s2")._2, got("s2")._3, got("s2")._4, got("s2")._5) ===
+      ((s2._1, s2._2, s2._3, s2._4)))
+    // segments → corpus: union of per-source sketches == one global sketch
+    val merged = Corpus.lengthQuantilesFromSketches(
+      Corpus.mergeLengthSketches(sk.select("sk")))
+      .as[(Long, Double, Double, Double)].collect().head
+    val global = scalarRef((1L to 40L).map(_.toDouble))
+    assert(merged === ((global._1, global._2, global._3, global._4)))
+  }
+
+  test("lengthQuantileSketches: compaction regime keeps the KLL rank-error envelope") {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    // 30k distinct lengths through k=200 → heavy compaction; the
+    // estimate's TRUE rank must stay within the published ±2ε bound
+    val n = 30000
+    val docs = (1L to n.toLong).map(i =>
+      (i, Seq.fill((i % 300 + 1).toInt)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.lengthQuantilesFromSketches(
+      Corpus.lengthQuantileSketches(docs, k = 200))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(got._2 === n.toLong, "n is exact regardless of compaction")
+    val sorted = (1L to n.toLong).map(i => (i % 300 + 1).toDouble).sorted
+    val eps = 2.0 * org.apache.datasketches.kll.KllSketch.getNormalizedRankError(200, false)
+    for ((p, est) <- Seq(0.5 -> got._3, 0.9 -> got._4, 0.99 -> got._5)) {
+      val trueRank = sorted.count(_ <= est).toDouble / n
+      assert(math.abs(trueRank - p) <= eps + 1.0 / 300, // +1 value-granularity step
+        s"p=$p est=$est rank=$trueRank")
+    }
+  }
 }

@@ -285,4 +285,175 @@ class LinkGraphSpec extends AnyFunSuite {
       (3L, 0L, 1L, 0L),
       (4L, 1L, 0L, 0L)))
   }
+
+  // ---- round 5 (sixth session): triangles / degree mix / harmonic ----
+
+  /** Seeded random directed edge list (self-loops excluded, dedup'd). */
+  private def randomEdges(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+  }
+
+  private def undirected(es: Seq[(Long, Long)]): Set[(Long, Long)] =
+    es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+
+  test("triangleStats == brute-force triple enumeration on seeded random graphs") {
+    for (seed <- Seq(1, 2, 3)) {
+      val es = randomEdges(seed, 14, 60)
+      val und = undirected(es)
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val deg = nodes.map(v => v -> und.count(e => e._1 == v || e._2 == v)).toMap
+      def adj(a: Long, b: Long) = und.contains((math.min(a, b), math.max(a, b)))
+      val triTriples = nodes.combinations(3).filter {
+        case Seq(a, b, c) => adj(a, b) && adj(b, c) && adj(a, c)
+      }.toSeq
+      val perNode = nodes.map(v =>
+        v -> triTriples.count(_.contains(v))).toMap
+      val truth = nodes.map { v =>
+        val d = deg(v); val t = perNode(v)
+        val lcc = if (d >= 2)
+          BigDecimal(2.0 * t / (d.toLong * (d - 1))
+          ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+        (v, d.toLong, t.toLong, lcc)
+      }
+      val got = LinkGraph.triangleStats(es.toDF("src", "dst"))
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got.map(r => (r._1, r._2, r._3)) === truth.map(r => (r._1, r._2, r._3)),
+        s"seed $seed structure")
+      got.zip(truth).foreach { case (g, t) =>
+        assert(math.abs(g._4 - t._4) < 1e-9, s"seed $seed lcc node ${g._1}")
+      }
+    }
+  }
+
+  test("degreeMixAudit == scalar moments + OLS on a hand graph") {
+    // hand-built non-regular digraph: a hub (0), a cycle, two feeders —
+    // degree variance on both sides (a random dense graph can degenerate
+    // to a regular one, where Pearson's denominator is 0/NaN)
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 0L), (1L, 5L), (6L, 0L), (6L, 1L), (7L, 3L))
+    val und = undirected(es)
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val m = und.size.toLong
+    val sx = und.toSeq.map(e => deg(e._1) + deg(e._2)).sum
+    val sxy = und.toSeq.map(e => deg(e._1) * deg(e._2)).sum
+    val sxx = und.toSeq.map(e => deg(e._1) * deg(e._1) + deg(e._2) * deg(e._2)).sum
+    val assortTruth = (2 * m * 2 * sxy - sx * sx).toDouble /
+      (2 * m * sxx - sx * sx).toDouble
+    def slope(hist: Map[Long, Long]): Double = {
+      val pts = hist.toSeq.map { case (k, nk) => (math.log(k.toDouble), math.log(nk.toDouble)) }
+      val n = pts.size.toDouble
+      val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+      val sxy = pts.map(p => p._1 * p._2).sum
+      (n * sxy - xs.sum * ys.sum) / (n * pts.map(p => p._1 * p._1).sum - xs.sum * xs.sum)
+    }
+    val inHist = es.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      .map { case (k, v) => (k, v) }
+    val outHist = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      .map { case (k, v) => (k, v) }
+    val got = LinkGraph.degreeMixAudit(es.toDF("src", "dst"))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(!assortTruth.isNaN && !slope(inHist).isNaN && !slope(outHist).isNaN,
+      "fixture must be non-degenerate")
+    assert(got._1 === es.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong)
+    assert(got._2 === m)
+    assert(math.abs(got._3 - assortTruth) < 1e-6)
+    assert(math.abs(got._4 - slope(inHist)) < 1e-4)
+    assert(math.abs(got._5 - slope(outHist)) < 1e-4)
+  }
+
+  test("harmonicExact == all-pairs scalar BFS (cycles, unreachable, radius cap)") {
+    val es = randomEdges(11, 12, 40)
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val rounds = 6
+    val lcm = Seq(1, 2, 3, 4, 5, 6).map(_.toLong)
+      .foldLeft(1L)((a, k) => a / BigInt(a).gcd(BigInt(k)).toLong * k)
+    // dist(origin)(node) via BFS capped at `rounds`
+    def bfs(o: Long): Map[Long, Int] = {
+      var dist = Map(o -> 0); var frontier = Set(o)
+      for (r <- 1 to rounds) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil)).diff(dist.keySet)
+        dist ++= next.map(_ -> r); frontier = next
+      }
+      dist
+    }
+    val all = nodes.map(o => o -> bfs(o)).toMap
+    val truth = nodes.flatMap { u =>
+      val in = nodes.filter(v => v != u && all(v).contains(u)).map(v => all(v)(u))
+      if (in.isEmpty) None
+      else Some((u, in.size.toLong,
+        BigDecimal(in.map(d => lcm / d).sum.toDouble / lcm.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy(_._1)
+    val got = LinkGraph.harmonicExact(es.toDF("src", "dst"), rounds)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) === truth.map(r => (r._1, r._2)))
+    got.zip(truth).foreach { case (g, t) =>
+      assert(math.abs(g._3 - t._3) < 1e-9, s"harmonic node ${g._1}")
+    }
+  }
+
+  test("q212 radius cap is a fixpoint on the sf0.001 host graph (12 == 13 rounds)") {
+    val dir = TestSpark.Sf0001
+    val he = graft.queries.PipelineQueries.hostEdges(spark, dir)
+    val a = LinkGraph.harmonicExact(he, 12).orderBy("host")
+      .as[(String, Long, Double)].collect().toSeq
+    val b = LinkGraph.harmonicExact(he, 13).orderBy("host")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(a.map(r => (r._1, r._2)) === b.map(r => (r._1, r._2)))
+    // harmonic denominators differ (lcm(1..12) vs lcm(1..13)) but the
+    // VALUES agree when no new node enters at depth 13
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x._3 - y._3) < 1e-6) }
+  }
+
+  test("lpaCommunities == scalar synchronous LPA with min-label tie-break") {
+    for (seed <- Seq(2, 9, 21)) {
+      val es = randomEdges(seed, 18, 50)
+      val nbr = (es ++ es.map(e => (e._2, e._1))).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val nodes = nbr.keySet.toSeq.sorted
+      var lab = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to 3) {
+        lab = nodes.map { v =>
+          val freq = nbr(v).map(lab).groupBy(identity).view.mapValues(_.size).toMap
+          v -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = LinkGraph.lpaCommunities(es.toDF("src", "dst"), rounds = 3)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === nodes.map(v => (v, lab(v), sizes(lab(v)))), s"seed $seed")
+    }
+  }
+
+  test("lpaCommunities: two cliques joined by one bridge resolve to two communities") {
+    // K4 on {0..3} + K4 on {10..13} + bridge 3-10: LPA must NOT merge
+    // them (CC would — the grain difference q216 exists for)
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val es = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
+    val got = LinkGraph.lpaCommunities(es.toDF("src", "dst"), rounds = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(Set(0L, 1L, 2L).map(got) === Set(0L), "left clique converges to label 0")
+    assert(Set(11L, 12L, 13L).map(got) === Set(10L), "right clique converges to label 10")
+    assert(got.values.toSet.size >= 2, "the bridge must not merge the cliques")
+  }
+
+  test("hyperballHarmonic tracks harmonicExact within sketch error (host graph)") {
+    val he = graft.queries.PipelineQueries.hostEdges(spark, TestSpark.Sf0001)
+    val exact = LinkGraph.harmonicExact(he, 12)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val est = LinkGraph.hyperballHarmonic(he, 12, lgK = 12)
+      .as[(String, Double)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (h, ex) =>
+      assert(math.abs(est(h) - ex) <= math.max(0.05 * ex, 0.05),
+        s"host $h est ${est(h)} vs exact $ex")
+    }
+  }
 }

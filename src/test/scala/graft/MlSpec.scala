@@ -835,4 +835,58 @@ class MlSpec extends AnyFunSuite {
       .as[(Double, Long, Long)].collect().sortBy(_._1)
     assert(hi === Array((0.9, 0L, 0L), (0.99, 0L, 0L)))
   }
+
+  // ---- round 5 (sixth session): SpotSigs ----
+
+  test("spotSigFrame: chain construction — tail antecedent, adjacent antecedents, dedup") {
+    val docs = Seq(
+      // 'the' -> next 2 non-antecedent tokens skip 'of'; 'of' chains too;
+      // trailing 'a' yields an EMPTY chain -> dropped by the '%:' guard
+      (1L, "the cat of mat sat a"),
+      // no antecedents at all -> empty signature set
+      (2L, "cats mats bats"),
+      // duplicated spot signature appears once (array_distinct)
+      (3L, "the dog barks the dog barks"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Dedup.spotSigFrame(docs)
+      .as[(Long, String, Seq[String], Int)].collect()
+      .map(r => r._1 -> ((r._3.toSet, r._4))).toMap
+    assert(got(1L) === ((Set("the:cat mat", "of:mat sat"), 2)))
+    assert(got(2L) === ((Set.empty[String], 0)))
+    assert(got(3L) === ((Set("the:dog barks"), 1)))
+  }
+
+  test("spotSigPairs == all-pairs truth; boilerplate noise cannot break the match") {
+    // 1 and 2 share the natural-language spans but 2 carries a stopword-
+    // POOR boilerplate tail — SpotSigs ignores it (the paper's point);
+    // 3 is unrelated prose with the same antecedents
+    val docs = Seq(
+      (1L, "the market rallied and traders cheered with gains of two percent today"),
+      (2L, "the market rallied and traders cheered with gains of two percent today " +
+        "click here subscribe newsletter cookie settings privacy terms"),
+      (3L, "the weather cooled and farmers worried with storms of late spring rain"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    def spots(t: String): Set[String] = {
+      val ants = Dedup.SpotAntecedents.toSet
+      val tk = t.split(" ")
+      tk.indices.collect { case i if ants(tk(i)) =>
+        val chain = tk.drop(i + 1).filterNot(ants).take(2).mkString(" ")
+        s"${tk(i)}:$chain"
+      }.filterNot(_.endsWith(":")).toSet
+    }
+    val m = docs.as[(Long, String, String)].collect().map(r => r._1 -> spots(r._2)).toMap
+    def jac(a: Long, b: Long) = {
+      val j = m(a).intersect(m(b)).size.toDouble / m(a).union(m(b)).size
+      math.round(j * 10000).toDouble / 10000
+    }
+    val truth = (for {
+      a <- m.keys; b <- m.keys if a < b
+      j = jac(a, b) if j >= 0.5
+    } yield (a, b, j)).toSet
+    val got = Dedup.spotSigPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === truth)
+    // and the pair (1,2) in particular survives the boilerplate tail
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L), s"got $got")
+  }
 }

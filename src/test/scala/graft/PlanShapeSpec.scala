@@ -534,4 +534,53 @@ class PlanShapeSpec extends AnyFunSuite {
       }.isEmpty, s"nested loop on the per-doc graph path:\n$plan")
     }
   }
+
+  test("q210 triangles: oriented wedge join is equi-only — no nested loop, no window") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q210_triangles")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"the orientation exists to keep this equi-join-only:\n$plan")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"triangle credit must be explode+agg, not a window:\n$plan")
+    }
+  }
+
+  test("q211 degree mix: every nested loop is a 1-row stat attach") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q211_degree_mix")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      val bnl = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      val statCols = Set("n_nodes", "in_slope", "out_slope", "slope")
+      for (j <- bnl) {
+        val sides = Seq(j.children.head.output.map(_.name),
+          j.children.last.output.map(_.name))
+        assert(sides.exists(s => s.nonEmpty && s.forall(statCols)),
+          s"a nested loop that is not the 1-row stat attach: $sides\n$plan")
+      }
+    }
+  }
+
+  test("q212 harmonic (exact host grain): hash joins/aggs only — no window, no nested loop") {
+    withStaticPlans {
+      // the pair-table state is built via localCheckpoint rounds; pin the
+      // FINAL aggregation plan plus one BFS round's join shape
+      val he = graft.queries.PipelineQueries.hostEdges(spark, TestSpark.Sf0001)
+      val df = graft.operators.LinkGraph.harmonicExact(he, rounds = 3)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"harmonic sum must be a hash agg, not a window:\n$plan")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"nested loop in the BFS/aggregate path:\n$plan")
+    }
+  }
 }

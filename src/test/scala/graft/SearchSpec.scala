@@ -1144,4 +1144,96 @@ class SearchSpec extends AnyFunSuite {
     assert(got(0) === ((1L, 4L, 1L, 5L, flesch(4, 1, 5))))
     assert(got(1) === ((2L, 3L, 3L, 4L, flesch(3, 3, 4))))
   }
+
+  // ---- round 5 (sixth session): Elias–Fano audit / MMR ----
+
+  test("eliasFanoAudit: scalar EF + VByte formulas on hand posting lists") {
+    // term "x" in docs 0,3,9,12,40 (df 5, U 41); "y" in 0..5 (df 6, U 6);
+    // "z" df 4 — filtered by minDf 5.
+    val docs = (Seq(0L, 3L, 9L, 12L, 40L).map(id => (id, "x")) ++
+      (0L to 5L).map(id => (id, "x y")) ++
+      Seq(6L, 7L, 8L, 10L).map(id => (id, "z")))
+      .groupBy(_._1).map { case (id, rows) => (id, rows.map(_._2).mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    def vbyte(v: Long): Long = (1 to 8).find(k => v < (1L << (7 * k))).getOrElse(9).toLong
+    def truth(ids: Seq[Long]): (Long, Long, Long, Long, Long, Long) = {
+      val n = ids.size.toLong; val u = ids.max + 1
+      val l = (0 to 40).filter(k => (1L << k) <= u / n).max.toLong
+      val efBits = n * l + n + (u >> l)
+      val gaps = (ids.head + 1) +: ids.sliding(2).map(p => p(1) - p(0)).toSeq
+      (n, u, l, efBits, (efBits + 7) / 8, gaps.map(vbyte).sum)
+    }
+    val got = Search.eliasFanoAudit(docs, minDf = 5)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("x", "y"))
+    for ((term, ids) <- Seq(
+      "x" -> (Seq(0L, 3L, 9L, 12L, 40L) ++ (0L to 5L)).distinct.sorted,
+      "y" -> (0L to 5L).toSeq)) {
+      val (n, u, l, bits, bytes, vb) = truth(ids)
+      val g = got(term)
+      assert((g._2, g._3, g._4, g._5, g._6, g._7) === ((n, u, l, bits, bytes, vb)),
+        s"term $term")
+      assert(math.abs(g._8 - math.round(bytes.toDouble / vb * 10000).toDouble / 10000) < 1e-9)
+    }
+  }
+
+  test("eliasFanoAudit: EF beats VByte on dense lists, loses on sparse-huge universes") {
+    // dense: every doc 0..99 contains "dense" → gaps of 1, VByte 100 B,
+    // EF: l=0, bits = 100 + 100 = 200 → 25 B. Sparse: two docs far apart.
+    val docs = (0L to 99L).map(id => (id, "dense")).toDF("doc_id", "text")
+    val g = Search.eliasFanoAudit(docs, minDf = 5)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(g._5 === 200L && g._6 === 25L && g._7 === 100L && g._8 < 1.0)
+  }
+
+  test("mmrRerank == scalar greedy over engine scores; demotes the near-duplicate") {
+    // doc 2 is a near-verbatim copy of doc 1 (the top hit): relevance
+    // ranking puts it second; MMR must push it behind the distinct doc 3.
+    // docs 1–3 carry each query term once at EQUAL length (equal bm25 —
+    // the greedy choice is decided by the diversity penalty, not the
+    // score gap); docs 4–5 match nothing and stay out of the pool.
+    val docs = Seq(
+      (1L, "spark streaming window batch state checkpoint runs the pipeline tonight ok"),
+      (2L, "spark streaming window batch state checkpoint runs the pipeline tonight yes"),
+      (3L, "window under spark adaptive streaming execution differs entirely from batches today"),
+      (4L, "flink watermark semantics differ across engines in subtle ways sometimes here"),
+      (5L, "database index structures include btrees and lsm trees for storage layers"))
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "streaming", "window")
+    val n = 5; val k = 3; val lam = 0.7
+    // scalar truth: scores from the proven bm25 scorer; shingles in Scala
+    val scores = Search.bm25Scores(docs, terms)
+      .as[(Long, Double)].collect().toMap
+    val sh = docs.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (sh(a), sh(b))
+      math.round(x.intersect(y).size.toDouble / x.union(y).size * 10000).toDouble / 10000
+    }
+    val pool = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+    var sel = Vector.empty[(Int, Long, Double, Double, Double)]
+    for (r <- 1 to k) {
+      val rem = pool.filterNot(id => sel.exists(_._2 == id))
+      val cand = rem.map { id =>
+        val pen = if (sel.isEmpty) 0.0 else sel.map(s => jac(id, s._2)).max
+        val mmr = math.round((lam * scores(id) - (1 - lam) * pen) * 1e6) / 1e6
+        (r, id, scores(id), pen, mmr)
+      }
+      sel :+= cand.minBy(c => (-c._5, c._2))
+    }
+    val got = Search.mmrRerank(docs, terms, n, k, lam)
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1).toVector
+    assert(got.map(g => (g._1, g._2)) === sel.map(s => (s._1, s._2)))
+    got.zip(sel).foreach { case (g, t) =>
+      assert(math.abs(g._3 - t._3) < 1e-9 && math.abs(g._4 - t._4) < 1e-9 &&
+        math.abs(g._5 - t._5) < 1e-9, s"rank ${g._1}")
+    }
+    // the diversity property itself: relevance rank 2 is the near-dup,
+    // but MMR rank 2 is the DISTINCT doc 3
+    val relOrder = scores.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(relOrder(1) === 2L)
+    assert(got(1)._2 === 3L, "MMR must select the diverse doc second")
+  }
 }
