@@ -782,6 +782,95 @@ object Corpus {
   def mergeLengthSketches(sketches: DataFrame): DataFrame =
     sketches.agg(udaf(KllMerge).apply(col("sk")).as("sk"))
 
+  /** Byte-level union of serialized theta sketches — the associative
+    * kernel under [[sourceShingleThetaSketches]]. Unlike KLL, a theta
+    * sketch's state (the k smallest hash values below θ) is a
+    * DETERMINISTIC, merge-order-free function of the input set, so the
+    * whole pipeline stays reproducible. */
+  private object ThetaMerge
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    import org.apache.datasketches.memory.Memory
+    private def merged(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        val u = SetOperation.builder().buildUnion()
+        u.union(Sketches.wrapSketch(Memory.wrap(x)))
+        u.union(Sketches.wrapSketch(Memory.wrap(y)))
+        u.getResult.toByteArray
+      }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merged(b, a)
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = merged(x, y)
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Per-source distinct-3-shingle theta sketches (Agarwal et al. /
+    * Apache DataSketches theta: the k-minimum-hash-values set sketch
+    * whose SET OPERATIONS — union, intersection — stay inside sketch
+    * space). This is the estimation path for cross-publisher content
+    * overlap: q101/q184 compute syndication pairs EXACTLY with a
+    * candidate-bounded pair join over shingle postings; at 10^10 pages
+    * a first-pass triage wants "which publisher PAIRS overlap at all"
+    * without any pair join — two sketch reads per pair answer it.
+    * Returns (source, sk: binary); deterministic (see [[ThetaMerge]])
+    * but DuckDB-inexpressible → the q219 entry is rows-only; the
+    * exact-regime identity and error envelope are pinned in CorpusSpec. */
+  def sourceShingleThetaSketches(docs: DataFrame, lgK: Int = 12): DataFrame = {
+    import org.apache.datasketches.theta.UpdateSketch
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"),
+      explode(graft.functions.expressions.shingles3(col("text"))).as("sh"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sks = scala.collection.mutable.HashMap.empty[String, UpdateSketch]
+        it.foreach { case (src, sh) =>
+          sks.getOrElseUpdate(src,
+            UpdateSketch.builder().setLogNominalEntries(lgK).build()).update(sh)
+        }
+        sks.iterator.map { case (src, sk) => (src, sk.compact().toByteArray) }
+      }
+      .toDF("source", "sk")
+      .groupBy("source")
+      .agg(udaf(ThetaMerge).apply(col("sk")).as("sk"))
+  }
+
+  /** Pairwise overlap estimates out of a theta-sketch table: for every
+    * source pair a < b, the estimated distinct-shingle counts, the
+    * intersection estimate, and the Jaccard estimate — the publisher
+    * overlap triage matrix. The self-join is on the SKETCH DIM table
+    * (one row per source), never the corpus; each cell costs two sketch
+    * reads. Estimates round 4 dp. */
+  def thetaOverlapEstimates(sketches: DataFrame): DataFrame = {
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    import org.apache.datasketches.memory.Memory
+    val est = udf((b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0.0
+      else Sketches.wrapSketch(Memory.wrap(b)).getEstimate)
+    val interEst = udf((x: Array[Byte], y: Array[Byte]) =>
+      if (x == null || x.isEmpty || y == null || y.isEmpty) 0.0
+      else {
+        val it = SetOperation.builder().buildIntersection()
+        it.intersect(Sketches.wrapSketch(Memory.wrap(x)))
+        it.intersect(Sketches.wrapSketch(Memory.wrap(y)))
+        it.getResult.getEstimate
+      })
+    val a = sketches.select(col("source").as("a"), col("sk").as("sk_a"))
+    val b = sketches.select(col("source").as("b"), col("sk").as("sk_b"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(est(col("sk_a")), 4).as("est_a"),
+        round(est(col("sk_b")), 4).as("est_b"),
+        round(interEst(col("sk_a"), col("sk_b")), 4).as("est_inter"))
+      .withColumn("jaccard_est",
+        round(col("est_inter") /
+          (col("est_a") + col("est_b") - col("est_inter")), 4))
+  }
+
   /** Per-language top-k tokens by frequency (tie-break token asc): the
     * corpus-statistics pass (vocabulary head) of a training-data pipeline.
     * Explode → two-level hash agg (partial map-side combine collapses the

@@ -483,6 +483,101 @@ object LinkGraph {
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
+  /** Neighbourhood function + effective diameter (Palmer, Gibbons &
+    * Faloutsos, "ANF", KDD'02; the metric HyperANF — Boldi, Rosa &
+    * Vigna, WWW'11 — scaled to the full web): N(r) = the number of
+    * ordered pairs (u, v), u ≠ v, with d(u, v) ≤ r, for r = 1..R, plus
+    * each radius's share of N(R) and the classic effective-diameter
+    * flag (the first r whose share ≥ 0.9). Exact mode over a
+    * dim-bounded universe (host grain) — the same (origin, node) BFS
+    * pair table as [[harmonicExact]]; at page grain the sketch path is
+    * [[hyperballHarmonic]]'s loop reading per-round ball sizes instead
+    * of the final harmonic sum.
+    *
+    * All counts are integers; the share is one integer division rounded
+    * 6 dp — hash-exact. The final cumulative step runs on an R-row
+    * frame (the radius dim), so its unpartitioned window is bounded by
+    * construction (the op-49 exemption). */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 24, "rounds must be in [1,24]")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var dist = nodes.select(col("node").as("origin"), col("node"), lit(0).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("origin"), col("dst").as("node")).distinct()
+        .join(dist, Seq("origin", "node"), "left_anti")
+        .select(col("origin"), col("node"), lit(r).as("d"))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    val perR = dist.filter(col("d") > 0)
+      .groupBy(col("d").as("r")).agg(count(lit(1)).as("n_new"))
+    val radii = edges.sparkSession.range(1, rounds + 1)
+      .select(col("id").cast("int").as("r"))
+    val w = Window.orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = radii.join(perR, Seq("r"), "left")
+      .select(col("r"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_pairs", sum("n_new").over(w)) // R-row bounded frame
+    val total = cum.agg(max("n_pairs").as("n_total"))
+    cum.crossJoin(broadcast(total))
+      .select(col("r"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"))
+      .withColumn("reaches_90pct", col("share") >= 0.9)
+  }
+
+  /** The H-index family of a node (Lü, Zhou, Zhang & Stanley, "The
+    * H-index of a network node and its relation to degree and
+    * coreness", Nature Communications 2016): iterating
+    * h(v) ← H(h(u) : u ∈ N(v)) from h⁰ = degree yields the spectrum
+    * h⁰ = degree → h¹ = the node's classic h-index → … → h^∞ =
+    * CORENESS; every finite iterate is a centrality in its own right
+    * and a MONOTONE upper bound on the coreness (h^{r+1} ≤ h^r, since
+    * the h-index of a multiset never exceeds its size). The k-core
+    * grain is the dense-subgraph tell in link-spam analysis: a link
+    * farm is a high-core cluster its organic neighborhood is not.
+    *
+    * This returns the r-th iterate for FIXED `rounds` — deterministic
+    * and oracle-unrollable (the q216 discipline). On hub-rich web
+    * graphs the iteration reaches coreness within a handful of rounds
+    * (LinkGraphSpec pins iterate-16 == exact peeling coreness on
+    * random graphs); on long-chain topologies like the synthetic
+    * fixture the correction wave travels ~1 hop/round, so the fixed-
+    * round value there is the documented UPPER-BOUND member of the
+    * family, pinned ≥ coreness and monotone in r.
+    *
+    * The h-index of a value multiset has the closed form
+    * max over the desc-sorted prefix of min(value_i, i) — ties in the
+    * sort order cannot change it, so no tie-break is needed. Per round:
+    * one equi-join (neighbor value lookup) + one row_number window on
+    * DEGREE-BOUNDED frames + one node-grain hash agg. */
+  def hIndexIterates(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, "rounds must be in [1,32]")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nbr = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
+      .distinct()
+    var h = nbr.groupBy("node").agg(count(lit(1)).cast("int").as("h"))
+    val w = Window.partitionBy(col("node")).orderBy(desc("v"), asc("nbr"))
+    for (_ <- 1 to rounds) {
+      h = nbr
+        .join(h.select(col("node").as("nbr"), col("h").as("v")), Seq("nbr"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("node")
+        .agg(max(least(col("v"), col("rn"))).as("h"))
+    }
+    h.select(col("node").as("doc_id"), col("h").as("h_iter"))
+  }
+
   /** Fixed-round synchronous label propagation (Raghavan, Albert &
     * Kumara, Phys. Rev. E 2007) over the undirected page graph — the
     * near-linear community detector that needs no objective function:

@@ -727,6 +727,30 @@ object PipelineQueries {
     "q217_spotsigs" -> ((s, dir) =>
       Dedup.spotSigPairs(docs(s, dir), SpotSigThreshold)),
 
+    // round 5: neighbourhood function + effective diameter (ANF,
+    // Palmer et al. KDD'02; HyperANF's metric) — exact at the host
+    // grain via the q212 BFS pair table; integer counts, one division.
+    "q218_anf" -> ((s, dir) =>
+      graft.operators.LinkGraph.neighborhoodFunction(
+        hostEdges(s, dir), HarmonicRounds)),
+
+    // round 5: theta-sketch publisher-overlap triage (DataSketches
+    // theta: set ops in sketch space) — the estimation path for
+    // q101/q184's exact syndication pairs; deterministic k-min-hash
+    // state but DuckDB-inexpressible → rows-only; exact-regime
+    // identity + error envelope in CorpusSpec.
+    "q219_theta_overlap" -> ((s, dir) =>
+      Corpus.thetaOverlapEstimates(
+        Corpus.sourceShingleThetaSketches(docs(s, dir)))),
+
+    // round 5: the H-index family iterate (Lü et al., Nat. Commun.
+    // 2016: degree → h-index → … → coreness) at a fixed round count —
+    // the dense-subgraph / link-farm spectrum; monotone upper bound on
+    // coreness, exact coreness where the iteration has converged;
+    // closed-form h-index per round, oracle unrolls.
+    "q220_kcore" -> ((s, dir) =>
+      graft.operators.LinkGraph.hIndexIterates(linkEdges(s, dir), KCoreRounds)),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -1169,10 +1193,12 @@ object PipelineQueries {
   val MmrK: Int = 5
   val MmrLambda: Double = 0.7
 
-  /** q216's LPA round count and q217's SpotSigs Jaccard threshold —
-    * interpolated into the oracles (the a2 discipline). */
+  /** q216's LPA round count, q217's SpotSigs Jaccard threshold, and
+    * q220's h-index iteration count — interpolated into the oracles
+    * (the a2 discipline). */
   val LpaRounds: Int = 3
   val SpotSigThreshold: Double = 0.5
+  val KCoreRounds: Int = 6
 
   /** DuckDB mirror of [[linkEdges]] (ends with the `edges` relation). */
   private val LinkEdgesCte: String =
@@ -2948,6 +2974,62 @@ object PipelineQueries {
          |    FROM sp a JOIN sp b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |   WHERE len(a.s) > 0 AND len(b.s) > 0) AS p
          | WHERE jaccard >= $SpotSigThreshold""".stripMargin
+    },
+
+    // q212's hop-capped walk reused; per-radius counts LEFT-join the
+    // full radius series (flat tail kept), cumulative via the ordered
+    // window (single-engine oracle may; the engine's frame is the
+    // R-row radius dim), flag compared on the ROUNDED share.
+    "q218_anf" ->
+      s"""${LinkEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |h AS (SELECT doc_id, source || '.example.com' AS host FROM documents),
+         |he AS (SELECT DISTINCT hs.host AS src, hd.host AS dst
+         |         FROM e JOIN h hs ON hs.doc_id = e.src JOIN h hd ON hd.doc_id = e.dst
+         |        WHERE hs.host <> hd.host),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM he UNION ALL SELECT dst FROM he)),
+         |walk(origin, node, d) AS (
+         |  SELECT node, node, 0 FROM nodes
+         |  UNION
+         |  SELECT w.origin, he.dst, w.d + 1
+         |    FROM walk w JOIN he ON he.src = w.node
+         |   WHERE w.d < $HarmonicRounds
+         |),
+         |md AS (SELECT origin, node, min(d) AS d FROM walk GROUP BY origin, node),
+         |perr AS (SELECT d AS r, count(*) AS n_new FROM md WHERE d > 0 GROUP BY d),
+         |radii AS (SELECT unnest(generate_series(1, $HarmonicRounds)) AS r),
+         |cum AS (SELECT radii.r,
+         |               sum(COALESCE(perr.n_new, 0)) OVER (ORDER BY radii.r) AS n_pairs
+         |          FROM radii LEFT JOIN perr USING (r)),
+         |tot AS (SELECT max(n_pairs) AS n_total FROM cum),
+         |fin AS (SELECT CAST(r AS INT) AS r, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |               round(CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         |                 AS share
+         |          FROM cum CROSS JOIN tot)
+         |SELECT r, n_pairs, share, share >= 0.9 AS reaches_90pct FROM fin""".stripMargin,
+
+    // the 6 h-index rounds unrolled: per node the desc-sorted neighbor
+    // values with max(least(v, rn)) — the closed-form h-index, tie-order
+    // invariant; frames are degree-bounded on both sides.
+    "q220_kcore" -> {
+      def rnd(prev: String, cur: String) =
+        s"""$cur AS (SELECT node, CAST(max(least(v, rn)) AS INT) AS h FROM (
+           |  SELECT n.node, p.h AS v,
+           |         row_number() OVER (PARTITION BY n.node
+           |                            ORDER BY p.h DESC, n.nbr) AS rn
+           |    FROM nbr n JOIN $prev p ON p.node = n.nbr) t
+           | GROUP BY node)""".stripMargin
+      val rounds = (1 to KCoreRounds)
+        .map(k => rnd(s"h${k - 1}", s"h$k")).mkString(",\n")
+      s"""$LinkEdgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |nbr AS (SELECT DISTINCT node, nbr FROM (
+         |          SELECT src AS node, dst AS nbr FROM e
+         |          UNION ALL SELECT dst, src FROM e)),
+         |h0 AS (SELECT node, CAST(count(*) AS INT) AS h FROM nbr GROUP BY node),
+         |$rounds
+         |SELECT node AS doc_id, h AS h_iter FROM h$KCoreRounds""".stripMargin
     },
 
     // per-epoch multiplicative-hash keys with the SAME multiplier/modulus

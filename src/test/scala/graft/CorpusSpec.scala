@@ -1415,6 +1415,54 @@ class CorpusSpec extends AnyFunSuite {
     assert(merged === ((global._1, global._2, global._3, global._4)))
   }
 
+  test("theta overlap: exact regime == true shingle overlaps on a planted-syndication corpus") {
+    // s1/s2 share a syndicated span (common shingles); s3 is disjoint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s1"),
+      (2L, "alpha beta gamma delta epsilon zeta iota kappa", "s2"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho", "s3"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    def sh3(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = Map(
+      "s1" -> sh3("alpha beta gamma delta epsilon zeta eta theta"),
+      "s2" -> sh3("alpha beta gamma delta epsilon zeta iota kappa"),
+      "s3" -> sh3("uno dos tres cuatro cinco seis siete ocho"))
+    val got = Corpus.thetaOverlapEstimates(
+      Corpus.sourceShingleThetaSketches(docs))
+      .as[(String, String, Double, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    for (((a, b), r) <- got) {
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = sa.intersect(sb).size.toDouble
+      assert(r._3 === sa.size.toDouble && r._4 === sb.size.toDouble,
+        s"$a/$b set sizes exact below k")
+      assert(r._5 === inter, s"$a/$b intersection exact below k")
+      val jac = inter / (sa.size + sb.size - inter)
+      assert(math.abs(r._6 - math.round(jac * 10000).toDouble / 10000) < 1e-9)
+    }
+    assert(got(("s1", "s2"))._5 > 0 && got(("s1", "s3"))._5 === 0.0)
+  }
+
+  test("theta overlap: beyond-k estimates stay inside the published error envelope") {
+    // two sources of 60k distinct synthetic shingles with a planted 20k
+    // overlap — far beyond k = 2^12 nominal entries
+    val n = 60000; val overlap = 20000
+    val rows =
+      (0 until n).map(i => (i.toLong, s"a$i x$i y$i", "s1")) ++
+        (0 until n).map(i => ((n + i).toLong,
+          (if (i < overlap) s"a$i x$i y$i" else s"b$i v$i w$i"), "s2"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val got = Corpus.thetaOverlapEstimates(
+      Corpus.sourceShingleThetaSketches(docs, lgK = 12))
+      .as[(String, String, Double, Double, Double, Double)].collect().head
+    // RSE ≈ 1/sqrt(2^12) ≈ 1.6%; intersection error compounds — allow 5×
+    assert(math.abs(got._3 - n) / n < 0.08, s"est_a ${got._3}")
+    assert(math.abs(got._4 - n) / n < 0.08, s"est_b ${got._4}")
+    assert(math.abs(got._5 - overlap) / overlap < 0.15, s"est_inter ${got._5}")
+  }
+
   test("lengthQuantileSketches: compaction regime keeps the KLL rank-error envelope") {
     import org.apache.datasketches.kll.KllDoublesSketch
     // 30k distinct lengths through k=200 → heavy compaction; the

@@ -412,6 +412,86 @@ class LinkGraphSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(math.abs(x._3 - y._3) < 1e-6) }
   }
 
+  test("neighborhoodFunction == all-pairs scalar BFS; flat tail past the diameter") {
+    val es = randomEdges(13, 12, 40)
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val rounds = 6
+    def bfs(o: Long): Map[Long, Int] = {
+      var dist = Map(o -> 0); var frontier = Set(o)
+      for (r <- 1 to rounds) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil)).diff(dist.keySet)
+        dist ++= next.map(_ -> r); frontier = next
+      }
+      dist
+    }
+    val dists = for { o <- nodes; (v, d) <- bfs(o) if d > 0 } yield d
+    val truth = (1 to rounds).map { r =>
+      val np = dists.count(_ <= r).toLong
+      (r, np)
+    }
+    val total = truth.last._2
+    val got = LinkGraph.neighborhoodFunction(es.toDF("src", "dst"), rounds)
+      .as[(Int, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(g => (g._1, g._2)) === truth)
+    got.foreach { g =>
+      val share = BigDecimal(g._2.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(g._3 - share) < 1e-9, s"r=${g._1}")
+      assert(g._4 === (g._3 >= 0.9), s"flag at r=${g._1}")
+    }
+    // the tail past the diameter is flat at the total
+    assert(got.last._2 === total)
+  }
+
+  test("hIndexIterates: converged == peeling coreness; fixed round upper-bounds it monotonically") {
+    // scalar truth: classic iterative peeling (remove nodes with deg < k)
+    def peelCoreness(und: Set[(Long, Long)]): Map[Long, Int] = {
+      val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct
+      var core = Map.empty[Long, Int]
+      var remaining = nodes.toSet
+      var k = 0
+      while (remaining.nonEmpty) {
+        var changed = true
+        while (changed) {
+          val deg = remaining.map(v =>
+            v -> und.count(e => (e._1 == v && remaining(e._2)) ||
+              (e._2 == v && remaining(e._1)))).toMap
+          val drop = remaining.filter(v => deg(v) <= k)
+          changed = drop.nonEmpty
+          core ++= drop.map(_ -> k)
+          remaining --= drop
+        }
+        k += 1
+      }
+      core
+    }
+    for (seed <- Seq(4, 15)) {
+      val es = randomEdges(seed, 14, 55)
+      val truth = peelCoreness(undirected(es))
+      // hub-rich random graphs converge well inside the cap
+      val got = LinkGraph.hIndexIterates(es.toDF("src", "dst"), rounds = 16)
+        .as[(Long, Int)].collect().toMap
+      assert(got === truth, s"seed $seed")
+    }
+    // On the long-chain fixture the correction wave travels ~1 hop per
+    // round (>64 rounds to the fixpoint — measured), so q220's fixed
+    // iterate is the documented UPPER-BOUND member of the H-index
+    // family: pin h^r ≥ coreness and monotone non-increase in r.
+    val edges = graft.queries.PipelineQueries.linkEdges(spark, TestSpark.Sf0001)
+    val truth = peelCoreness(
+      edges.select("src", "dst").as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).toSet)
+    val h6 = LinkGraph.hIndexIterates(edges, rounds = 6).as[(Long, Int)].collect().toMap
+    val h7 = LinkGraph.hIndexIterates(edges, rounds = 7).as[(Long, Int)].collect().toMap
+    assert(h6.keySet === truth.keySet)
+    truth.foreach { case (v, c) =>
+      assert(h6(v) >= c, s"h6 must upper-bound coreness at node $v")
+      assert(h7(v) <= h6(v), s"monotone non-increase at node $v")
+    }
+  }
+
   test("lpaCommunities == scalar synchronous LPA with min-label tie-break") {
     for (seed <- Seq(2, 9, 21)) {
       val es = randomEdges(seed, 18, 50)
