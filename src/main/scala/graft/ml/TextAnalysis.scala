@@ -188,6 +188,43 @@ object TextAnalysis {
           col("n_tokens_total").cast("double"), 4).as("token_keep_frac"))
   }
 
+  /** Inter-gate agreement audit — Cohen's κ (Cohen 1960) between two
+    * binary quality raters over the same corpus: how much two filter
+    * signals (here the q55 unigram-LM gate and the q87 bigram-LM gate)
+    * agree BEYOND the agreement their marginal pass rates already
+    * imply. κ ≈ 1 means the second gate is redundant; κ ≈ 0 means it
+    * prunes an independent failure mode — the decision input for
+    * whether a pipeline needs both. Both inputs are (doc_id, …,
+    * mean_logp) scored frames; the universe is their doc intersection
+    * (documented: single-token docs have no bigram score).
+    *
+    * Exactness: the contingency counts n11/n10/n01/n00 are integers on
+    * the 4-dp published scores, and κ uses the integer closed form
+    * 2(n11·n00 − n10·n01) / ((n11+n10)(n10+n00) + (n11+n01)(n01+n00))
+    * — one double division, hash-exact (a po/pe spelling would sum
+    * floats). One hash agg + one 1-row projection. */
+  def gateAgreement(uniScored: DataFrame, biScored: DataFrame,
+      tUni: Double, tBi: Double): DataFrame = {
+    val a = uniScored.select(col("doc_id"),
+      (col("mean_logp") >= tUni).as("pa"))
+    val b = biScored.select(col("doc_id"),
+      (col("mean_logp") >= tBi).as("pb"))
+    a.join(b, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pa") && col("pb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("pa") && !col("pb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("pa") && col("pb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("pa") && !col("pb"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round((col("n11") + col("n00")).cast("double") /
+          col("n_docs").cast("double"), 6).as("po"),
+        round((lit(2L) * (col("n11") * col("n00") - col("n10") * col("n01")))
+          .cast("double") /
+          ((col("n11") + col("n10")) * (col("n10") + col("n00")) +
+            (col("n11") + col("n01")) * (col("n01") + col("n00"))).cast("double"),
+          6).as("kappa"))
+  }
+
   /** Per-document token-entropy quality signal: the Shannon entropy of a
     * document's OWN unigram distribution, `H = ln(n) - sum(k ln k) / n`
     * over per-doc token counts k (algebraically identical to

@@ -618,6 +618,72 @@ object LinkGraph {
         col("community_size"))
   }
 
+  /** Per-community structure audit over a (doc_id, community) labeling
+    * — the quality check a community detector ([[lpaCommunities]])
+    * ships with: for each community its node count, volume (Σ degree),
+    * internal edge count, cut size, and CONDUCTANCE
+    * cut / min(vol, 2m − vol) (Kannan, Vempala & Vetta's cluster-
+    * quality measure, JACM 2004) — a link farm shows up as a
+    * high-volume community with near-zero conductance. Every quantity
+    * is an exact integer except the final division (6 dp) — hash-exact.
+    * Shape: two label attach joins on 8-byte keys + community-grain
+    * hash aggs; the m total is a 1-row broadcast attach. */
+  def communityQuality(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val la = labels.select(col("doc_id").as("a"), col("community").as("ca"))
+    val lb = labels.select(col("doc_id").as("b"), col("community").as("cb"))
+    val j = und.join(la, Seq("a")).join(lb, Seq("b"))
+    val intra = j.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val cut = j.filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("community"))
+      .unionAll(j.filter(col("ca") =!= col("cb")).select(col("cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("cut_edges"))
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val vol = labels.join(deg.withColumnRenamed("node", "doc_id"), Seq("doc_id"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("volume"))
+    val mTot = und.agg(count(lit(1)).as("m"))
+    vol.join(intra, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .crossJoin(broadcast(mTot))
+      .select(col("community"), col("n_nodes"), col("volume"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        when(least(col("volume"), lit(2L) * col("m") - col("volume")) > 0,
+          round(coalesce(col("cut_edges"), lit(0L)).cast("double") /
+            least(col("volume"), lit(2L) * col("m") - col("volume")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("conductance"))
+  }
+
+  /** Newman modularity of a labeling (Newman & Girvan, Phys. Rev. E
+    * 2004): Q = Σ_c [ e_c/m − (vol_c/2m)² ] — how much denser inside
+    * communities the graph is than a degree-preserving random rewiring.
+    * Computed from the INTEGER closed form
+    * Q = (4m·Σe_c − Σvol_c²) / (4m²), so the statistic is one double
+    * division of two exact integers — no float-sum order anywhere,
+    * hash-exact. One row: (n_communities, m_edges, q_modularity). */
+  def modularityQ(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val audit = communityQuality(edges, labels)
+    val mTot = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .agg(count(lit(1)).as("m"))
+    audit
+      .agg(count(lit(1)).as("n_communities"),
+        sum("intra_edges").as("s_intra"),
+        sum(col("volume") * col("volume")).as("s_vol2"))
+      .crossJoin(broadcast(mTot))
+      .select(col("n_communities"), col("m").as("m_edges"),
+        round((lit(4L) * col("m") * col("s_intra") - col("s_vol2")).cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double"), 6).as("q_modularity"))
+  }
+
   /** HyperBall (Boldi, Rosa & Vigna, "HyperANF: approximating the
     * neighbourhood function of very large graphs", WWW'11 / the
     * HyperBall refinement) — the 10^10-node path for

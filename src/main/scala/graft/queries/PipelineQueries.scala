@@ -751,6 +751,35 @@ object PipelineQueries {
     "q220_kcore" -> ((s, dir) =>
       graft.operators.LinkGraph.hIndexIterates(linkEdges(s, dir), KCoreRounds)),
 
+    // round 5: per-community conductance audit (Kannan, Vempala &
+    // Vetta, JACM'04) over the q216 labeling — the link-farm tell is a
+    // high-volume near-zero-conductance community; integers until the
+    // final division.
+    "q221_community_quality" -> ((s, dir) => {
+      val edges = linkEdges(s, dir)
+      graft.operators.LinkGraph.communityQuality(edges,
+        graft.operators.LinkGraph.lpaCommunities(edges, LpaRounds)
+          .select(col("doc_id"), col("community")))
+    }),
+
+    // round 5: Newman modularity of the q216 labeling (Newman &
+    // Girvan, PRE'04) via the integer closed form — one division,
+    // hash-exact.
+    "q222_modularity" -> ((s, dir) => {
+      val edges = linkEdges(s, dir)
+      graft.operators.LinkGraph.modularityQ(edges,
+        graft.operators.LinkGraph.lpaCommunities(edges, LpaRounds)
+          .select(col("doc_id"), col("community")))
+    }),
+
+    // round 5: inter-gate agreement (Cohen's κ, 1960) between the q55
+    // unigram and q87 bigram quality gates — κ ≈ 1 means the second
+    // gate is redundant; integer contingency closed form.
+    "q223_gate_kappa" -> ((s, dir) =>
+      TextAnalysis.gateAgreement(
+        TextAnalysis.unigramLogProb(docs(s, dir)),
+        TextAnalysis.bigramLogProb(docs(s, dir)), KappaUniT, KappaBiT)),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -1199,6 +1228,35 @@ object PipelineQueries {
   val LpaRounds: Int = 3
   val SpotSigThreshold: Double = 0.5
   val KCoreRounds: Int = 6
+
+  /** q223's gate thresholds — near the fixture score medians so both
+    * raters split the corpus and κ's denominator stays non-degenerate;
+    * interpolated into the oracle. */
+  val KappaUniT: Double = -3.402
+  val KappaBiT: Double = -3.386
+
+  /** Shared q216/q221/q222 oracle CTE: the LinkEdges base + the
+    * [[LpaRounds]] unrolled label-propagation rounds, ending with the
+    * labeling relation l<rounds> (node, lab). The rn=1 pick spells the
+    * engine's (count desc, label asc) tie-break identically. */
+  private lazy val LpaOracleCte: String = {
+    def rnd(prev: String, cur: String) =
+      s"""$cur AS (SELECT node, lab FROM (
+         |  SELECT n.node, l.lab,
+         |         row_number() OVER (PARTITION BY n.node
+         |                            ORDER BY count(*) DESC, l.lab) AS rn
+         |    FROM nbr n JOIN $prev l ON l.node = n.nbr
+         |   GROUP BY n.node, l.lab) r WHERE rn = 1)""".stripMargin
+    val rounds = (1 to LpaRounds)
+      .map(k => rnd(s"l${k - 1}", s"l$k")).mkString(",\n")
+    s"""$LinkEdgesCte,
+       |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |nbr AS (SELECT DISTINCT node, nbr FROM (
+       |          SELECT src AS node, dst AS nbr FROM e
+       |          UNION ALL SELECT dst, src FROM e)),
+       |l0 AS (SELECT DISTINCT node, node AS lab FROM nbr),
+       |$rounds""".stripMargin
+  }
 
   /** DuckDB mirror of [[linkEdges]] (ends with the `edges` relation). */
   private val LinkEdgesCte: String =
@@ -2925,27 +2983,112 @@ object PipelineQueries {
     // the (count desc, label asc) rn=1 pick — the deterministic tie-break
     // spelled identically on both sides; sizes via a label window (q46's
     // device).
-    "q216_lpa_communities" -> {
-      def rnd(prev: String, cur: String) =
-        s"""$cur AS (SELECT node, lab FROM (
-           |  SELECT n.node, l.lab,
-           |         row_number() OVER (PARTITION BY n.node
-           |                            ORDER BY count(*) DESC, l.lab) AS rn
-           |    FROM nbr n JOIN $prev l ON l.node = n.nbr
-           |   GROUP BY n.node, l.lab) r WHERE rn = 1)""".stripMargin
-      s"""$LinkEdgesCte,
-         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
-         |nbr AS (SELECT DISTINCT node, nbr FROM (
-         |          SELECT src AS node, dst AS nbr FROM e
-         |          UNION ALL SELECT dst, src FROM e)),
-         |l0 AS (SELECT DISTINCT node, node AS lab FROM nbr),
-         |${rnd("l0", "l1")},
-         |${rnd("l1", "l2")},
-         |${rnd("l2", "l3")}
+    "q216_lpa_communities" ->
+      s"""$LpaOracleCte
          |SELECT node AS doc_id, lab AS community,
          |       count(*) OVER (PARTITION BY lab) AS community_size
-         |  FROM l3""".stripMargin
-    },
+         |  FROM l$LpaRounds""".stripMargin,
+
+    // the q216 labeling + per-community integer structure sums; the
+    // conductance is one integer division (Kannan-Vempala-Vetta grain).
+    "q221_community_quality" ->
+      s"""$LpaOracleCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |jj AS (SELECT u.a, u.b, x.lab AS ca, y.lab AS cb
+         |         FROM und u JOIN l$LpaRounds x ON x.node = u.a
+         |         JOIN l$LpaRounds y ON y.node = u.b),
+         |intra AS (SELECT ca AS community, count(*) AS intra_edges
+         |            FROM jj WHERE ca = cb GROUP BY ca),
+         |cut AS (SELECT community, count(*) AS cut_edges FROM (
+         |          SELECT ca AS community FROM jj WHERE ca <> cb
+         |          UNION ALL SELECT cb FROM jj WHERE ca <> cb)
+         |        GROUP BY community),
+         |deg AS (SELECT node, count(*) AS deg FROM
+         |          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY node),
+         |vol AS (SELECT l.lab AS community, count(*) AS n_nodes,
+         |               sum(d.deg) AS volume
+         |          FROM l$LpaRounds l JOIN deg d ON d.node = l.node
+         |         GROUP BY l.lab),
+         |mm AS (SELECT count(*) AS m FROM und)
+         |SELECT v.community, CAST(v.n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(v.volume AS BIGINT) AS volume,
+         |       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+         |       CAST(COALESCE(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+         |       CASE WHEN least(v.volume, 2 * mm.m - v.volume) > 0
+         |            THEN round(CAST(COALESCE(c.cut_edges, 0) AS DOUBLE)
+         |                       / CAST(least(v.volume, 2 * mm.m - v.volume) AS DOUBLE), 6)
+         |            ELSE CAST(0 AS DOUBLE) END AS conductance
+         |  FROM vol v LEFT JOIN intra i USING (community)
+         |  LEFT JOIN cut c USING (community) CROSS JOIN mm""".stripMargin,
+
+    // Newman Q from the integer closed form (4m·Σe_c − Σvol_c²)/(4m²)
+    // over the same frames — one division, hash-exact.
+    "q222_modularity" ->
+      s"""$LpaOracleCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |jj AS (SELECT u.a, u.b, x.lab AS ca, y.lab AS cb
+         |         FROM und u JOIN l$LpaRounds x ON x.node = u.a
+         |         JOIN l$LpaRounds y ON y.node = u.b),
+         |intra AS (SELECT ca AS community, count(*) AS intra_edges
+         |            FROM jj WHERE ca = cb GROUP BY ca),
+         |deg AS (SELECT node, count(*) AS deg FROM
+         |          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY node),
+         |vol AS (SELECT l.lab AS community, sum(d.deg) AS volume
+         |          FROM l$LpaRounds l JOIN deg d ON d.node = l.node
+         |         GROUP BY l.lab),
+         |mm AS (SELECT count(*) AS m FROM und),
+         |agg AS (SELECT count(*) AS nc,
+         |               sum(COALESCE(i.intra_edges, 0)) AS s_intra,
+         |               sum(v.volume * v.volume) AS s_vol2
+         |          FROM vol v LEFT JOIN intra i USING (community))
+         |SELECT CAST(nc AS BIGINT) AS n_communities, CAST(mm.m AS BIGINT) AS m_edges,
+         |       round(CAST(4 * mm.m * agg.s_intra - agg.s_vol2 AS DOUBLE)
+         |             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS q_modularity
+         |  FROM agg CROSS JOIN mm""".stripMargin,
+
+    // q55 + q87 frames → binary gates on the 4-dp published scores →
+    // Cohen's κ via the integer closed form (one division, hash-exact);
+    // universe = the doc intersection (single-token docs carry no
+    // bigram score).
+    "q223_gate_kappa" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+         |dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS k FROM tok GROUP BY doc_id, tok),
+         |f AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY tok),
+         |tot AS (SELECT sum(c) AS n_total FROM f),
+         |u AS (SELECT doc_id, round(sum(k * ln(c / n_total)) / sum(k), 4) AS s_u
+         |        FROM dt JOIN f USING (tok) CROSS JOIN tot GROUP BY doc_id),
+         |tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |              i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+         |        FROM tk),
+         |db AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2,
+         |              CAST(count(*) AS DOUBLE) AS k
+         |         FROM bg GROUP BY ALL),
+         |cb AS (SELECT w1, w2, sum(k) AS c FROM db GROUP BY w1, w2),
+         |ctx AS (SELECT w1, sum(c) AS ctx FROM cb GROUP BY w1),
+         |bm AS (SELECT doc_id, round(sum(k * ln(c / ctx)) / sum(k), 4) AS s_b
+         |         FROM db JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+         |        GROUP BY doc_id),
+         |g AS (SELECT u.doc_id,
+         |             s_u >= CAST('$KappaUniT' AS DOUBLE) AS pa,
+         |             s_b >= CAST('$KappaBiT' AS DOUBLE) AS pb
+         |        FROM u JOIN bm USING (doc_id)),
+         |cc AS (SELECT count(*) AS n_docs,
+         |              sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS n11,
+         |              sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END) AS n10,
+         |              sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END) AS n01,
+         |              sum(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END) AS n00
+         |         FROM g)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n11,
+         |       CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+         |       CAST(n00 AS BIGINT) AS n00,
+         |       round(CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS po,
+         |       round(CAST(2 * (n11 * n00 - n10 * n01) AS DOUBLE)
+         |             / CAST((n11 + n10) * (n10 + n00)
+         |                    + (n11 + n01) * (n01 + n00) AS DOUBLE), 6) AS kappa
+         |  FROM cc""".stripMargin,
 
     // q33's all-pairs truth over SpotSigs signatures: antecedent-anchored
     // chains built with the SAME 1-based slice semantics (Spark slice's

@@ -524,6 +524,32 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got.values.toSet.size >= 2, "the bridge must not merge the cliques")
   }
 
+  test("communityQuality + modularityQ: hand truth on the bridged two-clique graph") {
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val es = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
+    val labels = (Seq(0L, 1L, 2L, 3L).map(_ -> 0L) ++
+      Seq(10L, 11L, 12L, 13L).map(_ -> 10L)).toDF("doc_id", "community")
+    // m = 13; per clique: intra 6, cut 1, vol 3+3+3+4 = 13
+    val audit = LinkGraph.communityQuality(es.toDF("src", "dst"), labels)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val cond = BigDecimal(1.0 / 13)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(audit(0L) === ((0L, 4L, 13L, 6L, 1L, cond)))
+    assert(audit(10L) === ((10L, 4L, 13L, 6L, 1L, cond)))
+    // Q = (4m·Σe_c − Σvol²)/(4m²) = (52·12 − 338)/676 = 286/676
+    val q = LinkGraph.modularityQ(es.toDF("src", "dst"), labels)
+      .as[(Long, Long, Double)].collect().head
+    assert(q._1 === 2L && q._2 === 13L)
+    assert(q._3 === BigDecimal(286.0 / 676)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // one-community labeling: zero cut, conductance guard (2m−vol = 0)
+    val one = (Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L).map(_ -> 7L))
+      .toDF("doc_id", "community")
+    val a1 = LinkGraph.communityQuality(es.toDF("src", "dst"), one)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(a1 === ((7L, 8L, 26L, 13L, 0L, 0.0)))
+  }
+
   test("hyperballHarmonic tracks harmonicExact within sketch error (host graph)") {
     val he = graft.queries.PipelineQueries.hostEdges(spark, TestSpark.Sf0001)
     val exact = LinkGraph.harmonicExact(he, 12)

@@ -1145,6 +1145,25 @@ class SearchSpec extends AnyFunSuite {
     assert(got(1) === ((2L, 3L, 3L, 4L, flesch(3, 3, 4))))
   }
 
+  test("gateAgreement: Cohen's kappa hand truth; perfect and inverted raters") {
+    // contingency 2/1/1/2 → po = 2/3, pe = 1/2, κ = 1/3
+    val uni = Seq((1L, -1.0), (2L, -1.0), (3L, -1.0), (4L, -9.0), (5L, -9.0), (6L, -9.0))
+      .toDF("doc_id", "mean_logp")
+    val bi = Seq((1L, -1.0), (2L, -1.0), (3L, -9.0), (4L, -1.0), (5L, -9.0), (6L, -9.0))
+      .toDF("doc_id", "mean_logp")
+    val got = TextAnalysis.gateAgreement(uni, bi, -5.0, -5.0)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(got === ((6L, 2L, 1L, 1L, 2L, 0.666667, 0.333333)))
+    // identical raters → κ = 1; inverted raters → κ = −1
+    val same = TextAnalysis.gateAgreement(uni, uni, -5.0, -5.0)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(same._7 === 1.0)
+    val inv = uni.withColumn("mean_logp", -col("mean_logp") - 10.0)
+    val opp = TextAnalysis.gateAgreement(uni, inv, -5.0, -5.0)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(opp._7 === -1.0)
+  }
+
   // ---- round 5 (sixth session): Elias–Fano audit / MMR ----
 
   test("eliasFanoAudit: scalar EF + VByte formulas on hand posting lists") {
