@@ -319,6 +319,54 @@ object Corpus {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Bloom-pruned decontamination — the 10^10-document scale path for
+    * [[decontaminate]], and EXACTLY the same relation: a Bloom filter
+    * built over the eval set's n-gram hashes is broadcast and probed
+    * MAP-SIDE, so of the corpus's ~10^12 n-gram postings only the
+    * ~fpp·|corpus| false positives plus the true hits ever reach the
+    * exchange; the surviving candidates then take the ordinary exact
+    * semi-join, which kills the false positives. Bloom filters have no
+    * false negatives, so prune + exact-verify is LOSSLESS — the output
+    * is identical to the unpruned operator (shared oracle; the
+    * identity, including under an absurd fpp = 0.5 filter, is pinned
+    * in CorpusSpec). This is [[graft.operators.BloomSeen]]'s
+    * architecture applied to decon: the eval set plays the seen-set,
+    * the corpus plays the frontier.
+    *
+    * The filter is an eval-set-sized driver/broadcast object (the
+    * model-frame budget: a 10^6-entry benchmark suite at 10 bits/key
+    * is ~1.2 MB); the corpus side never collects. */
+  def bloomDecontaminateFrom(shingled: DataFrame,
+      evalPred: org.apache.spark.sql.Column, minOverlap: Long = 1L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = shingled.sparkSession
+    val sh = shingled
+      .select(col("doc_id"), evalPred.as("is_eval"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("is_eval"), xxhash64(col("shingle")).as("sk"))
+    val evalShingles = sh.filter(col("is_eval")).select("sk").distinct()
+      .localCheckpoint() // reused: sizing count, filter build, exact verify
+    val nEval = math.max(1L, evalShingles.count())
+    val bloom = evalShingles.stat.bloomFilter("sk", nEval, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    sh.filter(!col("is_eval"))
+      .filter(mightContain(col("sk"))) // map-side prune, no false negatives
+      .join(evalShingles, Seq("sk")) // exact verify kills the fpp leak
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** [[bloomDecontaminateFrom]] from raw documents (n-gram kernel
+    * inline) — the q224 entry point, q52's signature. */
+  def bloomDecontaminate(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+      minOverlap: Long = 1L, n: Int = 3, fpp: Double = 0.01): DataFrame =
+    bloomDecontaminateFrom(
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.expressions.shingles_n(col("text"), n).as("sh")),
+      evalPred, minOverlap, fpp)
+
   /** Deterministic stratified sample: keep a row iff its key lands under
     * `permille` in a Lehmer-LCG permutation of `doc_id` — a pure function
     * of the key, so the sample is stable across re-runs, partitionings and

@@ -220,6 +220,12 @@ object PipelineQueries {
     "q52_decontaminate_8gram" -> ((s, dir) =>
       Corpus.decontaminate(docs(s, dir), col("doc_id") % 5 === 0, n = 8)),
 
+    // round 5: the Bloom-pruned decon scale path — same relation as q52
+    // (lossless broadcast-bitset prune + exact verify; the BloomSeen
+    // architecture applied to the eval set). Shares q52's oracle.
+    "q224_bloom_decontam" -> ((s, dir) =>
+      Corpus.bloomDecontaminate(docs(s, dir), col("doc_id") % 5 === 0, n = 8)),
+
     // BM25 ranked keyword retrieval (the indexing engine's search half);
     // full matching relation so float noise at a rank cut can't flip
     // membership — top-k is bm25TopK, plan-pinned in SearchSpec.
@@ -1481,6 +1487,21 @@ object PipelineQueries {
 
   private[queries] val Bm25OracleSql: String = bm25OracleSqlOver("")
 
+  /** Shared q52/q224 oracle: the exact 8-gram decontamination relation
+    * (q224's Bloom prune is lossless, so both entries emit it). */
+  private val Decon8OracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(generate_series(1, len(tk)-7),
+      |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |                     tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS s
+      |  FROM t),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0)
+      |SELECT c.doc_id, count(*) AS n_overlap
+      |  FROM (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0) AS c
+      |  JOIN ev USING (s)
+      | GROUP BY c.doc_id""".stripMargin
+
   /** q107's documents with a per-source boilerplate footer appended to 3
     * of every 4 docs (doc_id % 4 != 0) — the site-template text the miner
     * must surface (the word-soup fixture has no natural templates);
@@ -1714,18 +1735,12 @@ object PipelineQueries {
         |  FROM documents
         | WHERE (((doc_id * 48271 + 11) % 1000) + 1000) % 1000 < 200""".stripMargin,
 
-    "q52_decontaminate_8gram" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
-        |         unnest(list_distinct(list_transform(generate_series(1, len(tk)-7),
-        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
-        |                     tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS s
-        |  FROM t),
-        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0)
-        |SELECT c.doc_id, count(*) AS n_overlap
-        |  FROM (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0) AS c
-        |  JOIN ev USING (s)
-        | GROUP BY c.doc_id""".stripMargin,
+    "q52_decontaminate_8gram" -> Decon8OracleSql,
+
+    // identical relation by construction: the Bloom probe is a lossless
+    // pre-filter (no false negatives) in front of the SAME exact join,
+    // so the scale path shares q52's oracle (the q57/q58 pattern).
+    "q224_bloom_decontam" -> Decon8OracleSql,
 
     "q51_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

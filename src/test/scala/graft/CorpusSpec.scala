@@ -1415,6 +1415,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(merged === ((global._1, global._2, global._3, global._4)))
   }
 
+  test("bloomDecontaminate == exact decontaminate; identity survives an absurd fpp") {
+    val docs = TestSpark.spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val pred = col("doc_id") % 5 === 0
+    val exact = Corpus.decontaminate(docs, pred, n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "fixture must exercise the matcher")
+    val pruned = Corpus.bloomDecontaminate(docs, pred, n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(pruned === exact, "lossless prune: bloom has no false negatives")
+    // with fpp = 0.5 half the non-matching grams leak past the bloom —
+    // the exact verify must still reduce to the identical relation
+    val leaky = Corpus.bloomDecontaminate(docs, pred, n = 8, fpp = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(leaky === exact, "exact verify kills the false-positive leak")
+  }
+
   test("theta overlap: exact regime == true shingle overlaps on a planted-syndication corpus") {
     // s1/s2 share a syndicated span (common shingles); s3 is disjoint
     val docs = Seq(
