@@ -660,6 +660,50 @@ object LinkGraph {
           .otherwise(lit(0.0)).as("conductance"))
   }
 
+  /** One-row web-graph datasheet — the release document for a crawl's
+    * link graph (the q106 corpus-datasheet idea applied to structure),
+    * composing the proven statistics: node/edge counts, reciprocity
+    * (share of directed edges with a reverse — the link-farm tell
+    * op 144 audits per node), global clustering coefficient
+    * 3·triangles/wedges (Broder-style density), Newman assortativity,
+    * and the modularity of the LPA labeling. Every input is an exact
+    * integer sum; each statistic is one division at 6 dp — hash-exact.
+    * Plan: five 1-row aggregates stitched by broadcast crossJoins; the
+    * heavy lifting is exactly [[triangleStats]] / [[degreeMixAudit]] /
+    * [[modularityQ]]'s shapes. */
+  def graphDatasheet(edges: DataFrame, lpaRounds: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val counts = e.agg(count(lit(1)).as("n_edges_dir"))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges_und"))))
+      .crossJoin(broadcast(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))))
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_recip_dir"))
+    val triAgg = triangleStats(edges)
+      .agg(sum("n_tri").as("tri3"), // each triangle credited at 3 corners
+        sum(col("degree") * (col("degree") - 1)).as("wedges2"))
+    val mix = degreeMixAudit(edges)
+      .select(col("assortativity"))
+    val mod = modularityQ(edges,
+      lpaCommunities(edges, lpaRounds).select(col("doc_id"), col("community")))
+      .select(col("q_modularity").as("lpa_modularity"),
+        col("n_communities"))
+    counts.crossJoin(broadcast(recip)).crossJoin(broadcast(triAgg))
+      .crossJoin(broadcast(mix)).crossJoin(broadcast(mod))
+      .select(col("n_nodes"), col("n_edges_dir"), col("n_edges_und"),
+        round(col("n_recip_dir").cast("double") /
+          col("n_edges_dir").cast("double"), 6).as("reciprocity"),
+        round((lit(2L) * col("tri3")).cast("double") /
+          col("wedges2").cast("double"), 6).as("global_clustering"),
+        col("assortativity"), col("n_communities"), col("lpa_modularity"))
+  }
+
   /** Newman modularity of a labeling (Newman & Girvan, Phys. Rev. E
     * 2004): Q = Σ_c [ e_c/m − (vol_c/2m)² ] — how much denser inside
     * communities the graph is than a degree-preserving random rewiring.

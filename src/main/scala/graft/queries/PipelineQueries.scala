@@ -786,6 +786,13 @@ object PipelineQueries {
         TextAnalysis.unigramLogProb(docs(s, dir)),
         TextAnalysis.bigramLogProb(docs(s, dir)), KappaUniT, KappaBiT)),
 
+    // round 5: one-row web-graph datasheet — reciprocity, global
+    // clustering, assortativity, LPA modularity composed from the
+    // proven q144/q210/q211/q216/q222 pieces; every statistic one
+    // integer division.
+    "q225_graph_datasheet" -> ((s, dir) =>
+      graft.operators.LinkGraph.graphDatasheet(linkEdges(s, dir), LpaRounds)),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -3062,6 +3069,68 @@ object PipelineQueries {
          |       round(CAST(4 * mm.m * agg.s_intra - agg.s_vol2 AS DOUBLE)
          |             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS q_modularity
          |  FROM agg CROSS JOIN mm""".stripMargin,
+
+    // the q210/q211/q216/q222 frames composed into one row: each
+    // statistic is a division of exact integer sums (the engine's
+    // crossJoin stitches == these CROSS JOINs).
+    "q225_graph_datasheet" ->
+      s"""$LpaOracleCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |deg AS (SELECT node, count(*) AS deg FROM
+         |          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY node),
+         |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |                  THEN u.a ELSE u.b END AS u,
+         |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |                  THEN u.b ELSE u.a END AS v
+         |        FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+         |od AS (SELECT o.u, o.v, d.deg AS deg_v FROM o JOIN deg d ON d.node = o.v),
+         |wdg AS (SELECT x.u AS u, x.v AS v, y.v AS w
+         |          FROM od x JOIN od y ON x.u = y.u
+         |         WHERE x.deg_v < y.deg_v OR (x.deg_v = y.deg_v AND x.v < y.v)),
+         |t AS (SELECT u, v, w FROM wdg
+         |       WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wdg.v AND o.v = wdg.w)),
+         |tri AS (SELECT 3 * count(*) AS tri3 FROM t),
+         |wd AS (SELECT sum(deg * (deg - 1)) AS wedges2 FROM deg),
+         |mo AS (SELECT sum(da.deg + db.deg) AS sx,
+         |              sum(da.deg * db.deg) AS sxy,
+         |              sum(da.deg * da.deg + db.deg * db.deg) AS sxx
+         |         FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+         |nn AS (SELECT count(*) AS n_nodes FROM
+         |         (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))),
+         |nd AS (SELECT count(*) AS n_edges_dir FROM e),
+         |mu AS (SELECT count(*) AS n_edges_und FROM und),
+         |rc AS (SELECT count(*) AS n_recip_dir FROM e
+         |        WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)),
+         |jj AS (SELECT x.lab AS ca, y.lab AS cb
+         |         FROM und u JOIN l$LpaRounds x ON x.node = u.a
+         |         JOIN l$LpaRounds y ON y.node = u.b),
+         |intra AS (SELECT ca AS community, count(*) AS intra_edges
+         |            FROM jj WHERE ca = cb GROUP BY ca),
+         |vol AS (SELECT l.lab AS community, sum(d.deg) AS volume
+         |          FROM l$LpaRounds l JOIN deg d ON d.node = l.node
+         |         GROUP BY l.lab),
+         |agg AS (SELECT count(*) AS nc,
+         |               sum(COALESCE(i.intra_edges, 0)) AS s_intra,
+         |               sum(v.volume * v.volume) AS s_vol2
+         |          FROM vol v LEFT JOIN intra i USING (community))
+         |SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(nd.n_edges_dir AS BIGINT) AS n_edges_dir,
+         |       CAST(mu.n_edges_und AS BIGINT) AS n_edges_und,
+         |       round(CAST(rc.n_recip_dir AS DOUBLE)
+         |             / CAST(nd.n_edges_dir AS DOUBLE), 6) AS reciprocity,
+         |       round(CAST(2 * tri.tri3 AS DOUBLE)
+         |             / CAST(wd.wedges2 AS DOUBLE), 6) AS global_clustering,
+         |       round(CAST(2 * mu.n_edges_und * 2 * mo.sxy - mo.sx * mo.sx AS DOUBLE)
+         |             / CAST(2 * mu.n_edges_und * mo.sxx - mo.sx * mo.sx AS DOUBLE), 6)
+         |         AS assortativity,
+         |       CAST(agg.nc AS BIGINT) AS n_communities,
+         |       round(CAST(4 * mu.n_edges_und * agg.s_intra - agg.s_vol2 AS DOUBLE)
+         |             / CAST(4 * mu.n_edges_und * mu.n_edges_und AS DOUBLE), 6)
+         |         AS lpa_modularity
+         |  FROM nn CROSS JOIN nd CROSS JOIN mu CROSS JOIN rc CROSS JOIN tri
+         |  CROSS JOIN wd CROSS JOIN mo CROSS JOIN agg""".stripMargin,
 
     // q55 + q87 frames → binary gates on the 4-dp published scores →
     // Cohen's κ via the integer closed form (one division, hash-exact);

@@ -524,6 +524,26 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got.values.toSet.size >= 2, "the bridge must not merge the cliques")
   }
 
+  test("graphDatasheet: hand truth on the bridged two-clique graph with one reciprocal edge") {
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    // directed: cliques one-way + bridge + ONE reverse edge (1→0)
+    val es = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L), (1L, 0L))
+    val got = LinkGraph.graphDatasheet(es.toDF("src", "dst"), lpaRounds = 3)
+      .as[(Long, Long, Long, Double, Double, Double, Long, Double)].collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === 8L) // nodes
+    assert(got._2 === 14L) // directed edges (13 und + 1 reverse)
+    assert(got._3 === 13L) // undirected
+    assert(got._4 === r6(2.0 / 14)) // the 0↔1 pair: both directions reciprocated
+    // triangles: each K4 has 4; bridge adds none → T = 8.
+    // wedges: Σd(d−1)/2 = (6 nodes deg 3 → 3) + (2 nodes deg 4 → 6) = 18+12 = 30
+    assert(got._5 === r6(3.0 * 8 / 30))
+    // LPA on the bridged cliques → two communities (pinned earlier) → Q matches q222's truth
+    assert(got._7 === 2L)
+    assert(got._8 === r6(286.0 / 676))
+  }
+
   test("communityQuality + modularityQ: hand truth on the bridged two-clique graph") {
     def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
     val es = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
