@@ -1627,6 +1627,51 @@ object Corpus {
     * TakeOrderedAndProject (never a global window). ln arguments are
     * exact-integer-valued doubles composed in the identical expression
     * order in the oracle; round(…,4) absorbs ulp drift (q87 discipline). */
+  /** Log-likelihood-ratio collocations (Dunning, "Accurate Methods for
+    * the Statistics of Surprise and Coincidence", CL'93) — the robust
+    * sibling of [[pmiCollocations]]: PMI overweights rare pairs (a
+    * 5/5/5 coincidence maxes it out), while G² grows with EVIDENCE, so
+    * the ranking surfaces collocations a tokenizer should actually
+    * fuse. Per adjacent bigram the 2×2 contingency against the bigram
+    * stream (k11 = c12, rows/cols = first/second-word marginals), G² =
+    * 2·Σ k·ln(k·N/(R·C)) over the nonzero cells — each term spelled
+    * with identical operand order in the oracle (one expression per
+    * cell, fixed 4-term sum → bit-identical doubles; 4-dp output).
+    * Shapes: q200's (bigram hash aggs, marginal reaggregation, 1-row
+    * broadcast total, TakeOrderedAndProject top-k). */
+  def llrCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.Column
+    val toks = docs.select(split(col("text"), " ").as("t"))
+    val biAll = toks
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull) // q87 pattern
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val rowM = biAll.groupBy("w1").agg(sum("c12").as("c1s"))
+    val colM = biAll.groupBy("w2").agg(sum("c12").as("c2s"))
+    val nTot = biAll.agg(sum("c12").as("nn"))
+    def cell(kc: Column, r: Column, c: Column, n: Column): Column =
+      when(kc > 0, kc.cast("double") *
+        (log(kc.cast("double")) + log(n.cast("double")) -
+          log(r.cast("double")) - log(c.cast("double"))))
+        .otherwise(lit(0.0))
+    val n = col("nn")
+    biAll.filter(col("c12") >= minCount)
+      .join(rowM, Seq("w1")).join(colM, Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1s"), col("c2s"),
+        round(lit(2.0) * (
+          cell(col("c12"), col("c1s"), col("c2s"), n) +
+            cell(col("c1s") - col("c12"), col("c1s"), n - col("c2s"), n) +
+            cell(col("c2s") - col("c12"), n - col("c1s"), col("c2s"), n) +
+            cell(n - col("c1s") - col("c2s") + col("c12"),
+              n - col("c1s"), n - col("c2s"), n)), 4).as("llr"))
+      .orderBy(col("llr").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
     val toks = docs.select(split(col("text"), " ").as("t"))
     val uni = toks.select(explode(col("t")).as("w"))

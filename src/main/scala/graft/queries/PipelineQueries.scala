@@ -793,6 +793,13 @@ object PipelineQueries {
     "q225_graph_datasheet" -> ((s, dir) =>
       graft.operators.LinkGraph.graphDatasheet(linkEdges(s, dir), LpaRounds)),
 
+    // round 5: Dunning G² collocations (CL'93) — the evidence-weighted
+    // sibling of q200's PMI (which overweights rare coincidences);
+    // 2×2 contingency per bigram, fixed 4-term expression mirrored
+    // operand-for-operand in the oracle.
+    "q226_llr_collocations" -> ((s, dir) =>
+      Corpus.llrCollocations(docs(s, dir), minCount = 5L, k = 50)),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -3069,6 +3076,37 @@ object PipelineQueries {
          |       round(CAST(4 * mm.m * agg.s_intra - agg.s_vol2 AS DOUBLE)
          |             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS q_modularity
          |  FROM agg CROSS JOIN mm""".stripMargin,
+
+    // q200's bigram frames, the marginals re-aggregated from the SAME
+    // bigram relation; each G² cell spelled operand-for-operand as the
+    // engine's (k·(ln k + ln N − ln R − ln C), left-assoc), the 4-cell
+    // sum in the same fixed order, rank on the 4-dp score.
+    "q226_llr_collocations" -> {
+      def cell(k: String, r: String, c: String) =
+        s"""CASE WHEN $k > 0
+           |     THEN CAST($k AS DOUBLE) * (ln(CAST($k AS DOUBLE)) + ln(nd)
+           |          - ln(CAST($r AS DOUBLE)) - ln(CAST($c AS DOUBLE)))
+           |     ELSE CAST(0 AS DOUBLE) END""".stripMargin.replace("\n", " ")
+      s"""WITH tk AS (SELECT string_split(text,' ') AS t FROM documents),
+         |bi AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c12 FROM
+         |         (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+         |                  i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+         |            FROM tk)
+         |        GROUP BY 1, 2),
+         |rm AS (SELECT w1, sum(c12) AS c1s FROM bi GROUP BY w1),
+         |cm AS (SELECT w2, sum(c12) AS c2s FROM bi GROUP BY w2),
+         |nn AS (SELECT sum(c12) AS n, CAST(sum(c12) AS DOUBLE) AS nd FROM bi)
+         |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         |       CAST(c1s AS BIGINT) AS c1s, CAST(c2s AS BIGINT) AS c2s,
+         |       round(CAST(2 AS DOUBLE) * (
+         |         ${cell("c12", "c1s", "c2s")} +
+         |         ${cell("c1s - c12", "c1s", "n - c2s")} +
+         |         ${cell("c2s - c12", "n - c1s", "c2s")} +
+         |         ${cell("n - c1s - c2s + c12", "n - c1s", "n - c2s")}), 4) AS llr
+         |  FROM bi JOIN rm USING (w1) JOIN cm USING (w2) CROSS JOIN nn
+         | WHERE c12 >= 5
+         | ORDER BY llr DESC, w1, w2 LIMIT 50""".stripMargin
+    },
 
     // the q210/q211/q216/q222 frames composed into one row: each
     // statistic is a division of exact integer sums (the engine's

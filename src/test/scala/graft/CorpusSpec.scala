@@ -1415,6 +1415,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(merged === ((global._1, global._2, global._3, global._4)))
   }
 
+  test("llrCollocations == scalar Dunning G²; evidence outranks a rare coincidence") {
+    // "of course" occurs 6× with strong evidence; "rare pair" once —
+    // PMI would favor the singleton, G² must rank the evidenced pair
+    val docs = Seq(
+      (1L, "of course the plan works of course it does of course yes"),
+      (2L, "of course the market moves of course the index follows"),
+      (3L, "rare pair appears once here with other words around it"),
+      (4L, "of course filler text and more filler text again now"))
+      .toDF("doc_id", "text")
+    val bigrams = docs.as[(Long, String)].collect().flatMap { case (_, t) =>
+      t.split(" ").sliding(2).map(a => (a(0), a(1)))
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1s = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c2s = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = bigrams.length.toLong
+    def cell(k: Long, r: Long, c: Long): Double =
+      if (k > 0) k.toDouble * (math.log(k.toDouble) + math.log(n.toDouble) -
+        math.log(r.toDouble) - math.log(c.toDouble))
+      else 0.0
+    def llr(w1: String, w2: String): Double = {
+      val k11 = c12((w1, w2)); val r = c1s(w1); val c = c2s(w2)
+      val raw = 2.0 * (cell(k11, r, c) + cell(r - k11, r, n - c) +
+        cell(c - k11, n - r, c) + cell(n - r - c + k11, n - r, n - c))
+      math.round(raw * 10000).toDouble / 10000
+    }
+    val truth = c12.keys.filter(p => c12(p) >= 2).toSeq
+      .map { case (w1, w2) => (w1, w2, llr(w1, w2)) }
+      .sortBy { case (w1, w2, s) => (-s, w1, w2) }
+    val got = Corpus.llrCollocations(docs, minCount = 2L, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(g => (g._1, g._2)) === truth.take(10).map(t => (t._1, t._2)))
+    got.zip(truth).foreach { case (g, t) =>
+      assert(math.abs(g._6 - t._3) < 1e-9, s"${g._1} ${g._2}")
+    }
+    assert(got.head._1 === "of" && got.head._2 === "course",
+      "the evidenced collocation must rank first")
+  }
+
   test("bloomDecontaminate == exact decontaminate; identity survives an absurd fpp") {
     val docs = TestSpark.spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val pred = col("doc_id") % 5 === 0
