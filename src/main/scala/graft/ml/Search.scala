@@ -1376,6 +1376,60 @@ object Search {
         round(col("vbyte_bytes").cast("double") / col("raw_bytes"), 4))
   }
 
+  /** Rank-biased precision (Moffat & Zobel, "Rank-Biased Precision for
+    * Measurement of Retrieval Effectiveness", TOIS 2008) — the
+    * user-model eval metric next to [[retrievalEval]]'s P@k/MRR/NDCG:
+    * a reader inspects rank 1 and continues with persistence p, so
+    * RBP = (1−p)·Σ relᵢ·p^(i−1); the residual p^k bounds how much an
+    * unjudged tail could still add (the metric's built-in uncertainty,
+    * the reason TREC adopted it for shallow judgments). Relevance =
+    * q153's conjunctive definition.
+    *
+    * Exactness device: p is the RATIONAL pNum/pDen, so every weight
+    * (1−p)p^(i−1) scaled by pDen^k is the exact integer
+    * (pDen−pNum)·pNum^(i−1)·pDen^(k−i) — the weights are
+    * Scala-computed and interpolated into the oracle (a2 discipline),
+    * the weighted sum is an integer, and RBP/residual are one double
+    * division each. The rank frame is the k-row post-limit dim. */
+  def rbpEval(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      pNum: Int = 4, pDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty && k >= 1 && 0 < pNum && pNum < pDen,
+      "need terms, positive k, 0 < p < 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = scoresRaw(docs, queryTerms)
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+    val rel = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term").isin(queryTerms.map(t => t: Any): _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("nq"))
+      .filter(col("nq") === queryTerms.length)
+      .select(col("doc_id"), lit(1L).as("rel"))
+    val weights = rbpWeights(k, pNum, pDen).toSeq.toDF("rank", "wt")
+    // exact integer powers widened to double (≤ 2^52), then one
+    // correctly-rounded division — deterministic, unlike math.pow
+    val denom = BigInt(pDen).pow(k).toDouble
+    val residual = BigInt(pNum).pow(k).toDouble / denom
+    ranked.join(rel, Seq("doc_id"), "left").na.fill(0L, Seq("rel"))
+      .join(broadcast(weights), Seq("rank"))
+      .agg(count(lit(1)).as("n_ranked"), sum("rel").as("n_hits"),
+        sum(col("rel") * col("wt")).as("num"))
+      .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_relevant"))))
+      .select(lit(k).as("k"), col("n_relevant"), col("n_hits"),
+        round(col("num").cast("double") / lit(denom), 6).as("rbp"),
+        round(lit(residual), 6).as("rbp_residual"))
+  }
+
+  /** The exact integer RBP weights (rank → (pDen−pNum)·pNum^(r−1)·
+    * pDen^(k−r)) — shared with the oracle via interpolation. */
+  def rbpWeights(k: Int, pNum: Int, pDen: Int): Seq[(Int, Long)] =
+    (1 to k).map(i => i ->
+      (BigInt(pDen - pNum) * BigInt(pNum).pow(i - 1) * BigInt(pDen).pow(k - i))
+        .toLong)
+
   /** Elias–Fano posting-list size audit — the succinct-encoding
     * companion of [[postingCompressionAudit]] (Elias '74 / Fano '71;
     * Vigna, "Quasi-succinct indices", WSDM'13 made it the modern

@@ -266,4 +266,33 @@ object PageHygiene {
       hasCode.as("has_code"),
       (score >= 3).as("soft404"))
   }
+
+  /** Lexical URL-feature audit (the URL-only spam/trap signals of
+    * Ntoulas, Najork, Manasse & Fetterly, "Detecting spam web pages
+    * through content analysis", WWW'06 §4 — URL length and
+    * composition are among their strongest cheap features; also the
+    * pre-fetch half of q86's crawl-trap mining): per DISTINCT url the
+    * length, path depth, digit/percent-escape counts, query-string
+    * flag, subdomain depth, and an integer gate score (long + digity +
+    * escaped + query). Pure map stage over the distinct-url dim — no
+    * joins, no windows; every output is an integer or boolean, so the
+    * relation is hash-exact. */
+  def urlFeatureAudit(pages: DataFrame): DataFrame = {
+    val u = pages.select(col("url")).distinct()
+    val hostp = substring_index(substring_index(col("url"), "://", -1), "/", 1)
+    def stripped(re: String) = length(regexp_replace(col("url"), re, ""))
+    u.select(col("url"),
+      length(col("url")).cast("int").as("url_len"),
+      (length(col("url")) - stripped("/") - lit(2)).cast("int").as("path_depth"),
+      stripped("[^0-9]").cast("int").as("n_digits"),
+      (length(col("url")) - stripped("%")).cast("int").as("n_pct"),
+      col("url").contains("?").as("has_query"),
+      (length(hostp) - length(regexp_replace(hostp, "\\.", "")))
+        .cast("int").as("subdomain_depth"))
+      .withColumn("spam_score",
+        (when(col("url_len") > 60, 1).otherwise(0) +
+          when(col("n_digits") > 6, 1).otherwise(0) +
+          when(col("n_pct") > 0, 1).otherwise(0) +
+          when(col("has_query"), 1).otherwise(0)).cast("int"))
+  }
 }

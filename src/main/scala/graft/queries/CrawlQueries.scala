@@ -528,6 +528,12 @@ object CrawlQueries {
           encode(injected, "UTF-8").as("html")))
     }),
 
+    // round 5: lexical URL-feature audit (Ntoulas et al. WWW'06 §4's
+    // URL-only spam features; the pre-fetch half of q86's trap mining)
+    // — distinct-url dim, pure map stage, all-integer/boolean outputs.
+    "q228_url_features" -> ((s, dir) =>
+      graft.operators.PageHygiene.urlFeatureAudit(pages(s, dir))),
+
     // round 5: soft-404 detection — "200 OK" error pages classified from
     // extracted-text features (hard phrase + error-code token + short
     // body); article captures whose url-derived doc_id % 19 == 6 carry an
@@ -1079,6 +1085,30 @@ object CrawlQueries {
       s"""$PagesCte
          |SELECT url, warc_ts, lang FROM pages
          | WHERE warc_ts < TIMESTAMP '2024-01-01 02:00:00'""".stripMargin,
+
+    // per-feature string arithmetic spelled to the same integers (counts
+    // as length deltas); the gate sum mirrors the engine's CASE chain.
+    "q228_url_features" ->
+      s"""$PagesCte,
+         |u AS (SELECT DISTINCT pages.url AS url FROM pages),
+         |h AS (SELECT url, split_part(split_part(url, '://', 2), '/', 1) AS hostp FROM u),
+         |f AS (SELECT url,
+         |             CAST(length(url) AS INT) AS url_len,
+         |             CAST(length(url) - length(replace(url, '/', '')) - 2 AS INT)
+         |               AS path_depth,
+         |             CAST(length(regexp_replace(url, '[^0-9]', '', 'g')) AS INT)
+         |               AS n_digits,
+         |             CAST(length(url) - length(replace(url, '%', '')) AS INT) AS n_pct,
+         |             contains(url, '?') AS has_query,
+         |             CAST(length(hostp) - length(replace(hostp, '.', '')) AS INT)
+         |               AS subdomain_depth
+         |        FROM h)
+         |SELECT url, url_len, path_depth, n_digits, n_pct, has_query, subdomain_depth,
+         |       CAST((CASE WHEN url_len > 60 THEN 1 ELSE 0 END)
+         |            + (CASE WHEN n_digits > 6 THEN 1 ELSE 0 END)
+         |            + (CASE WHEN n_pct > 0 THEN 1 ELSE 0 END)
+         |            + (CASE WHEN has_query THEN 1 ELSE 0 END) AS INT) AS spam_score
+         |  FROM f""".stripMargin,
 
     "q02_canonicalize" ->
       s"""$PagesCte

@@ -800,6 +800,13 @@ object PipelineQueries {
     "q226_llr_collocations" -> ((s, dir) =>
       Corpus.llrCollocations(docs(s, dir), minCount = 5L, k = 50)),
 
+    // round 5: rank-biased precision + residual (Moffat & Zobel, TOIS
+    // 2008) — the persistence-model eval next to q153; p = 4/5 kept
+    // RATIONAL so the weighted sum is exact integer arithmetic
+    // (weights Scala-computed, interpolated into the oracle).
+    "q227_rbp" -> ((s, dir) =>
+      Search.rbpEval(docs(s, dir), Bm25QueryTerms, RbpK, RbpPNum, RbpPDen)),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -1254,6 +1261,13 @@ object PipelineQueries {
     * interpolated into the oracle. */
   val KappaUniT: Double = -3.402
   val KappaBiT: Double = -3.386
+
+  /** q227's RBP depth and rational persistence p = pNum/pDen —
+    * interpolated into the oracle together with the Scala-computed
+    * integer weight table (the a2 discipline). */
+  val RbpK: Int = 10
+  val RbpPNum: Int = 4
+  val RbpPDen: Int = 5
 
   /** Shared q216/q221/q222 oracle CTE: the LinkEdges base + the
     * [[LpaRounds]] unrolled label-propagation rounds, ending with the
@@ -3076,6 +3090,46 @@ object PipelineQueries {
          |       round(CAST(4 * mm.m * agg.s_intra - agg.s_vol2 AS DOUBLE)
          |             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS q_modularity
          |  FROM agg CROSS JOIN mm""".stripMargin,
+
+    // q153's ranked/relevant frames; the weighted sum is an INTEGER
+    // (Scala-computed rational-p weights interpolated as a VALUES dim),
+    // one division against the interpolated pDen^k.
+    "q227_rbp" -> {
+      val wts = graft.ml.Search.rbpWeights(RbpK, RbpPNum, RbpPDen)
+        .map { case (r, w) => s"($r, $w)" }.mkString(", ")
+      val denom = BigInt(RbpPDen).pow(RbpK)
+      val residual = BigInt(RbpPNum).pow(RbpK).toDouble / denom.toDouble
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(t) AS term FROM tk) AS u
+         |        WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |        GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |              round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${graft.ml.Search.K1 + 1}
+         |                        / (tf + ${graft.ml.Search.K1} * (${1 - graft.ml.Search.B} + ${graft.ml.Search.B} * dl / avgdl))), 4) AS s
+         |         FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+         |        GROUP BY doc_id),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+         |        FROM (SELECT * FROM sc ORDER BY s DESC, doc_id LIMIT $RbpK)),
+         |rel AS (SELECT doc_id FROM
+         |          (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+         |             FROM documents) AS x
+         |         WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(",")})
+         |         GROUP BY doc_id HAVING count(*) = ${Bm25QueryTerms.length}),
+         |nr AS (SELECT count(*) AS n_relevant FROM rel),
+         |w(rank, wt) AS (SELECT * FROM (VALUES $wts)),
+         |j AS (SELECT w.wt, CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |        FROM r JOIN w USING (rank) LEFT JOIN rel USING (doc_id))
+         |SELECT CAST($RbpK AS INT) AS k, CAST(nr.n_relevant AS BIGINT) AS n_relevant,
+         |       CAST(sum(j.rel) AS BIGINT) AS n_hits,
+         |       round(CAST(sum(j.rel * j.wt) AS DOUBLE)
+         |             / CAST('${denom.toDouble}' AS DOUBLE), 6) AS rbp,
+         |       round(CAST('$residual' AS DOUBLE), 6) AS rbp_residual
+         |  FROM j CROSS JOIN nr GROUP BY nr.n_relevant""".stripMargin
+    },
 
     // q200's bigram frames, the marginals re-aggregated from the SAME
     // bigram relation; each G² cell spelled operand-for-operand as the

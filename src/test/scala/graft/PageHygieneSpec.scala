@@ -186,4 +186,25 @@ class PageHygieneSpec extends AnyFunSuite {
       "articles/([0-9]+)".r.findFirstMatchIn(u).exists(_.group(1).toLong % 19 == 6)
     })
   }
+
+  test("urlFeatureAudit: hand truth across the feature gates") {
+    val pages = Seq(
+      "https://a.b.example.com/p/1?x=2",           // query + 3-dot host
+      "https://ex.com/a/b/c/d",                    // depth 4
+      "https://ex.com/%41%42",                     // escapes
+      "https://ex.com/" + ("z" * 60) + "123456789" // long + digity
+    ).toDF("url")
+    val got = PageHygiene.urlFeatureAudit(pages)
+      .as[(String, Int, Int, Int, Int, Boolean, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("https://a.b.example.com/p/1?x=2") ===
+      (("https://a.b.example.com/p/1?x=2", 31, 2, 2, 0, true, 3, 1)))
+    assert(got("https://ex.com/a/b/c/d") ===
+      (("https://ex.com/a/b/c/d", 22, 4, 0, 0, false, 1, 0)))
+    assert(got("https://ex.com/%41%42") ===
+      (("https://ex.com/%41%42", 21, 1, 4, 2, false, 1, 1)))
+    val long = got.keys.find(_.length > 60).get
+    val r = got(long)
+    assert(r._2 === 84 && r._4 === 9 && r._8 === 2, s"long url row: $r")
+  }
 }

@@ -1164,6 +1164,37 @@ class SearchSpec extends AnyFunSuite {
     assert(opp._7 === -1.0)
   }
 
+  test("rbpEval == scalar weighted truth; exact rational residual") {
+    val docs = Seq(
+      (1L, "spark streaming beats batch spark wins here"),
+      (2L, "spark streaming again in this longer doc with filler words"),
+      (3L, "spark only no second term present here today"),
+      (4L, "streaming only text with some other words here"),
+      (5L, "nothing relevant in this document at all"))
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "streaming")
+    val k = 4
+    val scores = Search.bm25Scores(docs, terms).as[(Long, Double)].collect().toMap
+    val relevant = Set(1L, 2L) // contain BOTH terms
+    val ranked = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    val w = Search.rbpWeights(k, 4, 5).toMap // denom 5^4 = 625
+    val num = ranked.zipWithIndex.collect {
+      case (id, i) if relevant(id) => w(i + 1)
+    }.sum
+    val rbpTruth = BigDecimal(num.toDouble / 625.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Search.rbpEval(docs, terms, k)
+      .as[(Int, Long, Long, Double, Double)].collect().head
+    assert(got._1 === k)
+    assert(got._2 === relevant.size.toLong)
+    assert(got._3 === ranked.count(relevant).toLong)
+    assert(got._4 === rbpTruth)
+    assert(got._5 === BigDecimal(256.0 / 625.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) // p^k = 0.4096
+    // the residual bounds what an unjudged tail could add: rbp + residual ≤ 1
+    assert(got._4 + got._5 <= 1.0 + 1e-9)
+  }
+
   // ---- round 5 (sixth session): Elias–Fano audit / MMR ----
 
   test("eliasFanoAudit: scalar EF + VByte formulas on hand posting lists") {
