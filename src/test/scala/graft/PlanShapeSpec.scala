@@ -567,6 +567,68 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q221/q222 community grading: equi-joins + 1-row attaches only") {
+    withStaticPlans {
+      for (q <- Seq("q221_community_quality", "q222_modularity")) {
+        val df = graft.SparkEntry.queries(q)(spark, TestSpark.Sf0001)
+        val plan = df.queryExecution.executedPlan
+        val bnl = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        // every nested loop is a 1-row stat attach (m total / modularity
+        // sums) — possibly column-pruned to an EMPTY output when only
+        // its cardinality-1 effect is used
+        val statCols = Set("m", "n_communities", "s_intra", "s_vol2")
+        for (j <- bnl) {
+          val sides = Seq(j.children.head.output.map(_.name),
+            j.children.last.output.map(_.name))
+          assert(sides.exists(s => s.forall(statCols)),
+            s"$q: a nested loop that is not the 1-row attach: $sides")
+        }
+      }
+    }
+  }
+
+  test("q224 bloom decontam: the bloom probe filters BEFORE the join exchange") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q224_bloom_decontam")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      // the probe UDF must appear in a Filter that sits BELOW the join:
+      // walk the plan; the filter containing the UDF must have a scan
+      // (not a join) subtree — i.e. it prunes the corpus side map-side
+      val filters = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("UDF") => f
+      }
+      assert(filters.nonEmpty, s"no bloom-probe filter found:\n$plan")
+      assert(filters.exists(f => f.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.isEmpty), s"the probe must prune BEFORE any join, not after:\n$plan")
+    }
+  }
+
+  test("q226 llr: top-k is TakeOrderedAndProject; totals are 1-row attaches") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("q226_llr_collocations")(spark, TestSpark.Sf0001)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"global top-50 must plan as TakeOrderedAndProject:\n$plan")
+      val bnl = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      for (j <- bnl) {
+        val sides = Seq(j.children.head.output.map(_.name),
+          j.children.last.output.map(_.name))
+        assert(sides.exists(s => s.nonEmpty && s.forall(Set("nn"))),
+          s"a BNLJ that is not the 1-row total attach: $sides")
+      }
+    }
+  }
+
   test("q212 harmonic (exact host grain): hash joins/aggs only — no window, no nested loop") {
     withStaticPlans {
       // the pair-table state is built via localCheckpoint rounds; pin the
