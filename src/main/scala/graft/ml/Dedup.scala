@@ -357,6 +357,42 @@ object Dedup {
   def spotSigPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     ngramJaccardPairsFrom(spotSigFrame(docs), threshold)
 
+  /** Dedup-family agreement matrix — the audit a pipeline runs before
+    * deciding which near-dup tiers to KEEP: for every pair of methods,
+    * how many candidate pairs each finds, how many they share, and the
+    * Jaccard of their pair SETS. A tier whose pairs are ⊂ another's
+    * (agreement ≈ n_m1/n_m2) is redundant; a tier with near-zero
+    * agreement prunes an independent duplication mode (the q223 κ idea
+    * at the operator grain). Input: method-name → (a, b, …) pair
+    * relation (directed relations should be normalized by the caller).
+    * All counts are integers; agreement is one division (6 dp). The
+    * self-join runs on pair KEYS (two 8-byte ids) — pair-set-sized,
+    * never corpus-sized. */
+  def dedupAgreement(methods: Map[String, DataFrame]): DataFrame = {
+    require(methods.size >= 2, "need at least two methods")
+    val tagged = methods.toSeq.sortBy(_._1).map { case (m, df) =>
+      df.select(lit(m).as("method"),
+        least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+    }.reduce(_ unionByName _)
+    val counts = tagged.groupBy("method").agg(count(lit(1)).as("n"))
+    val inter = tagged.as("x")
+      .join(tagged.as("y"),
+        col("x.a") === col("y.a") && col("x.b") === col("y.b") &&
+          col("x.method") < col("y.method"))
+      .groupBy(col("x.method").as("m1"), col("y.method").as("m2"))
+      .agg(count(lit(1)).as("n_both"))
+    val pairsOfMethods = counts.select(col("method").as("m1"), col("n").as("n_1"))
+      .join(counts.select(col("method").as("m2"), col("n").as("n_2")),
+        col("m1") < col("m2"))
+    pairsOfMethods.join(inter, Seq("m1", "m2"), "left")
+      .select(col("m1"), col("m2"), col("n_1"), col("n_2"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+      .withColumn("agreement",
+        round(col("n_both").cast("double") /
+          (col("n_1") + col("n_2") - col("n_both")).cast("double"), 6))
+  }
+
   /** [[ngramJaccardPairs]] over a precomputed [[shingleFrame]]. */
   def ngramJaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

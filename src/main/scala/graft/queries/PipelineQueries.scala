@@ -807,6 +807,19 @@ object PipelineQueries {
     "q227_rbp" -> ((s, dir) =>
       Search.rbpEval(docs(s, dir), Bm25QueryTerms, RbpK, RbpPNum, RbpPDen)),
 
+    // round 5: dedup-family agreement matrix — pair-set Jaccard between
+    // the four proven near-dup tiers at their standard thresholds (the
+    // q223 κ idea at the operator grain: which tier is redundant, which
+    // prunes an independent duplication mode).
+    "q229_dedup_agreement" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupAgreement(Map(
+        "containment" -> Dedup.containmentPairs(d, threshold = 0.8),
+        "minhash" -> Dedup.minhashPairs(d, threshold = 0.95),
+        "ngram" -> ngramPairs(s, dir, 0.5),
+        "spotsigs" -> Dedup.spotSigPairs(d, SpotSigThreshold)))
+    }),
+
     // Mergeable frequency heavy-hitters sketch (DataSketches ItemsSketch)
     // per source. At the fixture's 31-token vocabulary the 64-counter
     // sketch never purges → EXACT regime (est == lb == ub == true count),
@@ -3090,6 +3103,72 @@ object PipelineQueries {
          |       round(CAST(4 * mm.m * agg.s_intra - agg.s_vol2 AS DOUBLE)
          |             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS q_modularity
          |  FROM agg CROSS JOIN mm""".stripMargin,
+
+    // the four pair relations rebuilt from their PROVEN oracle shapes
+    // (q33 / q31-validity / q84-normalized / q217), tagged and matrixed;
+    // all counts integers, agreement one division.
+    "q229_dedup_agreement" -> {
+      val ants = graft.ml.Dedup.SpotAntecedents.map(a => s"'$a'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+         |sh3 AS (SELECT doc_id, lang,
+         |         list_distinct(list_transform(generate_series(1, len(t)-2),
+         |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM toks),
+         |png AS (SELECT a, b FROM (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |         round(len(list_intersect(a.s, b.s)) * 1.0
+         |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS j
+         |    FROM sh3 a JOIN sh3 b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+         | WHERE j >= 0.5),
+         |tsets AS (SELECT doc_id, list_sort(list_distinct(t)) AS ts FROM toks),
+         |reps AS (SELECT min(doc_id) AS rep, ts FROM tsets GROUP BY ts),
+         |pmh AS (SELECT a, b FROM (
+         |  SELECT a.rep AS a, b.rep AS b,
+         |         round(len(list_intersect(a.ts, b.ts)) * 1.0
+         |               / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS j
+         |    FROM reps a JOIN reps b ON a.rep < b.rep) p
+         | WHERE j >= 0.95),
+         |pctd AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |    FROM sh3 a JOIN sh3 b
+         |      ON a.lang = b.lang AND a.doc_id <> b.doc_id AND len(a.s) > 0
+         |   WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 4) >= 0.8) q),
+         |sp AS (SELECT doc_id, lang,
+         |         list_distinct(list_filter(
+         |           list_transform(generate_series(1, len(t)), i ->
+         |             CASE WHEN t[i] IN ($ants)
+         |                  THEN t[i] || ':' || array_to_string(
+         |                         list_slice(list_filter(list_slice(t, i + 1, len(t)),
+         |                                                x -> x NOT IN ($ants)),
+         |                                    1, 2), ' ')
+         |                  ELSE NULL END),
+         |           x -> x IS NOT NULL AND NOT x LIKE '%:')) AS s
+         |    FROM toks),
+         |psp AS (SELECT a, b FROM (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |         round(len(list_intersect(a.s, b.s)) * 1.0
+         |               / len(list_distinct(list_concat(a.s, b.s))), 4) AS j
+         |    FROM sp a JOIN sp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |   WHERE len(a.s) > 0 AND len(b.s) > 0) p
+         | WHERE j >= $SpotSigThreshold),
+         |tg AS (SELECT 'containment' AS method, a, b FROM pctd
+         |       UNION ALL SELECT 'minhash', a, b FROM pmh
+         |       UNION ALL SELECT 'ngram', a, b FROM png
+         |       UNION ALL SELECT 'spotsigs', a, b FROM psp),
+         |cnt AS (SELECT method, count(*) AS n FROM tg GROUP BY method),
+         |itr AS (SELECT x.method AS m1, y.method AS m2, count(*) AS n_both
+         |          FROM tg x JOIN tg y
+         |            ON x.a = y.a AND x.b = y.b AND x.method < y.method
+         |         GROUP BY 1, 2),
+         |pm AS (SELECT c1.method AS m1, c1.n AS n_1, c2.method AS m2, c2.n AS n_2
+         |         FROM cnt c1 JOIN cnt c2 ON c1.method < c2.method)
+         |SELECT pm.m1, pm.m2, CAST(n_1 AS BIGINT) AS n_1, CAST(n_2 AS BIGINT) AS n_2,
+         |       CAST(COALESCE(itr.n_both, 0) AS BIGINT) AS n_both,
+         |       round(CAST(COALESCE(itr.n_both, 0) AS DOUBLE)
+         |             / CAST(n_1 + n_2 - COALESCE(itr.n_both, 0) AS DOUBLE), 6)
+         |         AS agreement
+         |  FROM pm LEFT JOIN itr ON itr.m1 = pm.m1 AND itr.m2 = pm.m2""".stripMargin
+    },
 
     // q153's ranked/relevant frames; the weighted sum is an INTEGER
     // (Scala-computed rational-p weights interpolated as a VALUES dim),

@@ -856,6 +856,19 @@ class MlSpec extends AnyFunSuite {
     assert(got(3L) === ((Set("the:dog barks"), 1)))
   }
 
+  test("dedupAgreement: hand truth — subset, disjoint, and empty-intersection methods") {
+    val m1 = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b") // superset
+    val m2 = Seq((2L, 1L), (3L, 4L)).toDF("a", "b")           // ⊂ m1, one reversed
+    val m3 = Seq((7L, 8L)).toDF("a", "b")                     // disjoint
+    val got = graft.ml.Dedup.dedupAgreement(Map("x1" -> m1, "x2" -> m2, "x3" -> m3))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("x1", "x2")) === (("x1", "x2", 3L, 2L, 2L, r6(2.0 / 3))))
+    assert(got(("x1", "x3")) === (("x1", "x3", 3L, 1L, 0L, 0.0)))
+    assert(got(("x2", "x3")) === (("x2", "x3", 2L, 1L, 0L, 0.0)))
+  }
+
   test("spotSigPairs == all-pairs truth; boilerplate noise cannot break the match") {
     // 1 and 2 share the natural-language spans but 2 carries a stopword-
     // POOR boilerplate tail — SpotSigs ignores it (the paper's point);
