@@ -3,6 +3,8 @@ package graft.ml
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Rounds
+
 /** Corpus-level training-data operations that sit ON TOP of the dedup /
   * similarity primitives: turning near-dup PAIRS into duplicate CLUSTERS
   * (connected components), decontaminating a corpus against an eval set,
@@ -257,16 +259,20 @@ object Corpus {
       .union(edges.select(col("dst").as("node"))).distinct()
     val nCount = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     val teleport = (1.0 - damping) // Scala-evaluated; oracle interpolates it
-    var ranks = nodes.crossJoin(broadcast(nCount))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
-    for (_ <- 1 to iters) {
+    // Per-round lineage truncation (r6) — see graft.operators.Rounds'
+    // scaladoc: the unrolled tree's Catalyst cost, not execution,
+    // dominated the graph entries' walls at the pinned 3 rounds.
+    val ranks = Rounds.iterate(
+      nodes.crossJoin(broadcast(nCount))
+        .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank")),
+      iters, checkpointLast = false) { ranks =>
       val inMass = edges
         .join(outw, Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") * col("w") / col("outw")).as("c"))
         .groupBy("node").agg(sum("c").as("cin"))
-      ranks = nodes
+      nodes
         .join(inMass, Seq("node"), "left")
         .crossJoin(broadcast(nCount))
         .select(col("node"),
@@ -1862,12 +1868,26 @@ object Corpus {
   def qualityClassifier(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
       dim: Int = 64, iters: Int = 10, lr: Double = 1.0): DataFrame = {
     require(dim >= 2 && iters >= 1 && lr > 0, "need dim >= 2, iters >= 1, lr > 0")
-    val feats = hashedFeatures(docs, dim).persist()
-    val labels = docs
+    val labels0 = docs
       .select(col("doc_id"), coalesce(targetPred.cast("double"), lit(0.0)).as("y"))
       .persist()
     try {
-      val nDocs = labels.count().toDouble
+      val nDocs = labels0.count().toDouble
+      // Feature-frame partitioning (r6 — round-5 verdict item 2): sized to
+      // the feature volume (nnz ≤ docs × (dim+1); ~4M rows ≈ 100 MB per
+      // partition), NOT to spark.sql.shuffle.partitions. The GD loop runs
+      // ~2 doc-grain jobs per round over these frames; with both cached
+      // sides hash-partitioned by doc_id the margins agg and both residual
+      // joins need NO exchange (any hashpartitioning(doc_id, n) satisfies
+      // the clustered distribution), so a round is map-side work plus one
+      // AQE-coalesced dim+1-row gradient agg — at bench scale the 4×-cores
+      // policy (128) was instead scheduling 128 tasks × ~21 tiny jobs
+      // (q122's 10× r5 regression, 5 s → 49 s).
+      val parts = math.max(1, math.ceil(nDocs * (dim + 1) / 4e6).toInt)
+      val feats = hashedFeatures(docs, dim)
+        .repartition(parts, col("doc_id")).persist()
+      val labels = labels0.repartition(parts, col("doc_id")).persist()
+      try {
       def margins(w: Array[Double]): DataFrame = feats
         .withColumn("wv", element_at(typedlit(w.toSeq), col("idx") + 1) * col("v"))
         .groupBy("doc_id").agg(sum("wv").as("m"))
@@ -1890,9 +1910,12 @@ object Corpus {
           (col("m") > 0).as("target_like"),
           (col("y") > 0.5).as("is_target"))
         .localCheckpoint(true) // materialize before the feature cache drops
+      } finally {
+        feats.unpersist()
+        labels.unpersist()
+      }
     } finally {
-      feats.unpersist()
-      labels.unpersist()
+      labels0.unpersist()
     }
   }
 

@@ -51,7 +51,10 @@ object FrontierEval {
     val onTopic = relevance.select(col("doc_id").as("dst"),
       (col("topic_cnt") * 100 >= col("total_cnt") * tauPct)
         .cast("long").as("on_topic"))
+    // Persisted (r6): evaluated by both the decile-count agg and the
+    // GlobalOrder range pass — one parent-score join instead of two.
     val tgt = prio.join(onTopic, Seq("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = GlobalOrder.withRunningSumAndRank(
       tgt, "on_topic", Seq(col("priority").desc, col("dst").asc),
       parts, "cum_on_topic", "rank")
@@ -82,7 +85,14 @@ object FrontierEval {
       orderings: Seq[(String, Column)], parts: Int = 32): DataFrame = {
     require(orderings.nonEmpty, "need at least one ordering")
     val spark = scores.sparkSession
-    val n = scores.agg(count(lit(1)).as("n"),
+    // Persisted (r6 — round-5 verdict item 3): the mass/count agg plus ONE
+    // range pass PER STRATEGY each re-instantiated the full upstream plan
+    // (for q193 that meant ≥4 evaluations of an uncached
+    // PageRank⋈OPIC⋈indegree chain — 113 s of its 113 s bench wall at
+    // sf0.1). One evaluation, three cache-read sorts.
+    val cached = scores
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.agg(count(lit(1)).as("n"),
       sum(col(valueCol)).as("total_mass"))
     val cuts = spark.range(1, 11).toDF("decile")
       .crossJoin(broadcast(n))
@@ -90,7 +100,7 @@ object FrontierEval {
         col("total_mass"))
     orderings.map { case (name, key) =>
       val ranked = GlobalOrder.withRunningSumAndRank(
-        scores.select(col("doc_id"), col(valueCol), key.as("__k")),
+        cached.select(col("doc_id"), col(valueCol), key.as("__k")),
         valueCol, Seq(col("__k").asc, col("doc_id").asc),
         parts, "cum_mass", "rank")
       ranked.join(broadcast(cuts), col("rank") === col("cut"))

@@ -112,14 +112,16 @@ object LinkGraph {
         when(col("is_seed").isNotNull, lit(1.0) / col("n_seeds"))
           .otherwise(lit(0.0)).as("t"))
     val teleportMass = 1.0 - damping // Scala-evaluated; oracle interpolates
-    var ranks = tele.select(col("node"), col("t").as("rank"))
-    for (_ <- 1 to iters) {
+    // Per-round lineage truncation (r6) — see Rounds' scaladoc.
+    val ranks = Rounds.iterate(
+      tele.select(col("node"), col("t").as("rank")), iters,
+      checkpointLast = false) { ranks =>
       val inMass = e
         .join(outw, Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("outw")).as("c"))
         .groupBy("node").agg(sum("c").as("cin"))
-      ranks = tele
+      tele
         .join(inMass, Seq("node"), "left")
         .select(col("node"),
           (lit(teleportMass) * col("t") +
@@ -165,15 +167,17 @@ object LinkGraph {
         when(col("is_seed").isNotNull, lit(1.0) / col("n_nodes"))
           .otherwise(lit(0.0)).as("tt"))
     val teleportMass = 1.0 - damping // Scala-evaluated; oracle interpolates
-    var ranks = tele.select(col("node"), col("tp").as("pr"), col("tt").as("tr"))
-    for (_ <- 1 to iters) {
+    // Per-round lineage truncation (r6) — see Rounds' scaladoc.
+    val ranks = Rounds.iterate(
+      tele.select(col("node"), col("tp").as("pr"), col("tt").as("tr")),
+      iters, checkpointLast = false) { ranks =>
       val inMass = e
         .join(outw, Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           (col("pr") / col("outw")).as("cp"), (col("tr") / col("outw")).as("ct"))
         .groupBy("node").agg(sum("cp").as("cinp"), sum("ct").as("cint"))
-      ranks = tele
+      tele
         .join(inMass, Seq("node"), "left")
         .select(col("node"),
           (lit(teleportMass) * col("tp") +
@@ -251,10 +255,13 @@ object LinkGraph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nCount = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-    var state = nodes.crossJoin(broadcast(nCount))
+    val state0 = nodes.crossJoin(broadcast(nCount))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("cash"),
         lit(0.0).as("hist"), col("n_nodes"))
-    for (_ <- 1 to iters) {
+    // Per-round lineage truncation (r6): each round references `state` three
+    // times (in-mass join, dangling agg, carry), so the unrolled plan grew
+    // ~3× per round — see Rounds' scaladoc for the measured blowup.
+    val state = Rounds.iterate(state0, iters, checkpointLast = false) { state =>
       // mass arriving over edges: src's cash split equally per out-edge
       val inMass = e
         .join(outd, Seq("src"))
@@ -265,7 +272,7 @@ object LinkGraph {
       val dangling = state
         .join(outd.select(col("src").as("node")), Seq("node"), "left_anti")
         .agg(coalesce(sum("cash"), lit(0.0)).as("dmass"))
-      state = state
+      state
         .join(inMass, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
@@ -566,10 +573,13 @@ object LinkGraph {
     val nbr = e.select(col("src").as("node"), col("dst").as("nbr"))
       .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
       .distinct()
-    var h = nbr.groupBy("node").agg(count(lit(1)).cast("int").as("h"))
     val w = Window.partitionBy(col("node")).orderBy(desc("v"), asc("nbr"))
-    for (_ <- 1 to rounds) {
-      h = nbr
+    // Per-round lineage truncation (r6; integer state — bit-exact under
+    // any evaluation order) — see Rounds' scaladoc.
+    val h = Rounds.iterate(
+      nbr.groupBy("node").agg(count(lit(1)).cast("int").as("h")), rounds,
+      checkpointLast = false) { h =>
+      nbr
         .join(h.select(col("node").as("nbr"), col("h").as("v")), Seq("nbr"))
         .withColumn("rn", row_number().over(w))
         .groupBy("node")
@@ -601,11 +611,13 @@ object LinkGraph {
     val nbr = e.select(col("src").as("node"), col("dst").as("nbr"))
       .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
       .distinct()
-    var lab = nbr.select(col("node")).distinct()
-      .select(col("node"), col("node").as("lab"))
     val w = Window.partitionBy(col("node")).orderBy(desc("c"), asc("lab"))
-    for (_ <- 1 to rounds) {
-      lab = nbr
+    // Per-round lineage truncation (r6; integer labels — bit-exact under
+    // any evaluation order) — see Rounds' scaladoc.
+    val lab = Rounds.iterate(
+      nbr.select(col("node")).distinct()
+        .select(col("node"), col("node").as("lab")), rounds) { lab =>
+      nbr
         .join(lab.select(col("node").as("nbr"), col("lab")), Seq("nbr"))
         .groupBy("node", "lab").agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w))
