@@ -259,20 +259,21 @@ object Corpus {
       .union(edges.select(col("dst").as("node"))).distinct()
     val nCount = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     val teleport = (1.0 - damping) // Scala-evaluated; oracle interpolates it
-    // Per-round lineage truncation (r6) — see graft.operators.Rounds'
-    // scaladoc: the unrolled tree's Catalyst cost, not execution,
-    // dominated the graph entries' walls at the pinned 3 rounds.
-    val ranks = Rounds.iterate(
-      nodes.crossJoin(broadcast(nCount))
-        .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank")),
-      iters, checkpointLast = false) { ranks =>
+    // Unrolled on purpose (r6): `ranks` is referenced once per round —
+    // linear plan growth at the pinned 3 rounds (~1.6 s at sf0.1); a
+    // per-round Rounds.iterate checkpoint measured 2× slower (eager
+    // materialization jobs cost more than Catalyst's linear plan). The
+    // multiplicative-blowup case is opicFixed's dangling broadcast.
+    var ranks = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to iters) {
       val inMass = edges
         .join(outw, Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") * col("w") / col("outw")).as("c"))
         .groupBy("node").agg(sum("c").as("cin"))
-      nodes
+      ranks = nodes
         .join(inMass, Seq("node"), "left")
         .crossJoin(broadcast(nCount))
         .select(col("node"),

@@ -66,7 +66,9 @@ object LinkGraph {
     * [[graft.ml.Corpus.connectedComponents]] does). */
   def seedDepths(edges: DataFrame, seeds: DataFrame, rounds: Int = 6): DataFrame = {
     require(rounds >= 1 && rounds <= 32, "rounds must be in [1,32]")
-    val e = edges.select(col("src"), col("dst"))
+    // Persisted (r6): every round's eager delta checkpoint re-instantiated
+    // the full upstream edge plan — one evaluation, `rounds` cache reads.
+    val e = edges.select(col("src"), col("dst")).persist()
     var dist = seeds.select(col("doc_id").as("node"), lit(0).as("depth"))
       .distinct().localCheckpoint()
     var frontier = dist
@@ -112,16 +114,20 @@ object LinkGraph {
         when(col("is_seed").isNotNull, lit(1.0) / col("n_seeds"))
           .otherwise(lit(0.0)).as("t"))
     val teleportMass = 1.0 - damping // Scala-evaluated; oracle interpolates
-    // Per-round lineage truncation (r6) — see Rounds' scaladoc.
-    val ranks = Rounds.iterate(
-      tele.select(col("node"), col("t").as("rank")), iters,
-      checkpointLast = false) { ranks =>
+    // Unrolled on purpose (r6): `ranks` is referenced ONCE per round, so
+    // the plan grows only linearly with the pinned 3 rounds (~1.7 s at
+    // sf0.1) — a per-round Rounds.iterate checkpoint was measured 3.5×
+    // SLOWER here (eager materialization jobs cost more than Catalyst's
+    // linear plan). Contrast opicFixed, whose dangling-mass broadcast
+    // references state multiple times per round and DOES explode.
+    var ranks = tele.select(col("node"), col("t").as("rank"))
+    for (_ <- 1 to iters) {
       val inMass = e
         .join(outw, Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("outw")).as("c"))
         .groupBy("node").agg(sum("c").as("cin"))
-      tele
+      ranks = tele
         .join(inMass, Seq("node"), "left")
         .select(col("node"),
           (lit(teleportMass) * col("t") +
@@ -167,17 +173,17 @@ object LinkGraph {
         when(col("is_seed").isNotNull, lit(1.0) / col("n_nodes"))
           .otherwise(lit(0.0)).as("tt"))
     val teleportMass = 1.0 - damping // Scala-evaluated; oracle interpolates
-    // Per-round lineage truncation (r6) — see Rounds' scaladoc.
-    val ranks = Rounds.iterate(
-      tele.select(col("node"), col("tp").as("pr"), col("tt").as("tr")),
-      iters, checkpointLast = false) { ranks =>
+    // Unrolled on purpose (r6): same linear-plan argument as trustrank —
+    // a per-round checkpoint measured 3.5× slower at sf0.1.
+    var ranks = tele.select(col("node"), col("tp").as("pr"), col("tt").as("tr"))
+    for (_ <- 1 to iters) {
       val inMass = e
         .join(outw, Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           (col("pr") / col("outw")).as("cp"), (col("tr") / col("outw")).as("ct"))
         .groupBy("node").agg(sum("cp").as("cinp"), sum("ct").as("cint"))
-      tele
+      ranks = tele
         .join(inMass, Seq("node"), "left")
         .select(col("node"),
           (lit(teleportMass) * col("tp") +
@@ -464,8 +470,12 @@ object LinkGraph {
   def harmonicExact(edges: DataFrame, rounds: Int = 12): DataFrame = {
     require(rounds >= 1 && rounds <= 24, "rounds must be in [1,24]")
     val lcm = (1 to rounds).foldLeft(1L)((a, k) => a / gcd(a, k) * k)
+    // Persisted (r6): every BFS round's eager delta checkpoint
+    // re-instantiated the full upstream edge plan (for the host-grain
+    // entries that is the whole hostGraph rollup) — one evaluation,
+    // `rounds` cache reads.
     val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var dist = nodes.select(col("node").as("origin"), col("node"), lit(0).as("d"))
@@ -507,8 +517,12 @@ object LinkGraph {
     * construction (the op-49 exemption). */
   def neighborhoodFunction(edges: DataFrame, rounds: Int = 12): DataFrame = {
     require(rounds >= 1 && rounds <= 24, "rounds must be in [1,24]")
+    // Persisted (r6): every BFS round's eager delta checkpoint
+    // re-instantiated the full upstream edge plan (for the host-grain
+    // entries that is the whole hostGraph rollup) — one evaluation,
+    // `rounds` cache reads.
     val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var dist = nodes.select(col("node").as("origin"), col("node"), lit(0).as("d"))
@@ -574,12 +588,12 @@ object LinkGraph {
       .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
       .distinct()
     val w = Window.partitionBy(col("node")).orderBy(desc("v"), asc("nbr"))
-    // Per-round lineage truncation (r6; integer state — bit-exact under
-    // any evaluation order) — see Rounds' scaladoc.
-    val h = Rounds.iterate(
-      nbr.groupBy("node").agg(count(lit(1)).cast("int").as("h")), rounds,
-      checkpointLast = false) { h =>
-      nbr
+    // Unrolled on purpose (r6): `h` is referenced once per round — linear
+    // plan growth; a per-round checkpoint measured 2× slower at sf0.1
+    // (same finding as trustrank).
+    var h = nbr.groupBy("node").agg(count(lit(1)).cast("int").as("h"))
+    for (_ <- 1 to rounds) {
+      h = nbr
         .join(h.select(col("node").as("nbr"), col("h").as("v")), Seq("nbr"))
         .withColumn("rn", row_number().over(w))
         .groupBy("node")
@@ -684,7 +698,12 @@ object LinkGraph {
     * heavy lifting is exactly [[triangleStats]] / [[degreeMixAudit]] /
     * [[modularityQ]]'s shapes. */
   def graphDatasheet(edges: DataFrame, lpaRounds: Int = 3): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // Persisted (r6): the datasheet composes SIX sub-audits (counts,
+    // reciprocity, triangles, degree mix, LPA, modularity) that each
+    // re-instantiated the upstream edge plan — one evaluation, shared by
+    // every branch.
+    val cachedEdges = edges.persist()
+    val e = cachedEdges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val und = e.select(least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
@@ -697,13 +716,13 @@ object LinkGraph {
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_recip_dir"))
-    val triAgg = triangleStats(edges)
+    val triAgg = triangleStats(cachedEdges)
       .agg(sum("n_tri").as("tri3"), // each triangle credited at 3 corners
         sum(col("degree") * (col("degree") - 1)).as("wedges2"))
-    val mix = degreeMixAudit(edges)
+    val mix = degreeMixAudit(cachedEdges)
       .select(col("assortativity"))
-    val mod = modularityQ(edges,
-      lpaCommunities(edges, lpaRounds).select(col("doc_id"), col("community")))
+    val mod = modularityQ(cachedEdges,
+      lpaCommunities(cachedEdges, lpaRounds).select(col("doc_id"), col("community")))
       .select(col("q_modularity").as("lpa_modularity"),
         col("n_communities"))
     counts.crossJoin(broadcast(recip)).crossJoin(broadcast(triAgg))
