@@ -63,7 +63,12 @@ object ScalingBench {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName
     val xlDir = s"${Constants.workDir}/fixtures/xl_docs_${sfName}_r$r"
     val marker = java.nio.file.Paths.get(xlDir, "_ALL_DONE")
-    if (!java.nio.file.Files.exists(marker)) {
+    // Marker carries the SOURCE fingerprint (r6, same fix as
+    // Fixtures.ensure): a replicated cache is only trusted for the exact
+    // testdata it was built from.
+    val fp = graft.core.Fixtures.sourceFingerprint(sfDir)
+    if (!java.nio.file.Files.exists(marker) ||
+        java.nio.file.Files.readString(marker) != fp) {
       val suffix = udf { (text: String, rep: Int) =>
         if (text == null) null
         else text.split(' ').map(_ + "_" + rep).mkString(" ")
@@ -76,7 +81,7 @@ object ScalingBench {
           col("lang"), col("source"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$xlDir/documents.parquet")
-      java.nio.file.Files.writeString(marker, "ok")
+      java.nio.file.Files.writeString(marker, fp)
     }
     xlDir
   }
@@ -114,7 +119,12 @@ object ScalingBench {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName
     val xlDir = s"${Constants.workDir}/fixtures/xl_v${Constants.FixtureVersion}_${sfName}_r$r"
     val marker = java.nio.file.Paths.get(xlDir, "_ALL_DONE")
-    if (!java.nio.file.Files.exists(marker)) {
+    // Marker carries the PARENT FIXTURE dir's fingerprint (r6): the parent
+    // regenerates whenever the testdata changes, so a stale replicated
+    // cache can no longer outlive a testdata regeneration.
+    val fp = graft.core.Fixtures.sourceFingerprint(fixDir)
+    if (!java.nio.file.Files.exists(marker) ||
+        java.nio.file.Files.readString(marker) != fp) {
       val pages = spark.read.parquet(s"$fixDir/pages.parquet")
       pages
         .withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
@@ -128,7 +138,7 @@ object ScalingBench {
       for (t <- Seq("seeds", "robots", "source_weights", "budgets"))
         spark.read.parquet(s"$fixDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$xlDir/$t.parquet")
-      java.nio.file.Files.writeString(marker, "ok")
+      java.nio.file.Files.writeString(marker, fp)
       // New generation committed — release superseded multi-GB caches.
       evictStaleXl(xlDir, sfName.toString, r)
     }

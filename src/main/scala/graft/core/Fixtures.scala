@@ -41,14 +41,35 @@ final case class MediaRow(
 object Fixtures {
 
   /** Ensure fixtures exist for `sfDir`; returns the fixture directory. */
+  /** Cheap content fingerprint of the SOURCE data dir (file names + sizes
+    * + mtimes — no Spark job): stored inside the `_ALL_DONE` marker so a
+    * cached fixture is only trusted for the exact testdata it was derived
+    * from (r6 fix — a long-lived sandbox kept serving a fixture cache
+    * built from a PREVIOUS round's regenerated testdata: same shape,
+    * different doc→source draw, which would silently poison any
+    * correctness gate run in the same container). */
+  private[graft] def sourceFingerprint(sfDir: String): String =
+    scala.util.Using.resource(Files.list(Paths.get(sfDir))) { s =>
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p))
+          buf += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      }
+      buf.sorted.mkString("|")
+    }
+
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val sfName = Paths.get(sfDir).getFileName.toString
     val dir = s"${Constants.workDir}/fixtures/v${Constants.FixtureVersion}/$sfName"
     val marker = Paths.get(dir, "_ALL_DONE")
-    if (!Files.exists(marker)) {
+    val fp = sourceFingerprint(sfDir)
+    if (!Files.exists(marker) || Files.readString(marker) != fp) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       generate(spark, sfDir, dir)
       Files.createDirectories(marker.getParent)
-      Files.writeString(marker, "ok")
+      Files.writeString(marker, fp)
     }
     dir
   }
