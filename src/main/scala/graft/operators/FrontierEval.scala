@@ -55,9 +55,16 @@ object FrontierEval {
     // GlobalOrder range pass — one parent-score join instead of two.
     val tgt = prio.join(onTopic, Seq("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Range partitions ∝ rows (r6): ~1M ranked rows per partition, floored
+    // at 1 — a fixed `parts` on a dim-sized frame is pure task/sampling
+    // overhead, and at corpus scale the row-derived count grows past any
+    // constant as it must (`parts` is kept for API compatibility; the
+    // derived count supersedes it). The count also materializes the
+    // persist exactly once before the two passes.
+    val rankParts = GlobalOrder.partsFor(tgt.count())
     val ranked = GlobalOrder.withRunningSumAndRank(
       tgt, "on_topic", Seq(col("priority").desc, col("dst").asc),
-      parts, "cum_on_topic", "rank")
+      rankParts, "cum_on_topic", "rank")
     // decile cut ranks: ceil(k·n/10) — a 10-row broadcast dim, never a
     // second pass over the ranked relation
     val n = tgt.agg(count(lit(1)).as("n"))
@@ -92,6 +99,9 @@ object FrontierEval {
     // sf0.1). One evaluation, three cache-read sorts.
     val cached = scores
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Row-proportional range partitions (r6) — see harvestCurve; the count
+    // materializes the persist once before the three strategy passes.
+    val rankParts = GlobalOrder.partsFor(cached.count())
     val n = cached.agg(count(lit(1)).as("n"),
       sum(col(valueCol)).as("total_mass"))
     val cuts = spark.range(1, 11).toDF("decile")
@@ -102,7 +112,7 @@ object FrontierEval {
       val ranked = GlobalOrder.withRunningSumAndRank(
         cached.select(col("doc_id"), col(valueCol), key.as("__k")),
         valueCol, Seq(col("__k").asc, col("doc_id").asc),
-        parts, "cum_mass", "rank")
+        rankParts, "cum_mass", "rank")
       ranked.join(broadcast(cuts), col("rank") === col("cut"))
         .select(lit(name).as("strategy"), col("decile"),
           col("rank").as("n_fetched"),

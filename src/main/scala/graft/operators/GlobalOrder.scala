@@ -33,6 +33,16 @@ object GlobalOrder {
   private def sortedRdd(df: DataFrame, order: Seq[Column], parts: Int) =
     df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
 
+  /** Row-proportional range-partition count (r6): ~`rowsPerPart` rows per
+    * partition, floored at 1 — callers with a known row count use this
+    * instead of a fixed constant, so a dim-sized frame pays one task and a
+    * corpus-sized one gets the parallelism it needs (partition count
+    * derived from data, guide §2.2). Rank results are
+    * partition-count-invariant by this class's own determinism argument
+    * (total order required). */
+  def partsFor(rows: Long, rowsPerPart: Long = 1000000L): Int =
+    math.max(1, math.ceil(rows.toDouble / rowsPerPart).toInt)
+
   /** Append a 1-based dense global rank column by `order`. */
   def withRank(df: DataFrame, order: Seq[Column], parts: Int, rankCol: String): DataFrame = {
     val spark = df.sparkSession
